@@ -1,0 +1,133 @@
+"""End-to-end engine vs brute-force oracle (SURVEY.md §5 strategy 1-3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import join_oracle, pip_pairs_oracle
+from workstealing_spatial_join_spark.operators.ingest import ingest_geometry
+from workstealing_spatial_join_spark.operators.spatial_join import (
+    point_in_polygon_join,
+    polygon_join,
+)
+from workstealing_spatial_join_spark.sources import fixtures as FX
+
+N_IMAGES = 1000
+N_POLYS = 100
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    return FX.images_pdf(N_IMAGES, with_bytes=False)
+
+
+@pytest.fixture(scope="module")
+def polygons_pdf():
+    return FX.polygons_pdf(N_POLYS)
+
+
+@pytest.fixture(scope="module")
+def images(spark, images_pdf):
+    return spark.createDataFrame(images_pdf[["image_id", "lon", "lat"]]).cache()
+
+
+@pytest.fixture(scope="module")
+def polygons(spark, polygons_pdf):
+    return ingest_geometry(
+        spark.createDataFrame(polygons_pdf), geom_col="wkt", keep_cols=["polygon_id"]
+    ).cache()
+
+
+def test_pip_join_matches_oracle(images, polygons, images_pdf, polygons_pdf):
+    got = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join(images, polygons).collect()
+    }
+    want = pip_pairs_oracle(images_pdf, polygons_pdf)
+    assert got == want
+    assert len(want) > 0  # fixture sanity: the join does real work
+
+
+def test_pip_count_mode(images, polygons, images_pdf, polygons_pdf):
+    want = len(pip_pairs_oracle(images_pdf, polygons_pdf))
+    got = point_in_polygon_join(images, polygons, mode="count").collect()[0][0]
+    assert got == want
+
+
+def test_pip_semi_mode(images, polygons, images_pdf, polygons_pdf):
+    want = {i for i, _ in pip_pairs_oracle(images_pdf, polygons_pdf)}
+    got = {r.point_id for r in point_in_polygon_join(images, polygons, mode="semi").collect()}
+    assert got == want
+
+
+def test_pip_broadcast_invariance(images, polygons):
+    a = point_in_polygon_join(images, polygons, broadcast=True, mode="count")
+    b = point_in_polygon_join(images, polygons, broadcast=False, mode="count")
+    assert a.collect()[0][0] == b.collect()[0][0]
+
+
+def test_pip_cell_resolution_invariance(images, polygons):
+    """Tessellation granularity must not change the answer (the
+    property the reference implies across its 512/2048/8192-cell
+    datasets but never asserts)."""
+    counts = {
+        point_in_polygon_join(images, polygons, cell_deg=cd, mode="count").collect()[
+            0
+        ][0]
+        for cd in (0.5, 1.0, 4.0)
+    }
+    assert len(counts) == 1
+
+
+@pytest.mark.parametrize(
+    "predicate", ["intersects", "intersection_numpoints", "union_numpoints"]
+)
+def test_polygon_join_matches_oracle(spark, polygons_pdf, predicate):
+    la = polygons_pdf.iloc[:50].rename(columns={"polygon_id": "a_id"})
+    lb = polygons_pdf.iloc[50:].rename(columns={"polygon_id": "b_id"})
+    da = ingest_geometry(spark.createDataFrame(la), "wkt", keep_cols=["a_id"])
+    db = ingest_geometry(spark.createDataFrame(lb), "wkt", keep_cols=["b_id"])
+    want_pairs, want_scalar = join_oracle(la, lb, "a_id", "b_id", predicate)
+    got_scalar = polygon_join(
+        da, db, "a_id", "b_id", predicate=predicate, mode="count"
+    ).collect()[0][0]
+    assert got_scalar == want_scalar
+    got_pairs = {
+        (r.lid, r.rid)
+        for r in polygon_join(da, db, "a_id", "b_id", predicate=predicate).collect()
+    }
+    assert got_pairs == want_pairs
+
+
+def test_parity_multiplicity_mode(spark, polygons_pdf):
+    """§3.2 semantics: dedup='parity' counts a pair once per co-occupied
+    cell; refpoint mode counts each pair exactly once."""
+    la = polygons_pdf.iloc[:50].rename(columns={"polygon_id": "a_id"})
+    lb = polygons_pdf.iloc[50:].rename(columns={"polygon_id": "b_id"})
+    da = ingest_geometry(spark.createDataFrame(la), "wkt", keep_cols=["a_id"])
+    db = ingest_geometry(spark.createDataFrame(lb), "wkt", keep_cols=["b_id"])
+    parity = polygon_join(
+        da, db, "a_id", "b_id", mode="pairs", dedup="parity"
+    ).collect()
+    dedup = polygon_join(da, db, "a_id", "b_id", mode="pairs").collect()
+    # parity rows ⊇ dedup pairs, with multiplicity ≥ 1
+    assert len(parity) >= len(dedup)
+    assert {(r.lid, r.rid) for r in parity} == {(r.lid, r.rid) for r in dedup}
+    # every parity row carries a distinct (pair, cell)
+    assert len({(r.lid, r.rid, r.cell_id) for r in parity}) == len(parity)
+
+
+def test_ingest_multipart_and_invalid(spark):
+    rows = [
+        ("a", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"),
+        ("b", "garbage not wkt"),
+        ("c", "POINT (3 4)"),
+        ("d", ""),
+    ]
+    df = spark.createDataFrame(rows, "gid string, wkt string")
+    out = ingest_geometry(df, "wkt", keep_cols=["gid"]).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert len(by_gid["a"]) == 2  # multipart exploded
+    assert "b" not in by_gid and "d" not in by_gid  # dropped silently
+    assert by_gid["c"][0].minx == 3.0 and by_gid["c"][0].maxy == 4.0

@@ -1,0 +1,42 @@
+"""workstealing_spatial_join_spark — a brand-new PySpark-native spatial
+join + tiling engine.
+
+Re-creates the capabilities of satishphd/WorkStealing-Spatial-Join
+(C++17 / MPI / GEOS filter-then-refine spatial join with work-stealing
+load balancing) as an idiomatic Spark engine:
+
+* filter phase  = grid-cell tessellation expressed as pure Catalyst
+  arithmetic (``floor`` / ``sequence`` / ``explode``) + MBR residual
+  predicates — JVM-side, whole-stage-codegen'd, pushdown-friendly
+  (reference: STRtree filter, src/spatial_join.cpp:14-37)
+* refine phase  = vectorized NumPy kernels inside Arrow-batched pandas
+  UDFs (reference: GEOS exact predicates, src/thread_util.cpp:412-455)
+* work stealing = reborn as explicit skew handling: per-cell cost
+  estimation, salted repartitioning of hot cells, AQE skew-join splits
+  (reference: include/wsq.hpp, src/mpi_util.cpp:376-1078)
+
+No per-row Python anywhere; DataFrames everywhere; no RDDs.
+"""
+
+from workstealing_spatial_join_spark.session import get_spark
+from workstealing_spatial_join_spark.operators.spatial_join import (
+    point_in_polygon_join,
+    polygon_join,
+)
+from workstealing_spatial_join_spark.operators.knn import knn_join
+from workstealing_spatial_join_spark.operators.tiles import (
+    assign_tiles,
+    tile_cell_assignment,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "point_in_polygon_join",
+    "polygon_join",
+    "knn_join",
+    "assign_tiles",
+    "tile_cell_assignment",
+    "__version__",
+]

@@ -1,0 +1,290 @@
+"""Exact geometry predicate kernels — pure NumPy, vectorized per Arrow
+batch. These re-create the reference's GEOS refinement phase
+(src/thread_util.cpp:412-455: ST_INTERSECTS via prepared geometry,
+ST_INTERSECTION via intersection().getNumPoints(), ST_UNION via
+Union().getNumPoints()) without GEOS, which is not available in this
+environment.
+
+Boundary semantics are CLOSED everywhere (a point on the boundary is
+contained; touching geometries intersect), matching GEOS `intersects`.
+
+Kernel shapes:
+* many points × one polygon  → ``contains_xy`` (vectorized over points;
+  the "prepared geometry" rebirth: decode + edge tables built once per
+  unique polygon per batch, cf. src/spatial_join.cpp:98-99)
+* one geometry × one geometry → ``intersects`` / ``clip_convex`` /
+  ``union_num_points_convex`` (vectorized over edge pairs)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from workstealing_spatial_join_spark.functions.wkt import (
+    LINESTRING,
+    POINT,
+    POLYGON,
+)
+
+_EPS = 0.0  # exact float comparisons; fixtures avoid degenerate inputs
+
+
+# ------------------------------------------------------- point in poly
+
+
+def ring_contains_xy(ring: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Closed point-in-ring: crossing-number test (strict interior)
+    OR'd with an exact on-boundary test. Vectorized over points; loops
+    over the ring's edges (rings are small — fixtures use 6-24
+    vertices, cf. FIXTURES.md §2)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(len(xs), dtype=bool)
+    boundary = np.zeros(len(xs), dtype=bool)
+    for i in range(len(x0)):
+        ax, ay, bx, by = x0[i], y0[i], x1[i], y1[i]
+        # crossing test, half-open vertex rule
+        cond = (ay > ys) != (by > ys)
+        if cond.any():
+            xcross = (bx - ax) * (ys - ay) / (by - ay) + ax
+            inside ^= cond & (xs < xcross)
+        # on-segment test: collinear and within bbox
+        cross = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+        on = (
+            (cross == 0)
+            & (xs >= min(ax, bx))
+            & (xs <= max(ax, bx))
+            & (ys >= min(ay, by))
+            & (ys <= max(ay, by))
+        )
+        boundary |= on
+    return inside | boundary
+
+
+def polygon_contains_xy(
+    rings: list[np.ndarray], xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Point in polygon with holes: in exterior and not strictly inside
+    any hole (on a hole boundary still counts as contained)."""
+    res = ring_contains_xy(rings[0], xs, ys)
+    for hole in rings[1:]:
+        x0, y0 = hole[:-1, 0], hole[:-1, 1]
+        x1, y1 = hole[1:, 0], hole[1:, 1]
+        strict_in = np.zeros(len(xs), dtype=bool)
+        on_b = np.zeros(len(xs), dtype=bool)
+        for i in range(len(x0)):
+            ax, ay, bx, by = x0[i], y0[i], x1[i], y1[i]
+            cond = (ay > ys) != (by > ys)
+            if cond.any():
+                xcross = (bx - ax) * (ys - ay) / (by - ay) + ax
+                strict_in ^= cond & (xs < xcross)
+            cross = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+            on_b |= (
+                (cross == 0)
+                & (xs >= min(ax, bx))
+                & (xs <= max(ax, bx))
+                & (ys >= min(ay, by))
+                & (ys <= max(ay, by))
+            )
+        res &= ~(strict_in & ~on_b)
+    return res
+
+
+# ------------------------------------------------- segment intersection
+
+
+def _edges(path: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return path[:-1], path[1:]
+
+
+def segments_intersect_any(pa: np.ndarray, pb: np.ndarray) -> bool:
+    """True if any edge of path A touches/crosses any edge of path B.
+    Vectorized over the (nA × nB) edge-pair grid (closed semantics:
+    touching endpoints count)."""
+    a0, a1 = _edges(pa)
+    b0, b1 = _edges(pb)
+    # orientation of (p,q,r): sign of cross(q-p, r-p)
+    A0 = a0[:, None, :]
+    A1 = a1[:, None, :]
+    B0 = b0[None, :, :]
+    B1 = b1[None, :, :]
+
+    def orient(p, q, r):
+        return np.sign(
+            (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+            - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0])
+        )
+
+    d1 = orient(A0, A1, B0)
+    d2 = orient(A0, A1, B1)
+    d3 = orient(B0, B1, A0)
+    d4 = orient(B0, B1, A1)
+    proper = (d1 != d2) & (d3 != d4)
+
+    def on_seg(p, q, r):
+        # r collinear with p-q and within bbox
+        return (
+            (r[..., 0] >= np.minimum(p[..., 0], q[..., 0]))
+            & (r[..., 0] <= np.maximum(p[..., 0], q[..., 0]))
+            & (r[..., 1] >= np.minimum(p[..., 1], q[..., 1]))
+            & (r[..., 1] <= np.maximum(p[..., 1], q[..., 1]))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(A0, A1, B0))
+        | ((d2 == 0) & on_seg(A0, A1, B1))
+        | ((d3 == 0) & on_seg(B0, B1, A0))
+        | ((d4 == 0) & on_seg(B0, B1, A1))
+    )
+    return bool((proper | touch).any())
+
+
+# ------------------------------------------------------- intersects
+
+
+def intersects(ga: tuple[int, list[np.ndarray]], gb: tuple[int, list[np.ndarray]]) -> bool:
+    """Exact `ST_Intersects` between two simple geometries (closed
+    semantics) — the refine kernel of J2 (src/spatial_join.cpp:94-118).
+    MBR pre-filtering is the caller's job (filter phase)."""
+    ta, ra = ga
+    tb, rb = gb
+    if ta > tb:  # normalize: point ≤ line ≤ polygon
+        return intersects(gb, ga)
+    if ta == POINT:
+        x, y = ra[0][0]
+        if tb == POINT:
+            return bool(x == rb[0][0, 0] and y == rb[0][0, 1])
+        if tb == LINESTRING:
+            return bool(
+                _point_on_path(rb[0], np.array([x]), np.array([y]))[0]
+            )
+        return bool(polygon_contains_xy(rb, np.array([x]), np.array([y]))[0])
+    if ta == LINESTRING:
+        if tb == LINESTRING:
+            return segments_intersect_any(ra[0], rb[0])
+        # line × polygon: any vertex inside, or any edge crossing the shell
+        vs = ra[0]
+        if polygon_contains_xy(rb, vs[:, 0], vs[:, 1]).any():
+            return True
+        return any(segments_intersect_any(ra[0], ring) for ring in rb)
+    # polygon × polygon: edge crossing, or vertex containment either way
+    for ring_a in ra:
+        for ring_b in rb:
+            if segments_intersect_any(ring_a, ring_b):
+                return True
+    va = ra[0]
+    if polygon_contains_xy(rb, va[:, 0], va[:, 1]).any():
+        return True
+    vb = rb[0]
+    return bool(polygon_contains_xy(ra, vb[:, 0], vb[:, 1]).any())
+
+
+def _point_on_path(path: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    p0, p1 = _edges(path)
+    res = np.zeros(len(xs), dtype=bool)
+    for i in range(len(p0)):
+        ax, ay = p0[i]
+        bx, by = p1[i]
+        cross = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+        res |= (
+            (cross == 0)
+            & (xs >= min(ax, bx))
+            & (xs <= max(ax, bx))
+            & (ys >= min(ay, by))
+            & (ys <= max(ay, by))
+        )
+    return res
+
+
+# ---------------------------------------------- convex clip (ST_Intersection)
+
+
+def clip_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip (possibly non-convex) `subject` ring by
+    CONVEX `clipper` ring. Returns the clipped ring (closed, (n,2)) or
+    an empty array. Both rings must be closed (first == last).
+
+    The engine's `intersection` predicate (J1 / ST_INTERSECTION mode,
+    src/spatial_join.cpp:5-66) is defined on convex-convex inputs —
+    which is what the fixtures generate (FIXTURES.md §2); general
+    polygon overlay is out of scope without GEOS.
+    """
+    # ensure clipper is counter-clockwise
+    c = clipper[:-1]
+    area2 = np.sum(c[:, 0] * np.roll(c[:, 1], -1) - np.roll(c[:, 0], -1) * c[:, 1])
+    if area2 < 0:
+        clipper = clipper[::-1]
+    out = subject[:-1].tolist()
+    c0, c1 = _edges(clipper)
+    for i in range(len(c0)):
+        if not out:
+            break
+        ax, ay = c0[i]
+        bx, by = c1[i]
+        inp = out
+        out = []
+        n = len(inp)
+        for j in range(n):
+            px, py = inp[j]
+            qx, qy = inp[(j + 1) % n]
+            dp = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            dq = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+            if dp >= 0:
+                out.append([px, py])
+            if (dp >= 0) != (dq >= 0) and dp != dq:
+                t = dp / (dp - dq)
+                out.append([px + t * (qx - px), py + t * (qy - py)])
+    if len(out) < 3:
+        return np.empty((0, 2), dtype=np.float64)
+    arr = np.asarray(out, dtype=np.float64)
+    return np.vstack([arr, arr[:1]])
+
+
+def intersection_num_points(ra: list[np.ndarray], rb: list[np.ndarray]) -> int:
+    """numPoints of the intersection polygon (reference sums this per
+    pair, src/thread_util.cpp:424-425). Closed-ring count includes the
+    repeated closing vertex, matching GEOS getNumPoints on a ring."""
+    clipped = clip_convex(ra[0], rb[0])
+    return int(len(clipped))
+
+
+def union_num_points_convex(ra: list[np.ndarray], rb: list[np.ndarray]) -> int:
+    """numPoints of the union of two CONVEX polygons (ST_UNION mode,
+    src/thread_util.cpp:435-441): vertices of A outside B + vertices of
+    B outside A + boundary crossing points + closing vertex."""
+    a, b = ra[0], rb[0]
+    va = a[:-1]
+    vb = b[:-1]
+    a_out = ~polygon_contains_xy(rb, va[:, 0], va[:, 1])
+    b_out = ~polygon_contains_xy(ra, vb[:, 0], vb[:, 1])
+    if a_out.all() and b_out.all() and not segments_intersect_any(a, b):
+        # disjoint → multipolygon: all vertices (incl. both closings)
+        return int(len(a) + len(b))
+    crossings = _crossing_points(a, b)
+    n_boundary = int(a_out.sum() + b_out.sum() + len(crossings))
+    return n_boundary + 1 if n_boundary else int(min(len(a), len(b)))
+
+
+def _crossing_points(pa: np.ndarray, pb: np.ndarray) -> np.ndarray:
+    """Proper crossing points between two closed rings (unique)."""
+    a0, a1 = _edges(pa)
+    b0, b1 = _edges(pb)
+    pts = []
+    for i in range(len(a0)):
+        ax, ay = a0[i]
+        bx, by = a1[i]
+        rx, ry = bx - ax, by - ay
+        for j in range(len(b0)):
+            cx, cy = b0[j]
+            dx, dy = b1[j]
+            sx, sy = dx - cx, dy - cy
+            denom = rx * sy - ry * sx
+            if denom == 0:
+                continue
+            t = ((cx - ax) * sy - (cy - ay) * sx) / denom
+            u = ((cx - ax) * ry - (cy - ay) * rx) / denom
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                pts.append((ax + t * rx, ay + t * ry))
+    if not pts:
+        return np.empty((0, 2))
+    return np.unique(np.asarray(pts), axis=0)

@@ -1,0 +1,133 @@
+"""Image payload codecs + perceptual hash — pure stdlib zlib + NumPy.
+
+The input_hint schema carries images as opaque ``bytes`` with typed
+metadata ``(w, h, fmt)``. This environment has no PIL/libjpeg, so:
+
+* ``fmt='png'``  — REAL PNG (valid RFC-2083 stream: IHDR/IDAT/IEND,
+  filter type 0, zlib), lossless. Decodable by any PNG reader.
+* ``fmt='jpeg'`` — a clearly-marked DETERMINISTIC STAND-IN for a lossy
+  codec (magic ``QJPG``): quantize channels to multiples of 6 then
+  zlib. Max per-pixel error 3 → PSNR ≈ 43 dB, satisfying the
+  input_hint's PSNR≥40dB lossy invariant. The Spark-side plumbing
+  (binary column, Arrow batching, UDF signatures) is real; swap
+  `_lossy_encode/_lossy_decode` for libjpeg when available.
+
+phash: 64-bit mean-hash over an 8×8 block-mean downsample of the
+grayscale image (deterministic given bytes).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_QJPG_MAGIC = b"QJPG"
+_QUANT = 6  # lossy quantization step; max error 3 → PSNR ≈ 43 dB
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (truecolor, 8-bit, filter 0)."""
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    off = len(_PNG_SIG)
+    w = h = None
+    idat = b""
+    while off < len(data):
+        (length,) = struct.unpack_from(">I", data, off)
+        tag = data[off + 4 : off + 8]
+        payload = data[off + 8 : off + 8 + length]
+        off += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload)
+            if bit_depth != 8 or color_type != 2:
+                raise NotImplementedError("decoder supports 8-bit truecolor only")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if (rows[:, 0] != 0).any():
+        raise NotImplementedError("decoder supports filter type 0 only")
+    return rows[:, 1:].reshape(h, w, 3).copy()
+
+
+def _lossy_encode(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    q = (arr.astype(np.int32) + _QUANT // 2) // _QUANT
+    q = np.clip(q, 0, 255 // _QUANT).astype(np.uint8)
+    return (
+        _QJPG_MAGIC
+        + struct.pack(">IIB", w, h, _QUANT)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def _lossy_decode(data: bytes) -> np.ndarray:
+    if not data.startswith(_QJPG_MAGIC):
+        raise ValueError("not a QJPG stream")
+    w, h, quant = struct.unpack_from(">IIB", data, 4)
+    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+    return (q.reshape(h, w, 3).astype(np.int32) * quant).clip(0, 255).astype(np.uint8)
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    return png_encode(arr) if fmt == "png" else _lossy_encode(arr)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    if data.startswith(_PNG_SIG):
+        return png_decode(data)
+    if data.startswith(_QJPG_MAGIC):
+        return _lossy_decode(data)
+    raise ValueError("unknown image format")
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit mean-hash: 8×8 block-mean grayscale, bit = above mean.
+    Returned as SIGNED int64 (matches the input_hint phash:int64)."""
+    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return int(np.int64(np.uint64(val)))  # wrap to signed
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)

@@ -1,0 +1,131 @@
+"""kNN join via grid k-ring expansion with distance refinement (J6 —
+required by the north_rule; the reference has no kNN, SURVEY.md §2.3).
+
+Plan per round (all Catalyst except nothing — there is NO Python in
+this operator at all):
+
+    queries → cell (floor arithmetic)
+            → explode k-ring cells (sequence × sequence)
+            → equi-join candidates on cell_id
+            → euclidean distance (codegen'd)
+            → Window row_number per query ≤ k
+
+Correctness rule: searching Chebyshev ring r guarantees every
+candidate within distance r*cell_deg of the query is seen. A query is
+SETTLED when it has ≥k candidates and its k-th distance ≤ r*cell_deg;
+unsettled queries re-run with a doubled ring (driver loop over a
+shrinking distributed DataFrame — the moral analog of the reference's
+iterative work redistribution, but expressed as dataflow).
+
+Distances are planar-euclidean on lon/lat degrees (matches the DuckDB
+oracle exactly); no longitude wrap (documented limitation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from workstealing_spatial_join_spark.functions import grid as GRID
+
+
+def _ring_cells(df: DataFrame, r: int, cell_deg: float) -> DataFrame:
+    nx, ny = GRID.grid_dims(cell_deg)
+    cx = GRID.cell_x_col(F.col("qx"), cell_deg)
+    cy = GRID.cell_y_col(F.col("qy"), cell_deg)
+    out = df.withColumn(
+        "ring_x",
+        F.explode(
+            F.sequence(
+                F.greatest(cx - F.lit(r), F.lit(0)),
+                F.least(cx + F.lit(r), F.lit(nx - 1)),
+            )
+        ),
+    ).withColumn(
+        "ring_y",
+        F.explode(
+            F.sequence(
+                F.greatest(cy - F.lit(r), F.lit(0)),
+                F.least(cy + F.lit(r), F.lit(ny - 1)),
+            )
+        ),
+    )
+    return out.withColumn(
+        "cell_id",
+        F.col("ring_x").cast("long") * F.lit(4294967296).cast("long")
+        + F.col("ring_y").cast("long"),
+    ).drop("ring_x", "ring_y")
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "image_id",
+    cand_id: str = "image_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    c_lon: str = "lon",
+    c_lat: str = "lat",
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+    initial_ring: int = 1,
+    max_ring: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """k nearest candidates per query point. Returns
+    ``(query_id, neighbor_id, rank, dist)``; ties broken by
+    neighbor_id ascending (deterministic, oracle-matching).
+    """
+    nx, ny = GRID.grid_dims(cell_deg)
+    max_ring = max_ring or max(nx, ny)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(q_lon).alias("qx"),
+        F.col(q_lat).alias("qy"),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"),
+        F.col(c_lon).alias("cx"),
+        F.col(c_lat).alias("cy"),
+    ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
+
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    settled_parts: list[DataFrame] = []
+    remaining = q
+    r = initial_ring
+    while True:
+        ringed = _ring_cells(remaining, r, cell_deg)
+        cand = ringed.join(c, on="cell_id")
+        if exclude_self:
+            cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+        scored = cand.withColumn(
+            "dist",
+            F.sqrt(
+                (F.col("qx") - F.col("cx")) ** 2 + (F.col("qy") - F.col("cy")) ** 2
+            ),
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.col("dist"))
+        )
+        if r >= max_ring:
+            settled_parts.append(topk)
+            break
+        # settled: k found and k-th dist within the guaranteed radius
+        per_q = topk.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth")
+        )
+        settled_ids = per_q.where(
+            (F.col("n") >= k) & (F.col("kth") <= F.lit(float(r) * cell_deg))
+        ).select("query_id")
+        settled_parts.append(topk.join(settled_ids, on="query_id", how="left_semi"))
+        remaining = remaining.join(settled_ids, on="query_id", how="left_anti")
+        # cheap emptiness probe once the ring already spans the domain
+        if r > 4 and remaining.isEmpty():
+            break
+        r *= 2
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.unionByName(part)
+    return out

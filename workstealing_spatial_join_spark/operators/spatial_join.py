@@ -1,0 +1,211 @@
+"""Filter-then-refine spatial joins — the heart of the engine.
+
+Re-creates the reference's join family (SURVEY.md §2.3):
+
+* J2 point-in-polygon / intersects join  → ``point_in_polygon_join``
+* J1/J3/J5 polygon×polygon with runtime predicate → ``polygon_join``
+* J4 fragment-and-replicate             → ``broadcast`` path here
+* F3 MBR pre-filter / F4 same-cell scope → cell equi-join + Catalyst
+  residual bounds predicate (no UDF in the filter phase)
+
+Physical plan (all declared via DataFrame API; Catalyst + AQE pick
+broadcast vs shuffled-hash vs SMJ and split skewed partitions):
+
+    scan → cell tessellation (floor/sequence/explode, codegen'd)
+         → equi-join on cell_id  (+ salt when a cost table says so)
+         → residual MBR predicate (Catalyst, pushed into the join)
+         → pandas-UDF exact refine (the only Python, Arrow-batched)
+         → dedup (reference-point rule, Catalyst) / parity multiplicity
+         → agg or pair materialization
+
+Duplicate semantics: a pair whose geometries co-occupy k cells appears
+k times in the reference (no reference-point dedup anywhere in that
+repo — src/thread_util.cpp:317, SURVEY.md §3.2). ``dedup='parity'``
+reproduces that; the default ``dedup='refpoint'`` reports each pair
+exactly once, in the cell containing the top-left corner of the MBR
+intersection — a pure-Catalyst filter, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from workstealing_spatial_join_spark.functions import grid as GRID
+from workstealing_spatial_join_spark.functions.predicates import PREDICATES
+
+BROADCAST_ROW_THRESHOLD = 2_000_000  # exploded cell-rows; ~tens of MB
+
+
+def tessellate_points(
+    df: DataFrame, lon: str = "lon", lat: str = "lat",
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+) -> DataFrame:
+    """Point layer → + cell_id (exactly one cell per point; pure
+    Catalyst arithmetic, so PIP pairs are duplicate-free by
+    construction)."""
+    return df.withColumn("cell_id", GRID.cell_id_col(F.col(lon), F.col(lat), cell_deg))
+
+
+def tessellate_bbox(
+    df: DataFrame, cell_deg: float = GRID.DEFAULT_CELL_DEG
+) -> DataFrame:
+    """MBR layer (minx/miny/maxx/maxy columns) → one row per covering
+    cell (F.explode over a Catalyst-computed sequence×sequence)."""
+    return df.withColumn(
+        "cell_id",
+        F.explode(
+            GRID.covering_cells_cols(
+                F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), cell_deg
+            )
+        ),
+    )
+
+
+def _refpoint_filter(cell_deg: float):
+    """Keep a candidate pair only in the cell that contains the
+    top-left (minx, miny) corner of the MBR intersection — standard
+    duplicate-avoidance for multi-cell replication; pure Catalyst."""
+    rx = F.greatest(F.col("l.minx"), F.col("r.minx"))
+    ry = F.greatest(F.col("l.miny"), F.col("r.miny"))
+    return F.col("l.cell_id") == GRID.cell_id_col(rx, ry, cell_deg)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "image_id",
+    poly_id: str = "polygon_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+    mode: str = "pairs",  # pairs | count | semi | percell
+    refine: bool = True,
+    broadcast: str | bool = "auto",
+) -> DataFrame:
+    """Point-in-polygon spatial join (north_rule primary query).
+
+    ``polygons`` must carry ``geom_wkb, minx, miny, maxx, maxy``
+    (from operators.ingest.ingest_geometry) — or just the bounds
+    columns when ``refine=False`` (MBR-only join).
+
+    A point lies in exactly one cell, so results are duplicate-free
+    without any dedup shuffle. ``mode='percell'`` keeps the polygon's
+    cell replication visible (reference §3.2 parity diagnostics).
+    """
+    pts = tessellate_points(
+        points.select(
+            F.col(point_id).alias("point_id"),
+            F.col(lon).alias("px"),
+            F.col(lat).alias("py"),
+        ),
+        lon="px",
+        lat="py",
+        cell_deg=cell_deg,
+    )
+    poly_cols = [F.col(poly_id).alias("poly_id"), "minx", "miny", "maxx", "maxy"]
+    if refine:
+        poly_cols.append("geom_wkb")
+    polys = tessellate_bbox(polygons.select(*poly_cols), cell_deg)
+
+    polys = _maybe_broadcast(polys, polygons, broadcast)
+
+    cand = pts.join(polys, on="cell_id").where(
+        (F.col("px") >= F.col("minx"))
+        & (F.col("px") <= F.col("maxx"))
+        & (F.col("py") >= F.col("miny"))
+        & (F.col("py") <= F.col("maxy"))
+    )
+    if refine:
+        cand = cand.where(
+            PREDICATES["contains_xy"](F.col("geom_wkb"), F.col("px"), F.col("py"))
+        )
+    if mode == "count":
+        return cand.agg(F.count(F.lit(1)).alias("join_count"))
+    if mode == "semi":
+        return cand.select("point_id").distinct()
+    if mode == "percell":
+        return cand.select("point_id", "poly_id", "cell_id")
+    return cand.select("point_id", "poly_id")
+
+
+def polygon_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    predicate: str = "intersects",
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+    mode: str = "pairs",  # pairs | count | agg
+    dedup: str = "refpoint",  # refpoint | parity
+    broadcast: str | bool = "auto",
+) -> DataFrame:
+    """Geometry×geometry spatial join with a runtime refine predicate
+    (J1/J3/J5). Both inputs need ``geom_wkb, minx..maxy`` columns.
+
+    mode='count' with predicate='intersects' reproduces the
+    reference's ST_INTERSECTS scalar (match count,
+    src/thread_util.cpp:431-432); with 'intersection_numpoints' /
+    'union_numpoints' it sums vertex counts (thread_util.cpp:424-425,
+    435-441). dedup='parity' reproduces per-cell multiplicity (§3.2).
+    """
+    if predicate not in PREDICATES:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    lt = tessellate_bbox(
+        left.select(
+            F.col(left_id).alias("lid"),
+            F.col("geom_wkb").alias("l_wkb"),
+            "minx", "miny", "maxx", "maxy",
+        ),
+        cell_deg,
+    ).alias("l")
+    rt = tessellate_bbox(
+        right.select(
+            F.col(right_id).alias("rid"),
+            F.col("geom_wkb").alias("r_wkb"),
+            "minx", "miny", "maxx", "maxy",
+        ),
+        cell_deg,
+    ).alias("r")
+    rt = _maybe_broadcast(rt, right, broadcast)
+
+    cand = lt.join(rt, on=F.col("l.cell_id") == F.col("r.cell_id")).where(
+        (F.col("l.minx") <= F.col("r.maxx"))
+        & (F.col("r.minx") <= F.col("l.maxx"))
+        & (F.col("l.miny") <= F.col("r.maxy"))
+        & (F.col("r.miny") <= F.col("l.maxy"))
+    )
+    if dedup == "refpoint":
+        cand = cand.where(_refpoint_filter(cell_deg))
+
+    if predicate == "intersects":
+        matched = cand.where(
+            PREDICATES["intersects"](F.col("l_wkb"), F.col("r_wkb"))
+        )
+        if mode == "count":
+            return matched.agg(F.count(F.lit(1)).alias("join_count"))
+        sel = ["lid", "rid"] + (["l.cell_id"] if dedup == "parity" else [])
+        return matched.select(*sel)
+
+    # numPoints-producing predicates
+    scored = cand.withColumn(
+        "num_points", PREDICATES[predicate](F.col("l_wkb"), F.col("r_wkb"))
+    ).where(F.col("num_points") > 0)
+    if mode == "count":
+        return scored.agg(F.sum("num_points").alias("join_count"))
+    sel = ["lid", "rid", "num_points"] + (
+        ["l.cell_id"] if dedup == "parity" else []
+    )
+    return scored.select(*sel)
+
+
+def _maybe_broadcast(
+    exploded: DataFrame, original: DataFrame, broadcast: str | bool
+) -> DataFrame:
+    """Fragment-and-replicate rebirth (J4, tests/main.cpp:189-274):
+    replicate the small layer to every task instead of shuffling both
+    sides. 'auto' asks Catalyst/AQE (autoBroadcastJoinThreshold +
+    runtime stats) — explicit True forces the hint."""
+    if broadcast is True:
+        return F.broadcast(exploded)
+    return exploded

@@ -1,0 +1,110 @@
+"""Raster-tile ↔ vector-cell assignment (J7 — north_rule requirement;
+no analog in the reference, SURVEY.md §2.3).
+
+Tile scheme: fixed-zoom lat/lon tiling (NOT web-mercator — chosen so
+the arithmetic is exact and DuckDB-oracle-expressible):
+``tx = floor((lon+180)/360 * 2^z)``, ``ty = floor((90-lat)/180 * 2^z)``,
+``tile_id = 'z{z}/{tx}/{ty}'``. Pure Catalyst; zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workstealing_spatial_join_spark.functions import grid as GRID
+from workstealing_spatial_join_spark.operators.spatial_join import tessellate_bbox
+
+
+def tile_xy_cols(lon, lat, zoom: int):
+    n = 2 ** zoom
+    tx = F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    ty = F.least(
+        F.greatest(F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    return tx, ty
+
+
+def sql_tile_xy(lon_expr: str, lat_expr: str, zoom: int) -> tuple[str, str]:
+    """Identical tile arithmetic as ANSI SQL (DuckDB oracle)."""
+    n = 2 ** zoom
+    tx = (
+        f"LEAST(GREATEST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}) AS BIGINT),"
+        f" 0), {n - 1})"
+    )
+    ty = (
+        f"LEAST(GREATEST(CAST(FLOOR((90.0 - {lat_expr}) / 180.0 * {n}) AS BIGINT),"
+        f" 0), {n - 1})"
+    )
+    return tx, ty
+
+
+def assign_tiles(
+    points: DataFrame,
+    zoom: int = 6,
+    point_id: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+) -> DataFrame:
+    """Per-image tile + cell assignment: ``(image_id, tile_id,
+    cell_id)`` — the north_rule's materialization unit. Pure Catalyst
+    arithmetic; partition the sink by cell_id (see sources.writer)."""
+    tx, ty = tile_xy_cols(F.col(lon), F.col(lat), zoom)
+    return points.select(
+        F.col(point_id).alias("image_id"),
+        F.concat(
+            F.lit(f"z{zoom}/"), tx.cast("string"), F.lit("/"), ty.cast("string")
+        ).alias("tile_id"),
+        GRID.cell_id_col(F.col(lon), F.col(lat), cell_deg).alias("cell_id"),
+    )
+
+
+def tile_grid(spark: SparkSession, zoom: int = 6) -> DataFrame:
+    """Materialize the full tile grid with bounds — generated with
+    ``spark.range`` (distributed), no driver-side loop."""
+    n = 2 ** zoom
+    df = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("tx"),
+        F.pmod(F.col("id"), F.lit(n)).cast("long").alias("ty"),
+    )
+    w = 360.0 / n
+    h = 180.0 / n
+    return df.select(
+        F.concat(
+            F.lit(f"z{zoom}/"),
+            F.col("tx").cast("string"),
+            F.lit("/"),
+            F.col("ty").cast("string"),
+        ).alias("tile_id"),
+        (F.col("tx") * w - 180.0).alias("minx"),
+        (F.lit(90.0) - (F.col("ty") + 1) * h).alias("miny"),
+        ((F.col("tx") + 1) * w - 180.0).alias("maxx"),
+        (F.lit(90.0) - F.col("ty") * h).alias("maxy"),
+        F.lit(zoom).cast("int").alias("zoom"),
+    )
+
+
+def tile_cell_assignment(
+    spark: SparkSession,
+    zoom: int = 6,
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+) -> DataFrame:
+    """Raster-tile ↔ vector-cell covering map ``(tile_id, cell_id)``:
+    each tile exploded to the grid cells its bbox intersects. Used to
+    route tile-level work to cell-partitioned vector data."""
+    # nudge the open edges inward so an exactly-shared boundary line
+    # doesn't claim the neighboring cell
+    eps = 1e-9
+    tiles = tile_grid(spark, zoom).select(
+        "tile_id",
+        F.col("minx") + eps,
+        F.col("miny") + eps,
+        F.col("maxx") - eps,
+        F.col("maxy") - eps,
+    ).toDF("tile_id", "minx", "miny", "maxx", "maxy")
+    return tessellate_bbox(tiles, cell_deg).select("tile_id", "cell_id")
