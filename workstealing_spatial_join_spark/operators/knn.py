@@ -98,12 +98,11 @@ def knn_join(
         cand = ringed.join(c, on="cell_id")
         if exclude_self:
             cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-        scored = cand.withColumn(
-            "dist",
-            F.sqrt(
-                (F.col("qx") - F.col("cx")) ** 2 + (F.col("qy") - F.col("cy")) ** 2
-            ),
-        )
+        # plain *, not pow(): basic IEEE ops are bit-identical across
+        # Spark and the DuckDB oracle
+        dx = F.col("qx") - F.col("cx")
+        dy = F.col("qy") - F.col("cy")
+        scored = cand.withColumn("dist", F.sqrt(dx * dx + dy * dy))
         topk = (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk_bruteforce`` — exact baseline: cross join pruned to a
+  broadcast of the (small) query set, dot products via Catalyst
+  higher-order functions (``aggregate``/``zip_with`` — JVM-side, no
+  Python), windowed top-k. Oracle-checkable in SQL.
+* ``cosine_topk_lsh`` — the scale path: random-hyperplane buckets with
+  multi-probe (query probes its bucket plus 1-bit-flip neighbors),
+  exact re-rank inside buckets. Candidate generation is an equi-join
+  on bucket id; at 100 TB the corpus side is bucketed/partitioned by
+  bucket id so probes touch only matching partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: broadcast the query set
+    across the corpus (one corpus scan, no corpus shuffle), score with
+    Catalyst higher-order functions, window top-k. Ties break on
+    neighbor id ascending."""
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            9,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    n_planes: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucketed candidates with
+    multi-probe (own bucket + all 1-bit flips), exact cosine re-rank.
+    Recall grows with probes; candidates come only from equi-joins."""
+    if dim is None:
+        dim = len(corpus.select(c_vec).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        signs = (mat @ planes.T) > 0
+        return pd.Series(
+            (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        )
+
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("cv"),
+        bucket(F.col(c_vec)).alias("bucket"),
+    )
+    # multi-probe: query explodes to its bucket + every 1-bit flip
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("qv"),
+        bucket(F.col(q_vec)).alias("b0"),
+    ).select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.concat(
+                F.array(F.col("b0")),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    lambda i: F.col("b0").bitwiseXOR(F.shiftleft(F.lit(1), i).cast("long")),
+                ),
+            )
+        ).alias("bucket"),
+    )
+    cand = q.join(c, on="bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            9,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

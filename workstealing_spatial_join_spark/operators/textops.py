@@ -1,0 +1,104 @@
+"""Text analytics for training-data pipelines over the `documents`
+table — language-ID, quality scoring, token counting, fingerprinting.
+
+Everything here is Catalyst built-ins where possible (JVM-side,
+codegen'd, SQL-oracle-checkable); only the rolling-hash fingerprint
+needs a pandas UDF. Each helper returns the expressions so callers
+compose them into selects (no hidden actions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Stopword markers per language for the n-gram/stopword heuristic
+# language ID. Deliberately tiny and frozen so the identical rule is
+# expressible in the DuckDB oracle SQL.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " de ", " que "],
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, TOKEN_SPLIT_RE))
+    )
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    """Occurrences of the language's marker words (padded match)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0)
+    for marker in LANG_MARKERS[lang]:
+        # occurrences = (len(s) - len(replace(s, marker, ''))) / len(marker)
+        score = score + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+            / F.lit(len(marker))
+        ).cast("int")
+    return score
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax language by marker score; 'und' when all zero. Ties
+    break by language code order (deterministic, oracle-matching)."""
+    result = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        score = lang_score_col(text, lang)
+        is_better = score > best
+        result = F.when(is_better, F.lit(lang)).otherwise(result)
+        best = F.when(is_better, score).otherwise(best)
+    return result
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length factor × alpha ratio ×
+    mean-word-length sanity. Pure arithmetic (oracle-expressible)."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
+    toks = token_count_col(text)
+    len_factor = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    mean_wl = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+    wl_sane = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return F.round(len_factor * alpha_ratio * wl_sane, 6)
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint64(text: pd.Series) -> pd.Series:
+    """Deterministic 64-bit rolling-hash document fingerprint
+    (polynomial rolling hash, base 1099511628211 — FNV-ish), as a
+    vectorized pandas UDF."""
+    out = np.zeros(len(text), dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for i, s in enumerate(text):
+        h = np.uint64(14695981039346656037)
+        if s:
+            data = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+            for b in data.astype(np.uint64):
+                h = (h * base + b) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return pd.Series(out.astype(np.int64))
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count_col(t).alias("token_count"),
+        lang_id_col(t).alias("lang_pred"),
+        quality_score_col(t).alias("quality"),
+        fingerprint64(t).alias("fingerprint"),
+    )

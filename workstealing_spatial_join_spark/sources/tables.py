@@ -1,0 +1,123 @@
+"""Driver-testdata adapters: load the TPC-H-ish parquet tables and
+derive deterministic spatial layers from them with SQL-reproducible
+integer arithmetic, so every engine query has an exact DuckDB oracle
+(the SQL twins live in __spark_entry__.oracle_sql).
+
+Derivations (exact in IEEE double — integer mod then /1000):
+* customer → points   (lon/lat from c_custkey)
+* supplier → rects    (center + integer half-extents from s_suppkey)
+* part     → rects    (smaller, denser layer from p_partkey)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workstealing_spatial_join_spark.functions import wkt as W
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.lit(-180.0) + (F.col("c_custkey") * 9973 % 360000) / 1000.0).alias("lon"),
+        (F.lit(-90.0) + (F.col("c_custkey") * 7919 % 180000) / 1000.0).alias("lat"),
+    )
+
+
+def _rect_select(df: DataFrame, key: str, mults: tuple, extents: tuple) -> DataFrame:
+    mx, my = mults
+    ew, eh, dw, dh, sw, sh = extents
+    cx = F.lit(-180.0) + (F.col(key) * mx % 360000) / 1000.0
+    cy = F.lit(-90.0) + (F.col(key) * my % 180000) / 1000.0
+    hw = F.lit(ew) + (F.col(key) % dw) / sw
+    hh = F.lit(eh) + (F.col(key) % dh) / sh
+    return df.select(
+        F.col(key).alias("rect_id"),
+        (cx - hw).alias("minx"),
+        (cy - hh).alias("miny"),
+        (cx + hw).alias("maxx"),
+        (cy + hh).alias("maxy"),
+    )
+
+
+def supplier_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rect_select(
+        load(spark, sf_dir, "supplier"), "s_suppkey", (7817, 6271),
+        (1.0, 1.0, 7, 5, 1.0, 1.0),
+    )
+
+
+def part_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rect_select(
+        load(spark, sf_dir, "part"), "p_partkey", (104729, 92821),
+        (0.5, 0.5, 5, 3, 2.0, 2.0),
+    )
+
+
+def rects_with_geom(rects: DataFrame) -> DataFrame:
+    """Attach a polygon WKB built from the exact bounds doubles (no
+    text round-trip), so the pandas-UDF refine path is exercised on
+    geometry whose containment semantics equal the SQL BETWEEN oracle."""
+    schema = (
+        "rect_id bigint, minx double, miny double, maxx double, "
+        "maxy double, geom_wkb binary"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wkbs = []
+            for x0, y0, x1, y1 in zip(
+                pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"]
+            ):
+                ring = np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    dtype=np.float64,
+                )
+                wkbs.append(W.to_wkb(W.POLYGON, [ring]))
+            pdf = pdf.copy()
+            pdf["geom_wkb"] = pd.Series(wkbs, dtype=object)
+            yield pdf
+
+    return rects.mapInPandas(build, schema=schema)
+
+
+# SQL twins of the derivations above (DuckDB oracle building blocks)
+
+SQL_POINTS = (
+    "SELECT c_custkey AS point_id, "
+    "-180.0 + (c_custkey * 9973 % 360000) / 1000.0 AS lon, "
+    "-90.0 + (c_custkey * 7919 % 180000) / 1000.0 AS lat FROM customer"
+)
+
+SQL_SUPPLIER_RECTS = (
+    "SELECT s_suppkey AS rect_id, "
+    "(-180.0 + (s_suppkey * 7817 % 360000) / 1000.0) - (1.0 + (s_suppkey % 7) / 1.0) AS minx, "
+    "(-90.0 + (s_suppkey * 6271 % 180000) / 1000.0) - (1.0 + (s_suppkey % 5) / 1.0) AS miny, "
+    "(-180.0 + (s_suppkey * 7817 % 360000) / 1000.0) + (1.0 + (s_suppkey % 7) / 1.0) AS maxx, "
+    "(-90.0 + (s_suppkey * 6271 % 180000) / 1000.0) + (1.0 + (s_suppkey % 5) / 1.0) AS maxy "
+    "FROM supplier"
+)
+
+SQL_PART_RECTS = (
+    "SELECT p_partkey AS rect_id, "
+    "(-180.0 + (p_partkey * 104729 % 360000) / 1000.0) - (0.5 + (p_partkey % 5) / 2.0) AS minx, "
+    "(-90.0 + (p_partkey * 92821 % 180000) / 1000.0) - (0.5 + (p_partkey % 3) / 2.0) AS miny, "
+    "(-180.0 + (p_partkey * 104729 % 360000) / 1000.0) + (0.5 + (p_partkey % 5) / 2.0) AS maxx, "
+    "(-90.0 + (p_partkey * 92821 % 180000) / 1000.0) + (0.5 + (p_partkey % 3) / 2.0) AS maxy "
+    "FROM part"
+)
