@@ -1,0 +1,131 @@
+"""Per-round benchmark: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+The spatial headliners run over the deterministic fixture corpus at
+bench scale (FIXTURES.md: 200k images × 10k polygons), materialized
+to parquet once under ./bench_data so the timed section measures the
+engine, not the synthesizer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from workstealing_spatial_join_spark.operators.ingest import ingest_geometry  # noqa: E402
+from workstealing_spatial_join_spark.operators.knn import knn_join  # noqa: E402
+from workstealing_spatial_join_spark.operators.spatial_join import (  # noqa: E402
+    point_in_polygon_join,
+)
+from workstealing_spatial_join_spark.operators.tiles import assign_tiles  # noqa: E402
+from workstealing_spatial_join_spark.session import get_spark  # noqa: E402
+from workstealing_spatial_join_spark.sources import fixtures as FX  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "200000"))
+N_POLYS = int(os.environ.get("BENCH_POLYS", "10000"))
+BENCH_DATA = os.environ.get(
+    "BENCH_DATA", os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
+)
+
+
+def ensure_fixtures(spark):
+    img_path = f"{BENCH_DATA}/images_{N_IMAGES}.parquet"
+    poly_path = f"{BENCH_DATA}/polygons_{N_POLYS}.parquet"
+    if not os.path.exists(img_path):
+        FX.images_df(spark, N_IMAGES, with_bytes=False).write.mode(
+            "overwrite"
+        ).parquet(img_path)
+    if not os.path.exists(poly_path):
+        ingest_geometry(
+            FX.polygons_df(spark, N_POLYS), "wkt", keep_cols=["polygon_id"]
+        ).write.mode("overwrite").parquet(poly_path)
+    return spark.read.parquet(img_path), spark.read.parquet(poly_path)
+
+
+def main():
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    images, polygons = ensure_fixtures(spark)
+    images = images.cache()
+    polygons = polygons.cache()
+    n_img = images.count()
+    polygons.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        print(f"[bench] running {name}...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        return result
+
+    # headline 1: point-in-polygon spatial join (filter+refine), count
+    matched = timed(
+        "spatial_join_pip",
+        lambda: point_in_polygon_join(images, polygons, mode="count").collect()[0][0],
+    )
+    extras["spatial_join_rows_per_sec"] = round(n_img / timings["spatial_join_pip"], 1)
+    extras["spatial_join_matches"] = matched
+
+    # headline 2: tile assignment throughput (images/sec)
+    timed("tile_assign", lambda: assign_tiles(images).count())
+    extras["tile_assign_images_per_sec"] = round(n_img / timings["tile_assign"], 1)
+
+    # headline 3: kNN join (k-ring expansion), 5k queries vs 200k corpus
+    timed(
+        "knn_images",
+        lambda: knn_join(
+            images.limit(5000), images, k=5, initial_ring=1, exclude_self=True
+        ).count(),
+    )
+
+    # driver-table queries (oracle-checked shapes at bench scale)
+    qs = E.queries()
+    for name in [
+        "pip_count",
+        "rect_join_count",
+        "rect_intersection_numpoints",
+        "q1_pricing",
+        "q6_revenue",
+        "exact_dedup",
+        "token_count",
+        "lang_id",
+        "ann_cosine_topk",
+        "minhash_neardup",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join + tiling engine headline queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "throughput": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

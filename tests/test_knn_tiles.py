@@ -1,0 +1,79 @@
+"""kNN join vs brute-force oracle; tile assignment vs arithmetic."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from workstealing_spatial_join_spark.operators.knn import knn_join
+from workstealing_spatial_join_spark.operators.tiles import (
+    assign_tiles,
+    tile_cell_assignment,
+)
+from workstealing_spatial_join_spark.sources import fixtures as FX
+
+
+def brute_knn(qdf, cdf, k, exclude_self):
+    out = {}
+    for _, q in qdf.iterrows():
+        dists = []
+        for _, c in cdf.iterrows():
+            if exclude_self and q["image_id"] == c["image_id"]:
+                continue
+            d = float(
+                np.sqrt((q["lon"] - c["lon"]) ** 2 + (q["lat"] - c["lat"]) ** 2)
+            )
+            dists.append((d, c["image_id"]))
+        dists.sort()
+        out[q["image_id"]] = [nid for _, nid in dists[:k]]
+    return out
+
+
+def test_knn_matches_bruteforce(spark):
+    pdf = FX.images_pdf(300, with_bytes=False)
+    df = spark.createDataFrame(pdf[["image_id", "lon", "lat"]]).cache()
+    queries = df.limit(40)
+    got_rows = knn_join(
+        queries, df, k=3, exclude_self=True, initial_ring=1
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    qpdf = pdf.iloc[: len(got)].copy()
+    want = brute_knn(
+        pdf[pdf.image_id.isin(got.keys())], pdf, k=3, exclude_self=True
+    )
+    assert got == want
+    assert all(len(v) == 3 for v in got.values())
+
+
+def test_knn_ring_invariance(spark):
+    """Initial ring size must not change results (only performance)."""
+    pdf = FX.images_pdf(200, with_bytes=False)
+    df = spark.createDataFrame(pdf[["image_id", "lon", "lat"]]).cache()
+    a = knn_join(df.limit(20), df, k=4, initial_ring=1, exclude_self=True)
+    b = knn_join(df.limit(20), df, k=4, initial_ring=32, exclude_self=True)
+    ra = {(r.query_id, r.rank, r.neighbor_id) for r in a.collect()}
+    rb = {(r.query_id, r.rank, r.neighbor_id) for r in b.collect()}
+    assert ra == rb
+
+
+def test_assign_tiles_arithmetic(spark):
+    pdf = FX.images_pdf(100, with_bytes=False)
+    df = spark.createDataFrame(pdf[["image_id", "lon", "lat"]])
+    rows = {r.image_id: r for r in assign_tiles(df, zoom=6).collect()}
+    for _, p in pdf.iterrows():
+        tx = min(max(int(np.floor((p.lon + 180.0) / 360.0 * 64)), 0), 63)
+        ty = min(max(int(np.floor((90.0 - p.lat) / 180.0 * 64)), 0), 63)
+        r = rows[p.image_id]
+        assert r.tile_id == f"z6/{tx}/{ty}"
+
+
+def test_tile_cell_assignment_cover(spark):
+    tc = tile_cell_assignment(spark, zoom=6, cell_deg=1.0)
+    rows = tc.collect()
+    # zoom 6 lat/lon tiles are 5.625° × 2.8125° → cover 6 or 7 × 3 or 4 cells
+    per_tile = {}
+    for r in rows:
+        per_tile.setdefault(r.tile_id, 0)
+        per_tile[r.tile_id] += 1
+    assert len(per_tile) == 64 * 64
+    assert all(12 <= n <= 28 for n in per_tile.values())

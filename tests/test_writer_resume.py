@@ -1,0 +1,53 @@
+"""Checkpointed-resume + lineage tests (SURVEY.md §5 strategy 5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from workstealing_spatial_join_spark.sources.writer import (
+    read_lineage,
+    read_table,
+    verify_lineage,
+    write_resumable,
+)
+
+
+@pytest.fixture()
+def assignments(spark):
+    return spark.range(1000).select(
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        F.pmod(F.col("id"), F.lit(10)).alias("cell_id"),
+        (F.col("id") * 3).alias("payload"),
+    )
+
+
+def test_write_then_resume_noop(assignments, tmp_path):
+    path = str(tmp_path / "t1")
+    s1 = write_resumable(assignments, path, "cell_id", job_id="j1")
+    assert s1 == {"written_partitions": 10, "skipped_partitions": 0, "rows": 1000}
+    # second run: everything already committed
+    s2 = write_resumable(assignments, path, "cell_id", job_id="j2")
+    assert s2["written_partitions"] == 0
+    assert s2["skipped_partitions"] == 10
+    spark = assignments.sparkSession
+    assert read_table(spark, path).count() == 1000  # no duplicates
+    assert verify_lineage(spark, path).count() == 0
+
+
+def test_partial_failure_resume(assignments, tmp_path):
+    """Simulate a job that died after committing 4 of 10 partitions:
+    the resume writes exactly the missing 6, and the final table is
+    complete with unique rows and complete lineage."""
+    path = str(tmp_path / "t2")
+    first_half = assignments.where(F.col("cell_id") < 4)
+    write_resumable(first_half, path, "cell_id", job_id="j1")
+    s = write_resumable(assignments, path, "cell_id", job_id="j2")
+    assert s["written_partitions"] == 6
+    assert s["skipped_partitions"] == 4
+    spark = assignments.sparkSession
+    data = read_table(spark, path)
+    assert data.count() == 1000
+    assert data.select("image_id").distinct().count() == 1000
+    lin = read_lineage(spark, path)
+    assert lin.count() == 10
+    assert {r.job_id for r in lin.collect()} == {"j1", "j2"}
+    assert verify_lineage(spark, path).count() == 0

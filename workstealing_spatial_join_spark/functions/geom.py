@@ -90,6 +90,35 @@ def polygon_contains_xy(
     return res
 
 
+def contains_xy_pairs_bucketed(
+    ring_tensor: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Closed point-in-ring for PAIRED inputs: ``ring_tensor`` is
+    (m, nv, 2) — one ring per point — and xs/ys are (m,). Fully
+    vectorized over both pairs and edges: zero Python per-row work.
+    Callers bucket rings by vertex count to build the tensor
+    (functions/predicates.py)."""
+    x0 = ring_tensor[:, :-1, 0]
+    y0 = ring_tensor[:, :-1, 1]
+    x1 = ring_tensor[:, 1:, 0]
+    y1 = ring_tensor[:, 1:, 1]
+    px = xs[:, None]
+    py = ys[:, None]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xcross = (x1 - x0) * (py - y0) / (y1 - y0) + x0
+    inside = (cond & (px < xcross)).sum(axis=1) % 2 == 1
+    cross = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+    on_edge = (
+        (cross == 0)
+        & (px >= np.minimum(x0, x1))
+        & (px <= np.maximum(x0, x1))
+        & (py >= np.minimum(y0, y1))
+        & (py <= np.maximum(y0, y1))
+    ).any(axis=1)
+    return inside | on_edge
+
+
 # ------------------------------------------------- segment intersection
 
 
@@ -137,6 +166,63 @@ def segments_intersect_any(pa: np.ndarray, pb: np.ndarray) -> bool:
         | ((d4 == 0) & on_seg(B0, B1, A1))
     )
     return bool((proper | touch).any())
+
+
+def intersects_pairs_bucketed(
+    ta: np.ndarray, tb: np.ndarray, chunk: int = 2048
+) -> np.ndarray:
+    """Closed polygon-intersects for PAIRED single-ring inputs:
+    ``ta`` (m, nva, 2) vs ``tb`` (m, nvb, 2). Vectorized edge-pair
+    orientation grid + first-vertex containment both ways; processed
+    in chunks to bound the (m, nva-1, nvb-1) temporaries."""
+    m = len(ta)
+    out = np.zeros(m, dtype=bool)
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        A, B = ta[s:e], tb[s:e]
+        a0 = A[:, :-1, None, :]
+        a1 = A[:, 1:, None, :]
+        b0 = B[:, None, :-1, :]
+        b1 = B[:, None, 1:, :]
+
+        def orient(p, q, r):
+            return np.sign(
+                (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+                - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0])
+            )
+
+        d1 = orient(a0, a1, b0)
+        d2 = orient(a0, a1, b1)
+        d3 = orient(b0, b1, a0)
+        d4 = orient(b0, b1, a1)
+        hit = (d1 != d2) & (d3 != d4)
+
+        def on_seg(p, q, r):
+            return (
+                (r[..., 0] >= np.minimum(p[..., 0], q[..., 0]))
+                & (r[..., 0] <= np.maximum(p[..., 0], q[..., 0]))
+                & (r[..., 1] >= np.minimum(p[..., 1], q[..., 1]))
+                & (r[..., 1] <= np.maximum(p[..., 1], q[..., 1]))
+            )
+
+        hit |= (d1 == 0) & on_seg(a0, a1, b0)
+        hit |= (d2 == 0) & on_seg(a0, a1, b1)
+        hit |= (d3 == 0) & on_seg(b0, b1, a0)
+        hit |= (d4 == 0) & on_seg(b0, b1, a1)
+        edge_hit = hit.any(axis=(1, 2))
+        res = edge_hit
+        # no boundary contact → either disjoint or one fully inside:
+        # first-vertex containment decides
+        need = ~edge_hit
+        if need.any():
+            res = res.copy()
+            res[need] = contains_xy_pairs_bucketed(
+                B[need], A[need][:, 0, 0], A[need][:, 0, 1]
+            ) | contains_xy_pairs_bucketed(
+                A[need], B[need][:, 0, 0], B[need][:, 0, 1]
+            )
+        out[s:e] = res
+    return out
 
 
 # ------------------------------------------------------- intersects

@@ -24,18 +24,69 @@ from workstealing_spatial_join_spark.functions import geom as G
 from workstealing_spatial_join_spark.functions import wkt as W
 
 
+# Executor-lifetime decode cache — the "prepared geometry" rebirth
+# (src/spatial_join.cpp:98-99): a polygon probed by points in many
+# Arrow batches is decoded from WKB exactly once per worker.
+_DECODE_CACHE: dict = {}
+_DECODE_CACHE_MAX = 200_000
+
+
+def _decode_one(wkb: bytes):
+    g = _DECODE_CACHE.get(wkb)
+    if g is None:
+        g = W.from_wkb(wkb)
+        if len(_DECODE_CACHE) >= _DECODE_CACHE_MAX:
+            _DECODE_CACHE.clear()
+        _DECODE_CACHE[wkb] = g
+    return g
+
+
 @F.pandas_udf(T.BooleanType())
 def st_contains_xy(poly_wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-    """Closed point-in-polygon; decode each unique polygon once per
-    batch, vectorize over its probe points."""
+    """Closed point-in-polygon, fully vectorized: unique polygons are
+    decoded once (cached across batches), single-ring polygons are
+    bucketed by vertex count into (m, nv, 2) tensors, and the ray-cast
+    runs as pure NumPy over all (point, polygon) pairs at once. Only
+    polygons with holes / multiparts fall back to the per-unique path.
+    """
     xs = x.to_numpy(dtype=np.float64)
     ys = y.to_numpy(dtype=np.float64)
     out = np.zeros(len(xs), dtype=bool)
     codes, uniques = pd.factorize(poly_wkb)
-    for u, wkb in enumerate(uniques):
+    geoms = [_decode_one(wkb) for wkb in uniques]
+
+    # partition uniques: simple (one part, one ring) vs complex
+    buckets: dict[int, list[int]] = {}
+    complex_uniques: list[int] = []
+    for u, parts in enumerate(geoms):
+        if len(parts) == 1 and parts[0][0] == W.POLYGON and len(parts[0][1]) == 1:
+            buckets.setdefault(len(parts[0][1][0]), []).append(u)
+        else:
+            complex_uniques.append(u)
+
+    # vectorized path: per vertex-count bucket, gather paired tensors
+    bucket_of = np.full(len(uniques), -1, dtype=np.int64)
+    within = np.zeros(len(uniques), dtype=np.int64)
+    tensors = {}
+    for bid, (nv, members) in enumerate(buckets.items()):
+        tensors[bid] = np.stack([geoms[u][0][1][0] for u in members])
+        for j, u in enumerate(members):
+            bucket_of[u] = bid
+            within[u] = j
+    row_bucket = bucket_of[codes]
+    for bid, tensor in tensors.items():
+        mask = row_bucket == bid
+        if not mask.any():
+            continue
+        ring_idx = within[codes[mask]]
+        out[mask] = G.contains_xy_pairs_bucketed(
+            tensor[ring_idx], xs[mask], ys[mask]
+        )
+
+    for u in complex_uniques:
         mask = codes == u
         res = np.zeros(int(mask.sum()), dtype=bool)
-        for gtype, rings in W.from_wkb(wkb):
+        for gtype, rings in geoms[u]:
             if gtype == W.POLYGON:
                 res |= G.polygon_contains_xy(rings, xs[mask], ys[mask])
         out[mask] = res
@@ -43,29 +94,45 @@ def st_contains_xy(poly_wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series
 
 
 def _decode_cache(series: pd.Series, cache: dict):
-    out = []
-    for wkb in series:
-        g = cache.get(wkb)
-        if g is None:
-            g = W.from_wkb(wkb)
-            cache[wkb] = g
-        out.append(g)
-    return out
+    return [_decode_one(wkb) for wkb in series]
 
 
 @F.pandas_udf(T.BooleanType())
 def st_intersects(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """Exact ST_Intersects refine (J2/J5 ST_INTERSECTS mode,
-    src/spatial_join.cpp:94-118)."""
-    cache: dict = {}
-    ga = _decode_cache(wkb_a, cache)
-    gb = _decode_cache(wkb_b, cache)
-    out = np.zeros(len(ga), dtype=bool)
-    for i in range(len(ga)):
+    src/spatial_join.cpp:94-118). Pairs where both sides are simple
+    single-ring polygons run through the vectorized bucketed kernel
+    (bucketed by vertex-count pair); everything else falls back to the
+    general per-pair kernel."""
+    ga = _decode_cache(wkb_a, None)
+    gb = _decode_cache(wkb_b, None)
+    n = len(ga)
+    out = np.zeros(n, dtype=bool)
+
+    def simple_ring(parts):
+        if len(parts) == 1 and parts[0][0] == W.POLYGON and len(parts[0][1]) == 1:
+            return parts[0][1][0]
+        return None
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    fallback: list[int] = []
+    rings_a, rings_b = [], []
+    for i in range(n):
+        ra, rb = simple_ring(ga[i]), simple_ring(gb[i])
+        rings_a.append(ra)
+        rings_b.append(rb)
+        if ra is not None and rb is not None:
+            buckets.setdefault((len(ra), len(rb)), []).append(i)
+        else:
+            fallback.append(i)
+    for (nva, nvb), idxs in buckets.items():
+        idx = np.asarray(idxs)
+        ta = np.stack([rings_a[i] for i in idxs])
+        tb = np.stack([rings_b[i] for i in idxs])
+        out[idx] = G.intersects_pairs_bucketed(ta, tb)
+    for i in fallback:
         try:
-            out[i] = any(
-                G.intersects(pa, pb) for pa in ga[i] for pb in gb[i]
-            )
+            out[i] = any(G.intersects(pa, pb) for pa in ga[i] for pb in gb[i])
         except Exception:
             out[i] = False  # exception-swallowing parity, thread_util.cpp:427-429
     return pd.Series(out)

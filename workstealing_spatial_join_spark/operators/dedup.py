@@ -52,17 +52,25 @@ def _perm_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of the char k-shingle set (uint64)."""
-    s = text.lower()
+    """Unique hashes of the char k-shingle set — fully vectorized:
+    sliding byte windows × polynomial powers, wrapping uint64
+    arithmetic (no Python-level per-shingle loop)."""
+    s = (text or "").lower().encode("utf-8", "ignore")
     if len(s) < k:
-        s = s.ljust(k, "_")
-    shingles = {s[i : i + k] for i in range(len(s) - k + 1)}
-    return np.fromiter(
-        (np.uint64(hash(sh) & 0x7FFFFFFFFFFFFFFF) for sh in shingles),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+        s = s.ljust(k, b"_")
+    data = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    pows = np.empty(k, dtype=np.uint64)
+    pows[0] = 1
+    for i in range(1, k):
+        pows[i] = pows[i - 1] * _SHINGLE_BASE
+    with np.errstate(over="ignore"):
+        h = (windows * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h) >> np.uint64(1)  # top bit clear keeps mod-p math exact
 
 
 def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
@@ -153,10 +161,11 @@ def ngram_jaccard_udf(k: int = 5):
     def jac(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.zeros(len(a))
         for i in range(len(a)):
-            sa = set((a.iloc[i] or "").lower()[j : j + k] for j in range(max(1, len(a.iloc[i] or "") - k + 1)))
-            sb = set((b.iloc[i] or "").lower()[j : j + k] for j in range(max(1, len(b.iloc[i] or "") - k + 1)))
-            union = len(sa | sb)
-            out[i] = len(sa & sb) / union if union else 0.0
+            sa = _shingle_hashes(a.iloc[i], k)
+            sb = _shingle_hashes(b.iloc[i], k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out[i] = inter / union if union else 0.0
         return pd.Series(out)
 
     return jac

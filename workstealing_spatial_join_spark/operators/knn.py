@@ -91,7 +91,10 @@ def knn_join(
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     settled_parts: list[DataFrame] = []
-    remaining = q
+    # localCheckpoint per round: without it each round's plan embeds
+    # every previous round's join (exponential lineage regrowth — the
+    # Spark analog of the reference re-scanning finished queues).
+    remaining = q.localCheckpoint(eager=True)
     r = initial_ring
     while True:
         ringed = _ring_cells(remaining, r, cell_deg)
@@ -111,6 +114,7 @@ def knn_join(
         if r >= max_ring:
             settled_parts.append(topk)
             break
+        topk = topk.localCheckpoint(eager=True)
         # settled: k found and k-th dist within the guaranteed radius
         per_q = topk.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth")
@@ -119,9 +123,10 @@ def knn_join(
             (F.col("n") >= k) & (F.col("kth") <= F.lit(float(r) * cell_deg))
         ).select("query_id")
         settled_parts.append(topk.join(settled_ids, on="query_id", how="left_semi"))
-        remaining = remaining.join(settled_ids, on="query_id", how="left_anti")
-        # cheap emptiness probe once the ring already spans the domain
-        if r > 4 and remaining.isEmpty():
+        remaining = remaining.join(
+            settled_ids, on="query_id", how="left_anti"
+        ).localCheckpoint(eager=True)
+        if remaining.isEmpty():
             break
         r *= 2
     out = settled_parts[0]

