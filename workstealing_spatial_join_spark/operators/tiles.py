@@ -50,16 +50,31 @@ def assign_tiles(
     lon: str = "lon",
     lat: str = "lat",
     cell_deg: float = GRID.DEFAULT_CELL_DEG,
+    tile_id_format: str = "string",  # string | packed
 ) -> DataFrame:
     """Per-image tile + cell assignment: ``(image_id, tile_id,
     cell_id)`` — the north_rule's materialization unit. Pure Catalyst
-    arithmetic; partition the sink by cell_id (see sources.writer)."""
+    arithmetic; partition the sink by cell_id (see sources.writer).
+
+    ``tile_id_format='packed'`` emits ``zoom<<58 | tx<<29 | ty`` as a
+    LongType instead of 'z6/x/y' strings — at 10^12-image scale the
+    string construction is an allocation/GC bottleneck and packed ids
+    are the storage-correct choice (stringify at the edge, not in the
+    pipeline)."""
     tx, ty = tile_xy_cols(F.col(lon), F.col(lat), zoom)
+    if tile_id_format == "packed":
+        tile = (
+            F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long")
+            + tx * F.lit(1 << 29).cast("long")
+            + ty
+        ).alias("tile_id")
+    else:
+        tile = F.concat(
+            F.lit(f"z{zoom}/"), tx.cast("string"), F.lit("/"), ty.cast("string")
+        ).alias("tile_id")
     return points.select(
         F.col(point_id).alias("image_id"),
-        F.concat(
-            F.lit(f"z{zoom}/"), tx.cast("string"), F.lit("/"), ty.cast("string")
-        ).alias("tile_id"),
+        tile,
         GRID.cell_id_col(F.col(lon), F.col(lat), cell_deg).alias("cell_id"),
     )
 

@@ -1,0 +1,113 @@
+"""Spatial planner: pick the physical strategy for a spatial join from
+table statistics, and audit that the produced plan has the shape the
+engine promises (SURVEY.md §4).
+
+The reference hard-codes one pipeline and one optimization set; here
+the planner is a thin Python layer that inspects sizes and emits
+DataFrame-plan OPTIONS — Catalyst/AQE still owns the physical plan.
+
+Strategy matrix (mirrors §4's physical-execution decisions):
+  polygons small (≤ broadcast_rows)        → broadcast the exploded
+      polygon side (J4 fragment-and-replicate rebirth)
+  both large, skewed cells (cost table)    → salted cell join (LB1)
+  both large, uniform                      → plain cell equi-join;
+      AQE skew-split as backstop
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class JoinPlan:
+    broadcast: bool | str
+    salt: bool
+    reason: str
+
+
+def choose_pip_strategy(
+    n_points: int,
+    n_polygons: int,
+    max_cell_share: float = 0.0,
+    broadcast_rows: int = 2_000_000,
+    skew_share_threshold: float = 0.05,
+) -> JoinPlan:
+    """Decide broadcast/salt for a point-in-polygon join.
+
+    ``max_cell_share``: fraction of points in the densest cell (from a
+    stats pass or prior cost table; 0 = unknown/uniform).
+    """
+    if n_polygons <= broadcast_rows:
+        return JoinPlan(
+            broadcast=True,
+            salt=False,
+            reason=f"polygon side {n_polygons} rows ≤ {broadcast_rows}: "
+            "replicate build side (no shuffle on points)",
+        )
+    if max_cell_share > skew_share_threshold:
+        return JoinPlan(
+            broadcast=False,
+            salt=True,
+            reason=f"hot cell holds {max_cell_share:.1%} of points: "
+            "salted cell join",
+        )
+    return JoinPlan(
+        broadcast=False,
+        salt=False,
+        reason="both sides large, no measured skew: cell equi-join + AQE",
+    )
+
+
+# ------------------------------------------------------------- audit
+
+_PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def audit_plan(df: DataFrame) -> dict:
+    """Parse the formatted physical plan into the quality counters the
+    engine cares about: Python nodes in the hot path, exchanges,
+    broadcast usage, codegen coverage, pushed filters."""
+    qe = df._jdf.queryExecution()  # noqa: SLF001
+    jvm = df._sc._jvm  # noqa: SLF001
+    plan = jvm.PythonSQLUtils.explainString(qe, "formatted")
+    simple = jvm.PythonSQLUtils.explainString(qe, "simple")
+
+    def count_nodes(name: str) -> int:
+        # formatted explain lists every operator twice (tree + detail
+        # section) — count only the numbered detail headers
+        return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+    return {
+        "python_nodes": {node: count_nodes(node) for node in _PY_NODES},
+        "exchanges": count_nodes("Exchange") + count_nodes("BroadcastExchange"),
+        "broadcast_joins": count_nodes("BroadcastHashJoin"),
+        "sortmerge_joins": count_nodes("SortMergeJoin"),
+        "shuffledhash_joins": count_nodes("ShuffledHashJoin"),
+        "codegen_stages": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "plan": plan,
+    }
+
+
+def assert_plan_quality(
+    df: DataFrame, max_python_nodes: int, require_join: bool = True
+) -> dict:
+    """Raise if the plan regressed: more Python nodes than promised or
+    no join operator where one is expected. Used by tests as the
+    'explain and iterate' gate."""
+    a = audit_plan(df)
+    n_py = sum(a["python_nodes"].values())
+    if n_py > max_python_nodes:
+        raise AssertionError(
+            f"plan has {n_py} Python nodes (max {max_python_nodes}):\n"
+            + a["plan"][:4000]
+        )
+    if require_join and not (
+        a["broadcast_joins"] or a["sortmerge_joins"] or a["shuffledhash_joins"]
+    ):
+        raise AssertionError("plan has no join operator:\n" + a["plan"][:4000])
+    return a
