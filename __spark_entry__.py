@@ -100,6 +100,23 @@ def q_pip_pairs_percell(spark, sf_dir):
     )
 
 
+def q_pip_pairs_cogrouped(spark, sf_dir):
+    """Same query as pip_pairs via the OTHER physical strategy
+    (per-cell cogroup applyInPandas, J3) — same oracle."""
+    from workstealing_spatial_join_spark.operators.cogroup_join import (
+        point_in_polygon_join_cogrouped,
+    )
+
+    pts = TB.customer_points(spark, sf_dir)
+    polys = TB.rects_with_geom(TB.supplier_rects(spark, sf_dir))
+    return point_in_polygon_join_cogrouped(
+        pts, polys, point_id="point_id", poly_id="rect_id", cell_deg=CELL
+    ).select(
+        F.col("point_id").alias("c_custkey"),
+        F.col("poly_id").alias("s_suppkey"),
+    )
+
+
 def q_cell_assign(spark, sf_dir):
     pts = TB.customer_points(spark, sf_dir)
     return pts.select(
@@ -269,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_count": q_pip_count,
         "pip_pairs": q_pip_pairs,
         "pip_pairs_percell": q_pip_pairs_percell,
+        "pip_pairs_cogrouped": q_pip_pairs_cogrouped,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
         "rect_join_count": q_rect_join_count,
@@ -343,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_count": f"SELECT COUNT(*) AS join_count FROM ({_PIP_PAIRS})",
         "pip_pairs": f"SELECT c_custkey, s_suppkey FROM ({_PIP_PAIRS})",
+        "pip_pairs_cogrouped": f"SELECT c_custkey, s_suppkey FROM ({_PIP_PAIRS})",
         "pip_pairs_percell": (
             f"SELECT c_custkey, s_suppkey, {cellid} AS cell_id "
             f"FROM ({_PIP_PAIRS})"
