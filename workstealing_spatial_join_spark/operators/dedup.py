@@ -159,10 +159,16 @@ def minhash_dedup(
 def ngram_jaccard_udf(k: int = 5):
     @F.pandas_udf(T.DoubleType())
     def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        # a doc participates in many candidate pairs — shingle each
+        # unique text once per batch
+        codes_a, uniq_a = pd.factorize(a)
+        codes_b, uniq_b = pd.factorize(b)
+        sh_a = [_shingle_hashes(t, k) for t in uniq_a]
+        sh_b = [_shingle_hashes(t, k) for t in uniq_b]
         out = np.zeros(len(a))
         for i in range(len(a)):
-            sa = _shingle_hashes(a.iloc[i], k)
-            sb = _shingle_hashes(b.iloc[i], k)
+            sa = sh_a[codes_a[i]]
+            sb = sh_b[codes_b[i]]
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             out[i] = inter / union if union else 0.0
