@@ -19,7 +19,7 @@ Operator coverage map (SURVEY.md §2 → query name):
                         simhash_docs, embedding_neardup (rows-only)
   similarity .......... ann_cosine_topk (oracle via list_cosine_similarity)
   text analysis ....... token_count / text_quality / lang_id
-  streaming analog .... events_hourly (windowed batch agg)
+  streaming analog .... events_hourly (windowed agg), events_sessionize (lag+cumsum windows)
 """
 
 from __future__ import annotations
@@ -256,6 +256,37 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: per user, a new session starts after a >30 min
+    gap; output sessions per user + max session length (events).
+    Window-function coverage (lag + conditional cumulative sum)."""
+    from pyspark.sql import Window
+
+    ev = TB.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+    # epoch here equals DuckDB's epoch(ts) on the naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n").alias("max_session_events"),
+        )
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = TB.load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
@@ -300,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
         "ann_cosine_topk": q_ann_cosine_topk,
         "simhash_docs": q_simhash_docs,
         "minhash_neardup": q_minhash_neardup,
@@ -455,6 +487,21 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN (epoch(ts) - epoch(LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id))) IS NULL "
+            "OR (epoch(ts) - epoch(LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id))) > 1800 "
+            "THEN 1 ELSE 0 END AS new_session FROM events), "
+            "s AS (SELECT user_id, SUM(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM g), "
+            "ps AS (SELECT user_id, session_id, COUNT(*) AS n "
+            "FROM s GROUP BY user_id, session_id) "
+            "SELECT user_id, COUNT(*) AS n_sessions, "
+            "MAX(n) AS max_session_events FROM ps GROUP BY user_id"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), "
