@@ -12,8 +12,8 @@ Operator coverage map (SURVEY.md §2 → query name):
   J2 PIP join ......... pip_count / pip_pairs / pip_pairs_percell
   J3/J5 polygon join .. rect_join_count / rect_intersection_numpoints
   §3.2 parity ......... rect_join_percell_count (per-cell multiplicity)
-  J6 kNN .............. knn_suppliers (k-ring expansion + window top-k)
-  J7 tiles ............ tile_assign / cell_assign
+  J6 kNN + dwithin .... knn_suppliers (k-ring + window top-k), dwithin_pairs
+  J7 raster↔vector .... tile_assign, tile_rect_overlap_count
   A1-A3 aggregation ... q1_pricing / q6_revenue / every count query
   dedup family ........ exact_dedup (oracle), minhash_neardup,
                         simhash_docs, embedding_neardup (rows-only)
@@ -167,6 +167,27 @@ def q_rect_intersection_numpoints(spark, sf_dir):
     )
 
 
+def q_tile_rect_overlap_count(spark, sf_dir):
+    """Raster-tile ↔ vector assignment (J7): full zoom-6 tile grid
+    joined to supplier rects through the engine's cell-partitioned
+    MBR join; oracle generates the same grid with range() in SQL."""
+    n = 2 ** ZOOM
+    w, h = 360.0 / n, 180.0 / n
+    grid = spark.range(n * n).select(
+        F.col("id").alias("rect_id"),
+        ((F.col("id") / n).cast("long") * w - 180.0).alias("minx"),
+        (F.lit(90.0) - (F.pmod(F.col("id"), F.lit(n)) + 1) * h).alias("miny"),
+        (((F.col("id") / n).cast("long") + 1) * w - 180.0).alias("maxx"),
+        (F.lit(90.0) - F.pmod(F.col("id"), F.lit(n)) * h).alias("maxy"),
+    )
+    tiles = TB.rects_with_geom(grid)
+    rects = TB.rects_with_geom(TB.supplier_rects(spark, sf_dir))
+    return polygon_join(
+        tiles, rects, "rect_id", "rect_id", predicate="intersects",
+        mode="count", dedup="refpoint", cell_deg=CELL,
+    )
+
+
 def q_knn_suppliers(spark, sf_dir):
     pts = TB.customer_points(spark, sf_dir).where(F.col("point_id") <= 100)
     sup = TB.supplier_rects(spark, sf_dir).select(
@@ -181,6 +202,27 @@ def q_knn_suppliers(spark, sf_dir):
         F.col("query_id").alias("c_custkey"),
         F.col("neighbor_id").alias("s_suppkey"),
         "rank",
+        "dist",
+    )
+
+
+def q_dwithin_pairs(spark, sf_dir):
+    """Fixed-radius range join: customer points within 2.5° of a
+    supplier center — zero-Python engine path; plain theta-join oracle."""
+    from workstealing_spatial_join_spark.operators.knn import dwithin_join
+
+    pts = TB.customer_points(spark, sf_dir)
+    sup = TB.supplier_rects(spark, sf_dir).select(
+        "rect_id",
+        ((F.col("minx") + F.col("maxx")) / 2.0).alias("lon"),
+        ((F.col("miny") + F.col("maxy")) / 2.0).alias("lat"),
+    )
+    return dwithin_join(
+        pts, sup, radius=2.5, left_id="point_id", right_id="rect_id",
+        cell_deg=CELL,
+    ).select(
+        F.col("left_id").alias("c_custkey"),
+        F.col("right_id").alias("s_suppkey"),
         "dist",
     )
 
@@ -323,7 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_join_count": q_rect_join_count,
         "rect_join_percell_count": q_rect_join_percell_count,
         "rect_intersection_numpoints": q_rect_intersection_numpoints,
+        "tile_rect_overlap_count": q_tile_rect_overlap_count,
         "knn_suppliers": q_knn_suppliers,
+        "dwithin_pairs": q_dwithin_pairs,
         "q1_pricing": q_q1_pricing,
         "q6_revenue": q_q6_revenue,
         "exact_dedup": q_exact_dedup,
@@ -417,6 +461,17 @@ def oracle_sql() -> dict[str, str]:
         "rect_intersection_numpoints": (
             f"SELECT 5 * COUNT(*) AS join_count FROM ({_RECT_OVERLAP})"
         ),
+        "tile_rect_overlap_count": (
+            "WITH grid AS (SELECT "
+            "CAST(FLOOR(i / 64) AS BIGINT) * 5.625 - 180.0 AS minx, "
+            "90.0 - ((i % 64) + 1) * 2.8125 AS miny, "
+            "(CAST(FLOOR(i / 64) AS BIGINT) + 1) * 5.625 - 180.0 AS maxx, "
+            "90.0 - (i % 64) * 2.8125 AS maxy "
+            "FROM range(4096) t(i)) "
+            f"SELECT COUNT(*) AS join_count FROM grid g JOIN ({_SUP}) r "
+            "ON g.minx <= r.maxx AND r.minx <= g.maxx "
+            "AND g.miny <= r.maxy AND r.miny <= g.maxy"
+        ),
         "knn_suppliers": (
             "WITH q AS (SELECT point_id, lon AS qx, lat AS qy FROM "
             f"({_PTS}) WHERE point_id <= 100), "
@@ -430,6 +485,17 @@ def oracle_sql() -> dict[str, str]:
             "AS rank FROM scored) "
             "SELECT point_id AS c_custkey, rect_id AS s_suppkey, "
             "CAST(rank AS INT) AS rank, dist FROM ranked WHERE rank <= 5"
+        ),
+        "dwithin_pairs": (
+            f"WITH q AS ({_PTS}), "
+            "c AS (SELECT rect_id, (minx + maxx) / 2.0 AS cx, "
+            f"(miny + maxy) / 2.0 AS cy FROM ({_SUP})) "
+            "SELECT q.point_id AS c_custkey, c.rect_id AS s_suppkey, "
+            "SQRT((q.lon - c.cx) * (q.lon - c.cx) "
+            "+ (q.lat - c.cy) * (q.lat - c.cy)) AS dist "
+            "FROM q CROSS JOIN c "
+            "WHERE SQRT((q.lon - c.cx) * (q.lon - c.cx) "
+            "+ (q.lat - c.cy) * (q.lat - c.cy)) <= 2.5"
         ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "

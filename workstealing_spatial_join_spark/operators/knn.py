@@ -57,6 +57,48 @@ def _ring_cells(df: DataFrame, r: int, cell_deg: float) -> DataFrame:
     ).drop("ring_x", "ring_y")
 
 
+def dwithin_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    left_id: str = "image_id",
+    right_id: str = "image_id",
+    l_lon: str = "lon",
+    l_lat: str = "lat",
+    r_lon: str = "lon",
+    r_lat: str = "lat",
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Fixed-radius range join (the `dwithin` predicate of the
+    registry, SURVEY.md §2.5): all (left, right) pairs with planar
+    euclidean distance ≤ radius. Filter phase = ring-cell equi-join
+    covering the radius (pure Catalyst); refine = the distance
+    comparison itself (also Catalyst — zero Python end to end)."""
+    import math
+
+    r_cells = max(1, math.ceil(radius / cell_deg))
+    q = left.select(
+        F.col(left_id).alias("left_id"),
+        F.col(l_lon).alias("qx"),
+        F.col(l_lat).alias("qy"),
+    )
+    c = right.select(
+        F.col(right_id).alias("right_id"),
+        F.col(r_lon).alias("cx"),
+        F.col(r_lat).alias("cy"),
+    ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
+    ringed = _ring_cells(q, r_cells, cell_deg)
+    cand = ringed.join(c, on="cell_id")
+    if exclude_self:
+        cand = cand.where(F.col("left_id") != F.col("right_id"))
+    dx = F.col("qx") - F.col("cx")
+    dy = F.col("qy") - F.col("cy")
+    return cand.withColumn("dist", F.sqrt(dx * dx + dy * dy)).where(
+        F.col("dist") <= F.lit(float(radius))
+    ).select("left_id", "right_id", "dist")
+
+
 def knn_join(
     queries: DataFrame,
     candidates: DataFrame,
