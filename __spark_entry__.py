@@ -298,6 +298,21 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_doc_jaccard_adjacent(spark, sf_dir):
+    """n-gram Jaccard between consecutive documents (doc_id, doc_id+1)
+    — Catalyst higher-order functions end to end."""
+    docs = TB.load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.alias("a")
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+    ).alias("b")
+    joined = a.join(b, on="doc_id")
+    return joined.select(
+        "doc_id",
+        TX.ngram_jaccard_cols(F.col("text"), F.col("text_b"), k=3).alias("jaccard"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: per user, a new session starts after a >30 min
     gap; output sessions per user + max session length (events).
@@ -376,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "doc_jaccard_adjacent": q_doc_jaccard_adjacent,
         "ann_cosine_topk": q_ann_cosine_topk,
         "simhash_docs": q_simhash_docs,
         "minhash_neardup": q_minhash_neardup,
@@ -553,6 +569,21 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "doc_jaccard_adjacent": (
+            "WITH d AS (SELECT doc_id, text FROM documents), "
+            "p AS (SELECT a.doc_id, a.text AS ta, b.text AS tb "
+            "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1), "
+            "s AS (SELECT doc_id, "
+            "list_distinct([substr(ta, i, 3) for i in "
+            "range(1, GREATEST(length(ta) - 2, 1) + 1)]) AS sa, "
+            "list_distinct([substr(tb, i, 3) for i in "
+            "range(1, GREATEST(length(tb) - 2, 1) + 1)]) AS sb FROM p) "
+            "SELECT doc_id, ROUND(CASE WHEN "
+            "(len(sa) + len(sb) - len(list_intersect(sa, sb))) > 0 THEN "
+            "CAST(len(list_intersect(sa, sb)) AS DOUBLE) / "
+            "(len(sa) + len(sb) - len(list_intersect(sa, sb))) "
+            "ELSE 0.0 END, 6) AS jaccard FROM s"
         ),
         "events_sessionize": (
             "WITH g AS (SELECT user_id, ts, event_id, "

@@ -76,6 +76,27 @@ def quality_score_col(text: Column) -> Column:
     return F.round(len_factor * alpha_ratio * wl_sane, 6)
 
 
+def ngram_jaccard_cols(a: Column, b: Column, k: int = 3) -> Column:
+    """Exact n-gram Jaccard similarity as pure Catalyst higher-order
+    functions (transform/sequence/substr + array_intersect) — zero
+    Python, SQL-oracle-expressible. For the hashed-shingle UDF variant
+    used inside MinHash verification see operators/dedup.py."""
+
+    def shingles(s: Column) -> Column:
+        n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(k)))
+        )
+
+    sa = shingles(a)
+    sb = shingles(b)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+    )
+
+
 @F.pandas_udf(T.LongType())
 def fingerprint64(text: pd.Series) -> pd.Series:
     """Deterministic 64-bit rolling-hash document fingerprint
