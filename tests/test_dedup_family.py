@@ -1,0 +1,84 @@
+"""Dedup family on planted duplicates: exact, MinHash+LSH, SimHash,
+embedding cosine — each must find the planted pairs and nothing
+obviously absurd."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from workstealing_spatial_join_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_dedup,
+    simhash_dedup,
+)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "machine learning pipelines need deduplication at web scale today",
+    "spark executes declarative plans with catalyst and tungsten magic",
+    "geospatial joins partition space into cells for locality wins",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(200):
+        base = BASE[i % 4]
+        if i < 8:  # planted exact duplicates: ids 0-7 duplicate base[0]
+            text = BASE[0]
+        elif i < 16:  # planted near-duplicates: one word changed
+            text = BASE[1].replace("today", f"tomorrow{i}")
+        else:
+            text = f"{base} unique suffix {i} " + "filler " * (i % 7)
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    for i in range(8):
+        assert out[i].canonical_id == 0
+        assert out[i].group_size == 8
+    assert out[20].group_size == 1
+
+
+def test_minhash_finds_near_duplicates(docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_dedup(docs, threshold=0.7).collect()
+    }
+    # all planted exact-dup pairs among ids 0-7 must be found
+    for a in range(8):
+        for b in range(a + 1, 8):
+            assert (a, b) in pairs
+    # near-dups 8-15 differ by one word → jaccard ≥ 0.7, mostly found
+    near = [(a, b) for (a, b) in pairs if 8 <= a < 16 and 8 <= b < 16]
+    assert len(near) >= 20  # of the 28 possible
+
+
+def test_simhash_identical_zero_distance(docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in simhash_dedup(docs, max_hamming=3).collect()
+    }
+    for a in range(8):
+        for b in range(a + 1, 8):
+            assert pairs.get((a, b)) == 0
+
+
+def test_embedding_neardup_finds_planted(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(100, 32)).astype("float32")
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=32).astype("float32")
+    vecs[3] = vecs[2]  # identical
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_neardup(emb, threshold=0.99).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    # random 32-dim gaussians essentially never hit cosine ≥ 0.99
+    assert len(pairs) <= 5

@@ -223,15 +223,16 @@ def simhash_dedup(
     hashed = docs.select(
         F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh")
     )
+    mask = (1 << width) - 1
     chunked = hashed.select(
         "doc_id",
         "sh",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nchunks - 1)),
-                lambda c: F.shiftrightunsigned("sh", c * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                ),
+            F.array(
+                *[
+                    F.shiftrightunsigned("sh", c * width).bitwiseAND(F.lit(mask))
+                    for c in range(nchunks)
+                ]
             )
         ).alias("chunk_idx", "chunk"),
     )
