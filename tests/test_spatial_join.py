@@ -116,6 +116,28 @@ def test_parity_multiplicity_mode(spark, polygons_pdf):
     assert len({(r.lid, r.rid, r.cell_id) for r in parity}) == len(parity)
 
 
+def test_hexwkb_ingest_equals_wkt(spark, polygons_pdf):
+    """S3 parity: hex-WKB text ingest must produce the same layer as
+    WKT ingest (src/reader.cpp:61-100)."""
+    from workstealing_spatial_join_spark.functions import wkt as W
+
+    hex_rows = []
+    for _, r in polygons_pdf.iloc[:40].iterrows():
+        gtype, rings = W.parse_wkt(r["wkt"])[0]
+        hex_rows.append((r["polygon_id"], W.to_wkb(gtype, rings).hex()))
+    dh = ingest_geometry(
+        spark.createDataFrame(hex_rows, "polygon_id string, hexwkb string"),
+        "hexwkb", fmt="wkb", keep_cols=["polygon_id"],
+    )
+    dw = ingest_geometry(
+        spark.createDataFrame(polygons_pdf.iloc[:40]), "wkt",
+        keep_cols=["polygon_id"],
+    )
+    a = {(r.polygon_id, r.minx, r.maxy) for r in dh.collect()}
+    b = {(r.polygon_id, r.minx, r.maxy) for r in dw.collect()}
+    assert a == b and len(a) == 40
+
+
 def test_prepared_layer_equivalence(images, polygons, images_pdf, polygons_pdf):
     """PreparedPolygonLayer (build-once) must produce identical results
     to the one-shot DataFrame path."""
