@@ -49,18 +49,21 @@ def cosine_topk_bruteforce(
     across the corpus (one corpus scan, no corpus shuffle), score with
     Catalyst higher-order functions, window top-k. Ties break on
     neighbor id ascending."""
+    # norms hoisted to columns BEFORE the cross join: computed once per
+    # vector instead of once per (query, candidate) pair
     q = F.broadcast(
         queries.select(
             F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv")
-        )
+        ).withColumn("qnorm", _norm(F.col("qv")))
     )
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv")
+    ).withColumn("cnorm", _norm(F.col("cv")))
     scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("qv"), F.col("cv"))
-            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
             9,
         ).alias("cosine"),
     )
