@@ -29,6 +29,27 @@ def test_salted_join_invariance(spark):
     assert a == b and len(a) > 0
 
 
+def test_salted_polygon_join_invariance(spark):
+    from workstealing_spatial_join_spark.operators.spatial_join import polygon_join
+
+    ppdf = FX.polygons_pdf(400)
+    la = ppdf.iloc[:200].rename(columns={"polygon_id": "a_id"})
+    lb = ppdf.iloc[200:].rename(columns={"polygon_id": "b_id"})
+    da = ingest_geometry(spark.createDataFrame(la), "wkt", keep_cols=["a_id"])
+    db = ingest_geometry(spark.createDataFrame(lb), "wkt", keep_cols=["b_id"])
+    plain = {
+        (r.lid, r.rid)
+        for r in polygon_join(da, db, "a_id", "b_id", salt=False).collect()
+    }
+    salted = {
+        (r.lid, r.rid)
+        for r in polygon_join(
+            da, db, "a_id", "b_id", salt=True, target_pairs_per_task=10
+        ).collect()
+    }
+    assert plain == salted and len(plain) > 0
+
+
 def test_cost_table_targets_hot_cells(spark):
     """The fixture's hot box (10% of points in 1°×1°) must be the top
     cost cell, and only heavy cells get n_salt > 1."""

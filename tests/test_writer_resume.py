@@ -51,3 +51,29 @@ def test_partial_failure_resume(assignments, tmp_path):
     assert lin.count() == 10
     assert {r.job_id for r in lin.collect()} == {"j1", "j2"}
     assert verify_lineage(spark, path).count() == 0
+    # checksum-level verification over the payload columns
+    assert (
+        verify_lineage(spark, path, columns=["image_id", "payload"]).count() == 0
+    )
+    # metrics rows recorded per job
+    from workstealing_spatial_join_spark.sources.writer import read_metrics
+
+    metrics = {r.job_id: r for r in read_metrics(spark, path).collect()}
+    assert metrics["j1"].written_partitions == 4
+    assert metrics["j2"].written_partitions == 6
+    assert metrics["j2"].skipped_partitions == 4
+
+
+def test_lineage_detects_tampering(assignments, tmp_path):
+    """Corrupt one partition after commit → checksum verify flags it."""
+    import glob
+    import os
+
+    path = str(tmp_path / "t3")
+    write_resumable(assignments, path, "cell_id", job_id="j1")
+    # delete a data file from one partition
+    victim = glob.glob(f"{path}/data/cell_id=3/*.parquet")[0]
+    os.remove(victim)
+    spark = assignments.sparkSession
+    bad = verify_lineage(spark, path, columns=["image_id", "payload"]).collect()
+    assert any(r.pval == "3" for r in bad)

@@ -261,6 +261,8 @@ def polygon_join(
     mode: str = "pairs",  # pairs | count | agg
     dedup: str = "refpoint",  # refpoint | parity
     broadcast: str | bool = "auto",
+    salt: bool = False,
+    target_pairs_per_task: int = 100_000,
 ) -> DataFrame:
     """Geometry×geometry spatial join with a runtime refine predicate
     (J1/J3/J5). Both inputs need ``geom_wkb, minx..maxy`` columns.
@@ -291,7 +293,24 @@ def polygon_join(
     ).alias("r")
     rt = _maybe_broadcast(rt, right, broadcast)
 
-    cand = lt.join(rt, on=F.col("l.cell_id") == F.col("r.cell_id")).where(
+    join_cond = F.col("l.cell_id") == F.col("r.cell_id")
+    if salt:
+        # LB1 rebirth for polygon×polygon: salt the (larger) left side,
+        # replicate the right side across salts in hot cells only
+        from workstealing_spatial_join_spark.operators.skew import (
+            cell_cost_table,
+            salt_build_side,
+            salt_probe_side,
+        )
+
+        cost = cell_cost_table(lt, rt, target_pairs=target_pairs_per_task).where(
+            F.col("n_salt") > 1
+        )
+        lt = salt_probe_side(lt, cost, ["lid"]).alias("l")
+        rt = salt_build_side(rt, cost).alias("r")
+        join_cond = join_cond & (F.col("l.salt") == F.col("r.salt"))
+
+    cand = lt.join(rt, on=join_cond).where(
         (F.col("l.minx") <= F.col("r.maxx"))
         & (F.col("r.minx") <= F.col("l.maxx"))
         & (F.col("l.miny") <= F.col("r.maxy"))

@@ -79,8 +79,12 @@ def write_resumable(
         F.col(partition_col).cast("string").alias("pval")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        # bit_xor: order-insensitive, overflow-free row checksum
-        F.bit_xor(F.xxhash64(*[c for c in pending.columns])).alias("checksum"),
+        # bit_xor: order-insensitive, overflow-free row checksum over
+        # the NON-partition columns (the partition column's type does
+        # not round-trip identically through directory partitioning)
+        F.bit_xor(
+            F.xxhash64(*[c for c in pending.columns if c != partition_col])
+        ).alias("checksum"),
     )
     lineage = lineage.withColumn("job_id", F.lit(job_id)).withColumn(
         "written_at", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
@@ -94,6 +98,9 @@ def write_resumable(
     if n_pending == 0:
         return {"written_partitions": 0, "skipped_partitions": n_skipped, "rows": 0}
 
+    import time as _time
+
+    t0 = _time.time()
     (
         pending.write.mode("append")
         .partitionBy(partition_col)
@@ -104,11 +111,26 @@ def write_resumable(
         f"{table_path}/_manifest"
     )
     lineage.write.mode("append").parquet(f"{table_path}/_lineage")
-    rows = lineage.agg(F.sum("n_rows")).collect()[0][0]
+    rows = int(lineage.agg(F.sum("n_rows")).collect()[0][0])
+    # job-level metrics row (north_rule: per-partition lineage + metrics)
+    spark.createDataFrame(
+        [
+            (
+                job_id,
+                n_pending,
+                n_skipped,
+                rows,
+                round(_time.time() - t0, 3),
+                time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            )
+        ],
+        "job_id string, written_partitions long, skipped_partitions long, "
+        "rows long, write_seconds double, finished_at string",
+    ).write.mode("append").parquet(f"{table_path}/_metrics")
     return {
         "written_partitions": n_pending,
         "skipped_partitions": n_skipped,
-        "rows": int(rows),
+        "rows": rows,
     }
 
 
@@ -120,25 +142,41 @@ def read_lineage(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(f"{table_path}/_lineage")
 
 
-def verify_lineage(spark: SparkSession, table_path: str) -> DataFrame:
-    """Recompute per-partition counts/checksums from data files and
-    diff against lineage — returns mismatching partitions (empty =
-    intact)."""
+def read_metrics(spark: SparkSession, table_path: str) -> DataFrame:
+    return spark.read.parquet(f"{table_path}/_metrics")
+
+
+def verify_lineage(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Recompute per-partition counts (and, when ``columns`` gives the
+    writer's original column order, bit_xor checksums) from the data
+    files and diff against lineage — returns mismatching partitions
+    (empty = intact)."""
     data = read_table(spark, table_path)
     pcol = [c for c in data.columns if c in ("cell_id", "pval")]
     part = pcol[0] if pcol else data.columns[-1]
-    # checksum must hash the same column set in the same order as the
-    # writer (partition col position differs after partitioned read)
     lineage = read_lineage(spark, table_path)
-    actual = data.groupBy(F.col(part).cast("string").alias("pval")).agg(
-        F.count(F.lit(1)).alias("n_rows_actual")
+    aggs = [F.count(F.lit(1)).alias("n_rows_actual")]
+    if columns:
+        aggs.append(F.bit_xor(F.xxhash64(*columns)).alias("checksum_actual"))
+    actual = data.groupBy(F.col(part).cast("string").alias("pval")).agg(*aggs)
+    lin_aggs = [F.sum("n_rows").alias("n_rows")]
+    if columns:
+        # partitions are written exactly once, so per-partition lineage
+        # has one row; bit_xor folds them if a future writer splits
+        lin_aggs.append(F.bit_xor("checksum").alias("checksum"))
+    joined = (
+        lineage.groupBy("pval").agg(*lin_aggs).join(actual, on="pval", how="full_outer")
     )
-    return (
-        lineage.groupBy("pval")
-        .agg(F.sum("n_rows").alias("n_rows"))
-        .join(actual, on="pval", how="full_outer")
-        .where(
-            F.coalesce(F.col("n_rows"), F.lit(-1))
-            != F.coalesce(F.col("n_rows_actual"), F.lit(-2))
+    bad = F.coalesce(F.col("n_rows"), F.lit(-1)) != F.coalesce(
+        F.col("n_rows_actual"), F.lit(-2)
+    )
+    if columns:
+        bad = bad | (
+            F.coalesce(F.col("checksum"), F.lit(-1))
+            != F.coalesce(F.col("checksum_actual"), F.lit(-2))
         )
-    )
+    return joined.where(bad)
