@@ -181,16 +181,45 @@ def st_intersects(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _is_axis_rect(parts) -> bool:
+    """Single 5-vertex ring with axis-aligned edges."""
+    if len(parts) != 1 or parts[0][0] != W.POLYGON or len(parts[0][1]) != 1:
+        return False
+    r = parts[0][1][0]
+    if len(r) != 5:
+        return False
+    dx = r[1:, 0] - r[:-1, 0]
+    dy = r[1:, 1] - r[:-1, 1]
+    return bool(((dx == 0) | (dy == 0)).all())
+
+
 @F.pandas_udf(T.LongType())
 def st_intersection_num_points(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """numPoints of the pairwise intersection (J5 ST_INTERSECTION mode,
-    src/thread_util.cpp:424-425). Defined on convex polygon inputs."""
+    src/thread_util.cpp:424-425). Defined on convex polygon inputs.
+
+    Fast path: two MBR-overlapping axis-aligned rectangles always clip
+    to a (possibly degenerate) 5-point ring — callers guarantee MBR
+    overlap (the filter phase), so the Sutherland–Hodgman run is
+    skipped entirely for rect×rect pairs."""
     cache: dict = {}
     ga = _decode_cache(wkb_a, cache)
     gb = _decode_cache(wkb_b, cache)
     out = np.zeros(len(ga), dtype=np.int64)
+    rect_cache: dict = {}
+
+    def is_rect(wkb, parts):
+        v = rect_cache.get(wkb)
+        if v is None:
+            v = _is_axis_rect(parts)
+            rect_cache[wkb] = v
+        return v
+
     for i in range(len(ga)):
         try:
+            if is_rect(wkb_a.iloc[i], ga[i]) and is_rect(wkb_b.iloc[i], gb[i]):
+                out[i] = 5
+                continue
             n = 0
             for ta, ra in ga[i]:
                 for tb, rb in gb[i]:
