@@ -298,6 +298,19 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_user_stats(spark, sf_dir):
+    """Aggregate-family coverage (SURVEY §2.4: sum/count/
+    count_distinct/min/max): per event_type statistics."""
+    ev = TB.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def q_doc_jaccard_adjacent(spark, sf_dir):
     """n-gram Jaccard between consecutive documents (doc_id, doc_id+1)
     — Catalyst higher-order functions end to end."""
@@ -392,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "doc_jaccard_adjacent": q_doc_jaccard_adjacent,
+        "events_user_stats": q_events_user_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "simhash_docs": q_simhash_docs,
         "minhash_neardup": q_minhash_neardup,
@@ -569,6 +583,14 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_user_stats": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "COUNT(DISTINCT user_id) AS n_users, "
+            "ROUND(MIN(value), 6) AS min_value, "
+            "ROUND(MAX(value), 6) AS max_value, "
+            "ROUND(SUM(value), 6) AS sum_value "
+            "FROM events GROUP BY event_type"
         ),
         "doc_jaccard_adjacent": (
             "WITH d AS (SELECT doc_id, text FROM documents), "
