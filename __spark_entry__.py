@@ -160,10 +160,46 @@ def q_rect_join_percell_count(spark, sf_dir):
 
 
 def q_rect_intersection_numpoints(spark, sf_dir):
+    """Sum of GEOS-semantics intersection numPoints over all
+    MBR-overlapping supplier×part rect pairs: 5 for positive-area
+    overlap, 2 for an edge touch (LINESTRING), 1 for a corner touch
+    (POINT). The oracle recomputes the same CASE from the bounds —
+    independent of the engine's rect fast path."""
     a, b = _rect_layers(spark, sf_dir)
     return polygon_join(
         a, b, "rect_id", "rect_id", predicate="intersection_numpoints",
         mode="count", dedup="refpoint", cell_deg=CELL,
+    )
+
+
+def q_rect_union_numpoints(spark, sf_dir):
+    """Sum of union numPoints over generically-positioned,
+    positive-area-overlap supplier×part rect pairs (the reference's
+    third compile-time predicate, ST_UNION — include/global_var.h:12,
+    src/thread_util.cpp:435-441). Degenerate pairs (touching or
+    sharing a coordinate value) are excluded by a Catalyst pair filter
+    pushed ahead of refine; the oracle applies the identical filter
+    and recomputes numPoints from the corner-containment closed form
+    13 - 2*(cornersA_in_B + cornersB_in_A)."""
+    a, b = _rect_layers(spark, sf_dir)
+    lx = [F.col("l.minx"), F.col("l.maxx")]
+    rx = [F.col("r.minx"), F.col("r.maxx")]
+    ly = [F.col("l.miny"), F.col("l.maxy")]
+    ry = [F.col("r.miny"), F.col("r.maxy")]
+    generic = (
+        (F.greatest(lx[0], rx[0]) < F.least(lx[1], rx[1]))
+        & (F.greatest(ly[0], ry[0]) < F.least(ly[1], ry[1]))
+    )
+    for a_c in lx:
+        for b_c in rx:
+            generic = generic & (a_c != b_c)
+    for a_c in ly:
+        for b_c in ry:
+            generic = generic & (a_c != b_c)
+    return polygon_join(
+        a, b, "rect_id", "rect_id", predicate="union_numpoints",
+        mode="count", dedup="refpoint", cell_deg=CELL,
+        extra_pair_filter=generic,
     )
 
 
@@ -197,7 +233,7 @@ def q_knn_suppliers(spark, sf_dir):
     )
     return knn_join(
         pts, sup, k=5, query_id="point_id", cand_id="rect_id",
-        cell_deg=CELL, initial_ring=16,
+        cell_deg=CELL,  # initial_ring auto-sized from candidate density
     ).select(
         F.col("query_id").alias("c_custkey"),
         F.col("neighbor_id").alias("s_suppkey"),
@@ -393,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_join_count": q_rect_join_count,
         "rect_join_percell_count": q_rect_join_percell_count,
         "rect_intersection_numpoints": q_rect_intersection_numpoints,
+        "rect_union_numpoints": q_rect_union_numpoints,
         "tile_rect_overlap_count": q_tile_rect_overlap_count,
         "knn_suppliers": q_knn_suppliers,
         "dwithin_pairs": q_dwithin_pairs,
@@ -489,7 +526,42 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_RECT_OVERLAP})"
         ),
         "rect_intersection_numpoints": (
-            f"SELECT 5 * COUNT(*) AS join_count FROM ({_RECT_OVERLAP})"
+            # honest GEOS semantics, independent of the engine's rect
+            # fast path: 5 for area overlap, 2 edge touch, 1 corner
+            "SELECT CAST(SUM(CASE WHEN w > 0 AND h > 0 THEN 5 "
+            "WHEN w = 0 AND h = 0 THEN 1 ELSE 2 END) AS BIGINT) "
+            "AS join_count FROM ("
+            "SELECT LEAST(amaxx, bmaxx) - GREATEST(aminx, bminx) AS w, "
+            "LEAST(amaxy, bmaxy) - GREATEST(aminy, bminy) AS h "
+            f"FROM ({_RECT_OVERLAP})) t"
+        ),
+        "rect_union_numpoints": (
+            "WITH g AS (SELECT * FROM (" + _RECT_OVERLAP + ") p WHERE "
+            "GREATEST(aminx, bminx) < LEAST(amaxx, bmaxx) "
+            "AND GREATEST(aminy, bminy) < LEAST(amaxy, bmaxy) "
+            "AND aminx <> bminx AND aminx <> bmaxx "
+            "AND amaxx <> bminx AND amaxx <> bmaxx "
+            "AND aminy <> bminy AND aminy <> bmaxy "
+            "AND amaxy <> bminy AND amaxy <> bmaxy), "
+            "c AS (SELECT "
+            "(CASE WHEN aminx > bminx AND aminx < bmaxx AND aminy > bminy "
+            "AND aminy < bmaxy THEN 1 ELSE 0 END) + "
+            "(CASE WHEN aminx > bminx AND aminx < bmaxx AND amaxy > bminy "
+            "AND amaxy < bmaxy THEN 1 ELSE 0 END) + "
+            "(CASE WHEN amaxx > bminx AND amaxx < bmaxx AND aminy > bminy "
+            "AND aminy < bmaxy THEN 1 ELSE 0 END) + "
+            "(CASE WHEN amaxx > bminx AND amaxx < bmaxx AND amaxy > bminy "
+            "AND amaxy < bmaxy THEN 1 ELSE 0 END) AS ca, "
+            "(CASE WHEN bminx > aminx AND bminx < amaxx AND bminy > aminy "
+            "AND bminy < amaxy THEN 1 ELSE 0 END) + "
+            "(CASE WHEN bminx > aminx AND bminx < amaxx AND bmaxy > aminy "
+            "AND bmaxy < amaxy THEN 1 ELSE 0 END) + "
+            "(CASE WHEN bmaxx > aminx AND bmaxx < amaxx AND bminy > aminy "
+            "AND bminy < amaxy THEN 1 ELSE 0 END) + "
+            "(CASE WHEN bmaxx > aminx AND bmaxx < amaxx AND bmaxy > aminy "
+            "AND bmaxy < amaxy THEN 1 ELSE 0 END) AS cb FROM g) "
+            "SELECT CAST(SUM(13 - 2 * (ca + cb)) AS BIGINT) AS join_count "
+            "FROM c"
         ),
         "tile_rect_overlap_count": (
             "WITH grid AS (SELECT "

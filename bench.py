@@ -100,7 +100,7 @@ def main():
     timed(
         "knn_images",
         lambda: knn_join(
-            images.limit(5000), images, k=5, initial_ring=1, exclude_self=True
+            images.limit(5000), images, k=5, exclude_self=True
         ).count(),
     )
 

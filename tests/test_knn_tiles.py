@@ -56,6 +56,49 @@ def test_knn_ring_invariance(spark):
     assert ra == rb
 
 
+def test_knn_exact_boundary_distances(spark):
+    """Adversarial settle-condition fixture: a non-representable
+    cell_deg (0.1) and coordinates quantized to exact 0.05 steps put
+    many k-th distances exactly ON ring radii — the configuration
+    where the old ``kth <= r*cell_deg`` settle rule could keep a
+    seen candidate over an unseen equal/closer one. Must equal brute
+    force exactly (strict '<' settle)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"c{i}" for i in range(n)],
+            "lon": np.round(rng.integers(-60, 60, n) * 0.05, 10),
+            "lat": np.round(rng.integers(-60, 60, n) * 0.05, 10),
+        }
+    )
+    df = spark.createDataFrame(pdf).cache()
+    queries = df.limit(30)
+    got_rows = knn_join(
+        queries, df, k=3, exclude_self=True, cell_deg=0.1, initial_ring=1
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    want = brute_knn(pdf[pdf.image_id.isin(got.keys())], pdf, k=3, exclude_self=True)
+    # ties at equal distance break by neighbor_id in BOTH paths: the
+    # brute oracle sorts (dist, id) tuples, matching the window order
+    assert got == want
+
+
+def test_knn_auto_initial_ring(spark):
+    """initial_ring='auto' (default) must match an explicit ring."""
+    pdf = FX.images_pdf(200, with_bytes=False)
+    df = spark.createDataFrame(pdf[["image_id", "lon", "lat"]]).cache()
+    a = knn_join(df.limit(20), df, k=4, exclude_self=True)  # auto
+    b = knn_join(df.limit(20), df, k=4, initial_ring=8, exclude_self=True)
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in a.collect()} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in b.collect()
+    }
+
+
 def test_assign_tiles_arithmetic(spark):
     pdf = FX.images_pdf(100, with_bytes=False)
     df = spark.createDataFrame(pdf[["image_id", "lon", "lat"]])

@@ -65,6 +65,38 @@ def test_polygon_join_plan(layers):
     assert_plan_quality(df, max_python_nodes=1)
 
 
+def test_polygon_join_broadcast_transport_no_wkb_in_join(layers):
+    """Routed (broadcast-dict) polygon joins must not ship geometry
+    bytes through the join: no geom_wkb/l_wkb/r_wkb column anywhere in
+    the candidate plan, and exactly ONE Python node for the refine —
+    for pairs mode too (the >0 filter must not duplicate the UDF)."""
+    _, polys = layers
+    for mode in ("count", "pairs"):
+        df = polygon_join(
+            polys, polys, "polygon_id", "polygon_id",
+            predicate="intersection_numpoints", mode=mode,
+            refine_transport="broadcast",
+        )
+        audit = assert_plan_quality(df, max_python_nodes=1)
+        assert audit["python_nodes"]["ArrowEvalPython"] == 1, mode
+        assert "wkb" not in audit["plan"], mode
+
+
+def test_polygon_join_wkb_transport_still_works(layers):
+    _, polys = layers
+    a = polygon_join(
+        polys, polys, "polygon_id", "polygon_id",
+        predicate="intersection_numpoints", mode="count",
+        refine_transport="broadcast",
+    ).collect()[0][0]
+    b = polygon_join(
+        polys, polys, "polygon_id", "polygon_id",
+        predicate="intersection_numpoints", mode="count",
+        refine_transport="wkb",
+    ).collect()[0][0]
+    assert a == b and a > 0
+
+
 def test_strategy_matrix():
     assert choose_pip_strategy(10**9, 10**4).broadcast is True
     s = choose_pip_strategy(10**9, 10**8, max_cell_share=0.2)

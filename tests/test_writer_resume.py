@@ -64,6 +64,28 @@ def test_partial_failure_resume(assignments, tmp_path):
     assert metrics["j2"].skipped_partitions == 4
 
 
+def test_resume_overwrites_orphaned_partition_data(assignments, tmp_path):
+    """Crash window: data files for a partition landed but the manifest
+    row never committed. The resume must OVERWRITE the orphaned
+    partition (dynamic partition overwrite), not append a duplicate."""
+    path = str(tmp_path / "t4")
+    write_resumable(assignments.where(F.col("cell_id") < 4), path, "cell_id", "j1")
+    spark = assignments.sparkSession
+    # plant orphaned data for partition 7 — present on disk, absent
+    # from the manifest (exactly what a crash between the data write
+    # and the manifest append leaves behind)
+    assignments.where(F.col("cell_id") == 7).write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/data")
+    assert read_table(spark, path).count() == 500  # 400 committed + 100 orphan
+    s = write_resumable(assignments, path, "cell_id", job_id="j2")
+    assert s["written_partitions"] == 6
+    data = read_table(spark, path)
+    assert data.count() == 1000  # orphan replaced, not duplicated
+    assert data.select("image_id").distinct().count() == 1000
+    assert verify_lineage(spark, path, columns=["image_id", "payload"]).count() == 0
+
+
 def test_lineage_detects_tampering(assignments, tmp_path):
     """Corrupt one partition after commit → checksum verify flags it."""
     import glob

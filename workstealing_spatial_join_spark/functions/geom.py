@@ -285,16 +285,13 @@ def _point_on_path(path: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarr
 # ---------------------------------------------- convex clip (ST_Intersection)
 
 
-def clip_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
-    """Sutherland–Hodgman: clip (possibly non-convex) `subject` ring by
-    CONVEX `clipper` ring. Returns the clipped ring (closed, (n,2)) or
-    an empty array. Both rings must be closed (first == last).
-
-    The engine's `intersection` predicate (J1 / ST_INTERSECTION mode,
-    src/spatial_join.cpp:5-66) is defined on convex-convex inputs —
-    which is what the fixtures generate (FIXTURES.md §2); general
-    polygon overlay is out of scope without GEOS.
-    """
+def clip_convex_raw(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman with CLOSED half-planes: clip `subject` ring
+    by CONVEX `clipper` ring. Returns the raw clipped vertex chain as
+    an OPEN (n,2) array — possibly degenerate (a point or a collinear
+    sliver when the polygons only touch), possibly with repeated
+    vertices; ``classify_clip_num_points`` maps it to GEOS
+    getNumPoints semantics. Both input rings must be closed."""
     # ensure clipper is counter-clockwise
     c = clipper[:-1]
     area2 = np.sum(c[:, 0] * np.roll(c[:, 1], -1) - np.roll(c[:, 0], -1) * c[:, 1])
@@ -320,18 +317,72 @@ def clip_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
             if (dp >= 0) != (dq >= 0) and dp != dq:
                 t = dp / (dp - dq)
                 out.append([px + t * (qx - px), py + t * (qy - py)])
-    if len(out) < 3:
+    if not out:
         return np.empty((0, 2), dtype=np.float64)
-    arr = np.asarray(out, dtype=np.float64)
-    return np.vstack([arr, arr[:1]])
+    return np.asarray(out, dtype=np.float64)
+
+
+def clip_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray:
+    """Area-overlap convenience wrapper over ``clip_convex_raw``:
+    returns the clipped ring (closed, (n,2)) when the intersection has
+    positive area, else an empty array (degenerate touches collapse to
+    empty here — use the raw variant + classifier for GEOS-parity
+    point counts)."""
+    pts = _dedupe_chain(clip_convex_raw(subject, clipper))
+    if len(pts) < 3 or _ring_area2(pts) == 0.0:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.vstack([pts, pts[:1]])
+
+
+def _dedupe_chain(pts: np.ndarray) -> np.ndarray:
+    """Order-preserving removal of repeated vertices (consecutive and
+    global) from an open vertex chain."""
+    if len(pts) == 0:
+        return pts
+    seen: set[tuple[float, float]] = set()
+    keep = []
+    for p in pts:
+        key = (float(p[0]), float(p[1]))
+        if key not in seen:
+            seen.add(key)
+            keep.append(p)
+    return np.asarray(keep, dtype=np.float64)
+
+
+def _ring_area2(pts: np.ndarray) -> float:
+    """Twice the signed area of an open vertex chain."""
+    x, y = pts[:, 0], pts[:, 1]
+    return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def classify_clip_num_points(pts: np.ndarray) -> int:
+    """Map a raw clipped chain to GEOS ``intersection().getNumPoints()``
+    semantics (src/thread_util.cpp:424-425 consumes exactly this):
+
+    * empty chain → 0 (disjoint)
+    * one unique point → 1 (corner touch → POINT)
+    * two unique points, or ≥3 collinear (zero area) → 2 (edge touch →
+      LINESTRING of the two extreme points)
+    * else → polygon: unique vertices + 1 repeated closing vertex
+    """
+    pts = _dedupe_chain(pts)
+    n = len(pts)
+    if n == 0:
+        return 0
+    if n == 1:
+        return 1
+    if n == 2 or _ring_area2(pts) == 0.0:
+        return 2
+    return n + 1
 
 
 def intersection_num_points(ra: list[np.ndarray], rb: list[np.ndarray]) -> int:
-    """numPoints of the intersection polygon (reference sums this per
-    pair, src/thread_util.cpp:424-425). Closed-ring count includes the
-    repeated closing vertex, matching GEOS getNumPoints on a ring."""
-    clipped = clip_convex(ra[0], rb[0])
-    return int(len(clipped))
+    """numPoints of the pairwise intersection (reference sums this per
+    pair, src/thread_util.cpp:424-425), including degenerate touches
+    (corner touch → 1, edge touch → 2 — GEOS returns POINT/LINESTRING
+    there, not an empty polygon). Closed-ring counts include the
+    repeated closing vertex, matching GEOS getNumPoints."""
+    return classify_clip_num_points(clip_convex_raw(ra[0], rb[0]))
 
 
 def union_num_points_convex(ra: list[np.ndarray], rb: list[np.ndarray]) -> int:

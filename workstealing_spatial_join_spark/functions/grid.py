@@ -74,9 +74,14 @@ def cells_covering_bbox(
 
 def k_ring(cx: int, cy: int, k: int, cell_deg: float = DEFAULT_CELL_DEG) -> np.ndarray:
     """Cell ids within Chebyshev distance k (kNN expansion, J6).
-    Longitude wraps; latitude clamps."""
+    Both axes CLAMP — matching every cell-assignment path (cell_xy,
+    cell_x_col, the SQL twins) and the kNN operator's ``_ring_cells``.
+    Longitude wrap would fetch far-side cells whose contents are
+    assigned by clamping, silently disagreeing with the grid; wrap
+    support would require the assignment paths to wrap too (ROADMAP).
+    """
     nx, ny = grid_dims(cell_deg)
-    xs = (np.arange(cx - k, cx + k + 1, dtype=np.int64)) % nx
+    xs = np.arange(max(0, cx - k), min(nx - 1, cx + k) + 1, dtype=np.int64)
     ys = np.arange(max(0, cy - k), min(ny - 1, cy + k) + 1, dtype=np.int64)
     return (xs[:, None] * _SHIFT + ys[None, :]).ravel()
 

@@ -1,0 +1,373 @@
+"""General polygon overlay — intersection and union of simple
+(possibly CONCAVE) polygons, pure NumPy + Python, no GEOS.
+
+This closes the round-1 gap vs the reference, whose refine phase runs
+GEOS ``intersection()->getNumPoints()`` / ``Union()->getNumPoints()``
+on arbitrary geometry (src/thread_util.cpp:424-441) — its real
+datasets (lakes, parks, cemeteries; job_script_for_HPC:29-32) are
+overwhelmingly concave.
+
+Algorithm: Greiner–Hormann clipping (Greiner & Hormann, "Efficient
+clipping of arbitrary polygons", ACM TOG 17(2), 1998 — public
+literature). Both rings get their proper boundary crossings inserted
+as linked twin nodes; crossings are marked entry/exit by alternation;
+result rings are traced by walking forward from entries / backward
+from exits and jumping between twins. Intersection and union differ
+only by inverting the initial entry flags.
+
+Scope and honesty:
+* GENERAL POSITION is required: proper crossings only — no
+  vertex-on-edge, no collinear overlapping edges, no shared vertices.
+  Degenerate configurations raise ``DegenerateGeometry``; callers
+  fall back to the convex Sutherland–Hodgman kernel (which handles
+  convex touches exactly) or to 0 with the reference's
+  exception-swallowing parity (src/thread_util.cpp:427-429).
+* HOLES are supported for intersection when each hole is strictly
+  inside or strictly outside the other polygon's relevant rings
+  (hole boundaries crossing the result boundary raise). Union
+  supports hole-free inputs.
+* Crossing detection is vectorized (edge-grid NumPy); node linking
+  and tracing are per-pair Python — this kernel runs only on the
+  non-rectangle tail of refine batches (functions/predicates.py
+  routes rect×rect pairs to closed-form bounds math first).
+
+Verification: tests/test_overlay.py checks GH against the independent
+convex SH clipper on random convex pairs, and against exact
+Fraction-arithmetic expected counts on the concave fixture
+(scripts/gen_concave_fixture.py — a structurally different
+exact-arithmetic implementation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from workstealing_spatial_join_spark.functions import geom as G
+
+
+class DegenerateGeometry(Exception):
+    """Input pair is not in general position (touching boundaries,
+    collinear edges, vertex-on-edge): the float GH tracer cannot
+    classify it reliably."""
+
+
+def _open(ring: np.ndarray) -> np.ndarray:
+    """Drop the repeated closing vertex if present."""
+    if len(ring) > 1 and ring[0][0] == ring[-1][0] and ring[0][1] == ring[-1][1]:
+        return ring[:-1]
+    return ring
+
+
+def _area2(pts: np.ndarray) -> float:
+    x, y = pts[:, 0], pts[:, 1]
+    return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _ccw(pts: np.ndarray) -> np.ndarray:
+    return pts if _area2(pts) >= 0 else pts[::-1]
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    """Convexity of a closed or open ring (collinear vertices allowed)."""
+    p = _open(np.asarray(ring, dtype=np.float64))
+    a = p
+    b = np.roll(p, -1, axis=0)
+    c = np.roll(p, -2, axis=0)
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+        b[:, 1] - a[:, 1]
+    ) * (c[:, 0] - a[:, 0])
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def _point_in(ring_open: np.ndarray, x: float, y: float) -> bool:
+    """Strict-interior test is what GH marking needs; general position
+    guarantees the probe never sits on the boundary, so the closed
+    ray-cast kernel is equivalent."""
+    closed = np.vstack([ring_open, ring_open[:1]])
+    return bool(
+        G.ring_contains_xy(closed, np.array([x]), np.array([y]))[0]
+    )
+
+
+def _proper_crossings(a: np.ndarray, b: np.ndarray):
+    """All proper boundary crossings between open rings a and b.
+    Returns (i, j, t, u, px, py) arrays: a-edge index, b-edge index,
+    params strictly inside (0,1), crossing coordinates. Raises
+    DegenerateGeometry on any non-proper contact."""
+    a0 = a
+    a1 = np.roll(a, -1, axis=0)
+    b0 = b
+    b1 = np.roll(b, -1, axis=0)
+    r = (a1 - a0)[:, None, :]
+    s = (b1 - b0)[None, :, :]
+    qp = b0[None, :, :] - a0[:, None, :]
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    cross_qp_s = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    cross_qp_r = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = cross_qp_s / denom
+        u = cross_qp_r / denom
+
+    nz = denom != 0
+    hit = nz & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+    # endpoint contact (t or u exactly 0/1 with the other in [0,1])
+    touch = (
+        nz
+        & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        & (((t == 0.0) | (t == 1.0)) | ((u == 0.0) | (u == 1.0)))
+    )
+    if touch.any():
+        raise DegenerateGeometry("vertex-on-boundary contact")
+    # collinear overlapping edges: parallel + collinear + bbox overlap
+    par = ~nz & (cross_qp_s == 0)
+    if par.any():
+        ii, jj = np.nonzero(par)
+        for i, j in zip(ii, jj):
+            amin = np.minimum(a0[i], a1[i])
+            amax = np.maximum(a0[i], a1[i])
+            bmin = np.minimum(b0[j], b1[j])
+            bmax = np.maximum(b0[j], b1[j])
+            if (amin <= bmax).all() and (bmin <= amax).all():
+                raise DegenerateGeometry("collinear overlapping edges")
+    ii, jj = np.nonzero(hit)
+    tt = t[ii, jj]
+    uu = u[ii, jj]
+    px = a0[ii, 0] + tt * (a1[ii, 0] - a0[ii, 0])
+    py = a0[ii, 1] + tt * (a1[ii, 1] - a0[ii, 1])
+    return ii, jj, tt, uu, px, py
+
+
+class _Node:
+    __slots__ = ("x", "y", "crossing", "entry", "twin", "next", "prev", "seen")
+
+    def __init__(self, x: float, y: float, crossing: bool = False):
+        self.x = x
+        self.y = y
+        self.crossing = crossing
+        self.entry = False
+        self.twin = None
+        self.next = None
+        self.prev = None
+        self.seen = False
+
+
+def _build_list(ring: np.ndarray, crossings: list[tuple[int, float, _Node]]):
+    """Circular doubly-linked node list: original vertices with
+    crossing nodes spliced into their edges ordered by param."""
+    by_edge: dict[int, list[tuple[float, _Node]]] = {}
+    for edge, param, node in crossings:
+        by_edge.setdefault(edge, []).append((param, node))
+    nodes: list[_Node] = []
+    for i, (x, y) in enumerate(ring):
+        nodes.append(_Node(float(x), float(y)))
+        if i in by_edge:
+            ordered = sorted(by_edge[i], key=lambda e: e[0])
+            params = [p for p, _ in ordered]
+            if len(set(params)) != len(params):
+                raise DegenerateGeometry("coincident crossings on one edge")
+            nodes.extend(n for _, n in ordered)
+    for i, node in enumerate(nodes):
+        node.next = nodes[(i + 1) % len(nodes)]
+        node.prev = nodes[i - 1]
+    return nodes
+
+
+def _mark_entries(nodes: list[_Node], other_open: np.ndarray, forint: bool):
+    """Alternate entry/exit flags along the ring: the first crossing
+    after a stretch outside the other polygon is an entry."""
+    status_inside = _point_in(other_open, nodes[0].x, nodes[0].y)
+    if nodes[0].crossing:
+        raise DegenerateGeometry("ring starts on a crossing")
+    for node in nodes:
+        if node.crossing:
+            node.entry = not status_inside
+            status_inside = not status_inside
+    # For intersection, trace rule consumes flags as-is; for union,
+    # both rings' flags invert (classic GH op selection).
+    if not forint:
+        for node in nodes:
+            if node.crossing:
+                node.entry = not node.entry
+
+
+def gh_clip(
+    ring_a: np.ndarray, ring_b: np.ndarray, op: str = "intersection"
+) -> list[np.ndarray]:
+    """Greiner–Hormann overlay of two simple rings in general
+    position. Returns a list of CLOSED result rings (intersection: the
+    overlap components; union: outer boundary plus any enclosed hole
+    rings). Raises DegenerateGeometry for non-general-position input.
+    """
+    a = _ccw(_open(np.asarray(ring_a, dtype=np.float64)))
+    b = _ccw(_open(np.asarray(ring_b, dtype=np.float64)))
+    forint = op == "intersection"
+
+    ii, jj, tt, uu, px, py = _proper_crossings(a, b)
+    if len(ii) == 0:
+        a_in_b = _point_in(b, a[0, 0], a[0, 1])
+        b_in_a = _point_in(a, b[0, 0], b[0, 1])
+        closed_a = np.vstack([a, a[:1]])
+        closed_b = np.vstack([b, b[:1]])
+        if forint:
+            if a_in_b:
+                return [closed_a]
+            if b_in_a:
+                return [closed_b]
+            return []
+        if a_in_b:
+            return [closed_b]
+        if b_in_a:
+            return [closed_a]
+        return [closed_a, closed_b]
+    if len(ii) % 2 != 0:
+        raise DegenerateGeometry("odd crossing count")
+
+    cross_a: list[tuple[int, float, _Node]] = []
+    cross_b: list[tuple[int, float, _Node]] = []
+    for k in range(len(ii)):
+        na = _Node(float(px[k]), float(py[k]), crossing=True)
+        nb = _Node(float(px[k]), float(py[k]), crossing=True)
+        na.twin = nb
+        nb.twin = na
+        cross_a.append((int(ii[k]), float(tt[k]), na))
+        cross_b.append((int(jj[k]), float(uu[k]), nb))
+
+    nodes_a = _build_list(a, cross_a)
+    nodes_b = _build_list(b, cross_b)
+    _mark_entries(nodes_a, b, forint)
+    _mark_entries(nodes_b, a, forint)
+
+    rings: list[np.ndarray] = []
+    budget = 4 * (len(nodes_a) + len(nodes_b)) + 8
+    for start in (n for n in nodes_a if n.crossing):
+        if start.seen:
+            continue
+        pts: list[tuple[float, float]] = []
+        current = start
+        steps = 0
+        while True:
+            current.seen = True
+            if current.twin is not None:
+                current.twin.seen = True
+            pts.append((current.x, current.y))
+            if current.entry:
+                node = current.next
+                while not node.crossing:
+                    pts.append((node.x, node.y))
+                    node = node.next
+                    steps += 1
+                    if steps > budget:
+                        raise DegenerateGeometry("tracer did not close")
+            else:
+                node = current.prev
+                while not node.crossing:
+                    pts.append((node.x, node.y))
+                    node = node.prev
+                    steps += 1
+                    if steps > budget:
+                        raise DegenerateGeometry("tracer did not close")
+            current = node.twin
+            steps += 1
+            if steps > budget:
+                raise DegenerateGeometry("tracer did not close")
+            if current is start or current.twin is start:
+                break
+        arr = np.asarray(pts, dtype=np.float64)
+        if len(arr) < 3:
+            raise DegenerateGeometry("degenerate traced ring")
+        rings.append(np.vstack([arr, arr[:1]]))
+    return rings
+
+
+# ---------------------------------------- polygon-level numPoints
+
+
+def _ring_num_points(rings: list[np.ndarray]) -> int:
+    """GEOS getNumPoints over closed rings (closing vertex counted)."""
+    return int(sum(len(r) for r in rings))
+
+
+def _hole_placement(
+    hole: np.ndarray, result_rings: list[np.ndarray]
+) -> int | None:
+    """Index of the result ring strictly containing the hole, or None
+    if the hole is strictly outside all of them. A hole whose boundary
+    crosses any result ring raises (unsupported overlay case)."""
+    h = _ccw(_open(np.asarray(hole, dtype=np.float64)))
+    for idx, ring in enumerate(result_rings):
+        r = _open(ring)
+        ii, _jj, _t, _u, _px, _py = _proper_crossings(h, r)
+        if len(ii):
+            raise DegenerateGeometry("hole crosses result boundary")
+        if _point_in(r, h[0, 0], h[0, 1]):
+            return idx
+    return None
+
+
+def polygon_intersection_num_points(
+    rings_a: list[np.ndarray], rings_b: list[np.ndarray]
+) -> int:
+    """GEOS ``intersection(A, B).getNumPoints()`` for polygons with
+    optional holes. Shells overlay via GH; each input hole then either
+    lies strictly inside a result component (becomes an interior ring
+    of the result), strictly outside (ignored), or — unsupported —
+    crosses a result boundary (DegenerateGeometry propagates to the
+    caller's convex/0 fallback). Holes nested in holes and
+    hole-on-hole overlap are out of scope (ROADMAP)."""
+    try:
+        shells = gh_clip(rings_a[0], rings_b[0], "intersection")
+    except DegenerateGeometry:
+        # convex touches are exact under closed-halfplane SH
+        if len(rings_a) == 1 and len(rings_b) == 1 and is_convex(rings_b[0]):
+            return G.classify_clip_num_points(
+                G.clip_convex_raw(rings_a[0], rings_b[0])
+            )
+        if len(rings_a) == 1 and len(rings_b) == 1 and is_convex(rings_a[0]):
+            return G.classify_clip_num_points(
+                G.clip_convex_raw(rings_b[0], rings_a[0])
+            )
+        raise
+    if not shells:
+        return 0
+    holes = list(rings_a[1:]) + list(rings_b[1:])
+    kept: list[np.ndarray] = []
+    hole_rings: list[np.ndarray] = []
+    # a result component swallowed by a hole disappears entirely
+    for shell in shells:
+        s = _open(shell)
+        inside_hole = False
+        for hole in holes:
+            h = _ccw(_open(np.asarray(hole, dtype=np.float64)))
+            ii, _jj, _t, _u, _px, _py = _proper_crossings(s, h)
+            if len(ii):
+                raise DegenerateGeometry("hole crosses result boundary")
+            if _point_in(h, s[0, 0], s[0, 1]):
+                inside_hole = True
+                break
+        if not inside_hole:
+            kept.append(shell)
+    for hole in holes:
+        idx = _hole_placement(hole, kept)
+        if idx is not None:
+            h = _open(np.asarray(hole, dtype=np.float64))
+            hole_rings.append(np.vstack([h, h[:1]]))
+    return _ring_num_points(kept) + _ring_num_points(hole_rings)
+
+
+def polygon_union_num_points(
+    rings_a: list[np.ndarray], rings_b: list[np.ndarray]
+) -> int:
+    """GEOS ``union(A, B).getNumPoints()`` for HOLE-FREE polygons
+    (holes in union are out of scope — ROADMAP). The GH union returns
+    the outer boundary plus any enclosed hole rings the union creates
+    (two interlocking C-shapes); all rings count toward numPoints."""
+    if len(rings_a) > 1 or len(rings_b) > 1:
+        raise DegenerateGeometry("union with holes unsupported")
+    try:
+        rings = gh_clip(rings_a[0], rings_b[0], "union")
+    except DegenerateGeometry:
+        if is_convex(rings_a[0]) and is_convex(rings_b[0]):
+            return G.union_num_points_convex(rings_a, rings_b)
+        raise
+    return _ring_num_points(rings)

@@ -9,8 +9,28 @@ as a vectorized pandas UDF, selected at runtime by name.
 
 Vectorization strategy ("prepared geometry" rebirth,
 src/spatial_join.cpp:98-99): within each Arrow batch, geometries are
-decoded once per UNIQUE wkb (pd.factorize) and point tests run as
-NumPy array ops over all points probing that geometry.
+decoded once per UNIQUE wkb (pd.factorize), classified once
+(axis-aligned rect / simple ring / complex), and the hot shapes run as
+pure NumPy over all pairs at once:
+
+* rect × rect         → closed-form bounds math, zero per-pair Python
+  (intersects is the MBR test itself; intersection numPoints follows
+  GEOS semantics: 5 for area overlap, 2 for edge touch, 1 for corner
+  touch, 0 disjoint — src/thread_util.cpp:424-425 consumes
+  intersection().getNumPoints() which returns exactly that)
+* simple-ring pairs   → vertex-count-bucketed tensor kernels
+* everything else     → per-pair general kernels (rare tail)
+
+Transport: two ways to get geometry to the refine.
+
+* WKB column per candidate pair (``st_*`` UDFs) — simple, but ships
+  hundreds of bytes per pair through Arrow; the bottleneck at 10^7+
+  candidates.
+* Broadcast geometry dictionary (``make_contains_xy_broadcast`` /
+  ``make_pair_refine_broadcast``) — candidates carry only ids;
+  geometry crosses the wire once per executor inside the broadcast.
+  This is the reference's replicate-layer-to-every-thread strategy
+  (tests/main.cpp:299-305) reborn.
 """
 
 from __future__ import annotations
@@ -23,10 +43,9 @@ from pyspark.sql import types as T
 from workstealing_spatial_join_spark.functions import geom as G
 from workstealing_spatial_join_spark.functions import wkt as W
 
-
 # Executor-lifetime decode cache — the "prepared geometry" rebirth
-# (src/spatial_join.cpp:98-99): a polygon probed by points in many
-# Arrow batches is decoded from WKB exactly once per worker.
+# (src/spatial_join.cpp:98-99): a polygon probed in many Arrow batches
+# is decoded + classified from WKB exactly once per worker.
 _DECODE_CACHE: dict = {}
 _DECODE_CACHE_MAX = 200_000
 
@@ -41,6 +60,46 @@ def _decode_one(wkb: bytes):
     return g
 
 
+class _GeomInfo:
+    """Per-unique-geometry classification, computed once per worker."""
+
+    __slots__ = ("parts", "ring", "rect")
+
+    def __init__(self, parts):
+        self.parts = parts
+        self.ring = None
+        self.rect = None
+        if len(parts) == 1 and parts[0][0] == W.POLYGON and len(parts[0][1]) == 1:
+            r = parts[0][1][0]
+            self.ring = r
+            if len(r) == 5:
+                dx = r[1:, 0] - r[:-1, 0]
+                dy = r[1:, 1] - r[:-1, 1]
+                if bool(((dx == 0) | (dy == 0)).all()):
+                    self.rect = (
+                        float(r[:, 0].min()), float(r[:, 1].min()),
+                        float(r[:, 0].max()), float(r[:, 1].max()),
+                    )
+
+
+_INFO_CACHE: dict = {}
+
+
+def _geom_info(wkb_or_tuple) -> _GeomInfo:
+    info = _INFO_CACHE.get(wkb_or_tuple)
+    if info is None:
+        wkbs = wkb_or_tuple if isinstance(wkb_or_tuple, tuple) else (wkb_or_tuple,)
+        parts = [g for w in wkbs for g in _decode_one(w)]
+        info = _GeomInfo(parts)
+        if len(_INFO_CACHE) >= _DECODE_CACHE_MAX:
+            _INFO_CACHE.clear()
+        _INFO_CACHE[wkb_or_tuple] = info
+    return info
+
+
+# ------------------------------------------------------- point in poly
+
+
 def _contains_xy_core(
     codes: np.ndarray, uniques, xs: np.ndarray, ys: np.ndarray
 ) -> np.ndarray:
@@ -52,28 +111,23 @@ def _contains_xy_core(
     polygons with holes / multiparts fall back to the per-unique path.
     """
     out = np.zeros(len(xs), dtype=bool)
-    # a unique may be one WKB or a tuple of part-WKBs (multipart ids
-    # whose parts were exploded at ingest)
-    geoms = [
-        [g for w in (wkb if isinstance(wkb, tuple) else (wkb,)) for g in _decode_one(w)]
-        for wkb in uniques
-    ]
+    infos = [_geom_info(u) for u in uniques]
 
     # partition uniques: simple (one part, one ring) vs complex
     buckets: dict[int, list[int]] = {}
     complex_uniques: list[int] = []
-    for u, parts in enumerate(geoms):
-        if len(parts) == 1 and parts[0][0] == W.POLYGON and len(parts[0][1]) == 1:
-            buckets.setdefault(len(parts[0][1][0]), []).append(u)
+    for u, info in enumerate(infos):
+        if info.ring is not None:
+            buckets.setdefault(len(info.ring), []).append(u)
         else:
             complex_uniques.append(u)
 
     # vectorized path: per vertex-count bucket, gather paired tensors
-    bucket_of = np.full(len(uniques), -1, dtype=np.int64)
-    within = np.zeros(len(uniques), dtype=np.int64)
+    bucket_of = np.full(len(infos), -1, dtype=np.int64)
+    within = np.zeros(len(infos), dtype=np.int64)
     tensors = {}
-    for bid, (nv, members) in enumerate(buckets.items()):
-        tensors[bid] = np.stack([geoms[u][0][1][0] for u in members])
+    for bid, (_nv, members) in enumerate(buckets.items()):
+        tensors[bid] = np.stack([infos[u].ring for u in members])
         for j, u in enumerate(members):
             bucket_of[u] = bid
             within[u] = j
@@ -90,7 +144,7 @@ def _contains_xy_core(
     for u in complex_uniques:
         mask = codes == u
         res = np.zeros(int(mask.sum()), dtype=bool)
-        for gtype, rings in geoms[u]:
+        for gtype, rings in infos[u].parts:
             if gtype == W.POLYGON:
                 res |= G.polygon_contains_xy(rings, xs[mask], ys[mask])
         out[mask] = res
@@ -118,10 +172,7 @@ def make_contains_xy_broadcast(spark, poly_ids, poly_wkbs):
 
     ``poly_ids`` may repeat (multipart parts exploded at ingest):
     parts are grouped into a tuple per id."""
-    id_to_wkbs: dict = {}
-    for pid, wkb in zip(poly_ids, poly_wkbs):
-        id_to_wkbs.setdefault(pid, []).append(bytes(wkb))
-    table = {pid: tuple(ws) if len(ws) > 1 else ws[0] for pid, ws in id_to_wkbs.items()}
+    table = _id_wkb_table(poly_ids, poly_wkbs)
     bc = spark.sparkContext.broadcast(table)
 
     @F.pandas_udf(T.BooleanType())
@@ -136,120 +187,284 @@ def make_contains_xy_broadcast(spark, poly_ids, poly_wkbs):
     return contains_bc
 
 
-def _decode_cache(series: pd.Series, cache: dict):
-    return [_decode_one(wkb) for wkb in series]
+def _id_wkb_table(ids, wkbs) -> dict:
+    id_to_wkbs: dict = {}
+    for pid, wkb in zip(ids, wkbs):
+        id_to_wkbs.setdefault(pid, []).append(bytes(wkb))
+    return {
+        pid: tuple(ws) if len(ws) > 1 else ws[0] for pid, ws in id_to_wkbs.items()
+    }
+
+
+# ------------------------------------------- pairwise refine core
+
+
+def _gather_rect_bounds(infos) -> np.ndarray:
+    """(n_uniques, 4) bounds array; NaN rows for non-rect uniques."""
+    arr = np.full((len(infos), 4), np.nan, dtype=np.float64)
+    for i, info in enumerate(infos):
+        if info.rect is not None:
+            arr[i] = info.rect
+    return arr
+
+
+def _rect_overlap_wh(ba: np.ndarray, bb: np.ndarray):
+    """Vectorized overlap extent of paired rect bounds rows: the exact
+    expressions (min(maxx)-max(minx)) the SQL oracle uses — identical
+    IEEE results."""
+    w = np.minimum(ba[:, 2], bb[:, 2]) - np.maximum(ba[:, 0], bb[:, 0])
+    h = np.minimum(ba[:, 3], bb[:, 3]) - np.maximum(ba[:, 1], bb[:, 1])
+    return w, h
+
+
+def _rect_intersection_np(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """GEOS intersection().getNumPoints() for two axis-aligned rects:
+    positive-area overlap → 5-point closed ring; degenerate overlap →
+    LINESTRING (2) on an edge touch or POINT (1) on a corner touch;
+    disjoint → 0."""
+    return np.select(
+        [(w < 0) | (h < 0), (w > 0) & (h > 0), (w == 0) & (h == 0)],
+        [0, 5, 1],
+        default=2,
+    ).astype(np.int64)
+
+
+def _rect_union_np(ba: np.ndarray, bb: np.ndarray) -> np.ndarray:
+    """GEOS union().getNumPoints() for two axis-aligned rects in
+    GENERAL POSITION with positive-area overlap: every union ring
+    vertex is an original corner outside the other rect or a proper
+    boundary crossing; crossings = 4 - cornersA-in-B - cornersB-in-A
+    (the intersection rectangle's corners are each either a crossing
+    or an interior original corner), giving
+    numPoints = (4-cA) + (4-cB) + (4-cA-cB) + 1 = 13 - 2*(cA+cB).
+    Callers route non-generic pairs (touching, shared coordinates) to
+    the per-pair kernel instead."""
+    def corners_in(b_out, b_in):
+        cx = np.stack([b_out[:, 0], b_out[:, 0], b_out[:, 2], b_out[:, 2]], axis=1)
+        cy = np.stack([b_out[:, 1], b_out[:, 3], b_out[:, 1], b_out[:, 3]], axis=1)
+        inside = (
+            (cx > b_in[:, 0][:, None]) & (cx < b_in[:, 2][:, None])
+            & (cy > b_in[:, 1][:, None]) & (cy < b_in[:, 3][:, None])
+        )
+        return inside.sum(axis=1)
+
+    ca = corners_in(ba, bb)
+    cb = corners_in(bb, ba)
+    return (13 - 2 * (ca + cb)).astype(np.int64)
+
+
+def _rect_generic_position(ba: np.ndarray, bb: np.ndarray) -> np.ndarray:
+    """No shared coordinate values on either axis — every crossing is
+    proper and every corner is strictly in or out."""
+    gx = (
+        (ba[:, 0] != bb[:, 0]) & (ba[:, 0] != bb[:, 2])
+        & (ba[:, 2] != bb[:, 0]) & (ba[:, 2] != bb[:, 2])
+    )
+    gy = (
+        (ba[:, 1] != bb[:, 1]) & (ba[:, 1] != bb[:, 3])
+        & (ba[:, 3] != bb[:, 1]) & (ba[:, 3] != bb[:, 3])
+    )
+    return gx & gy
+
+
+def _pair_intersection_num_points(info_a: _GeomInfo, info_b: _GeomInfo) -> int:
+    """Per-pair fallback: sum of part-pair intersection numPoints.
+    Simple rings go through the general clipper (concave supported,
+    holes via the containment rule); see functions/overlay.py."""
+    from workstealing_spatial_join_spark.functions import overlay as OV
+
+    n = 0
+    for ta, ra in info_a.parts:
+        for tb, rb in info_b.parts:
+            if ta == W.POLYGON and tb == W.POLYGON:
+                n += OV.polygon_intersection_num_points(ra, rb)
+    return n
+
+
+def _pair_union_num_points(info_a: _GeomInfo, info_b: _GeomInfo) -> int:
+    from workstealing_spatial_join_spark.functions import overlay as OV
+
+    n = 0
+    for ta, ra in info_a.parts:
+        for tb, rb in info_b.parts:
+            if ta == W.POLYGON and tb == W.POLYGON:
+                n += OV.polygon_union_num_points(ra, rb)
+    return n
+
+
+def refine_pairs_core(
+    codes_a: np.ndarray,
+    uniques_a,
+    codes_b: np.ndarray,
+    uniques_b,
+    predicate: str,
+) -> np.ndarray:
+    """Vectorized pairwise refine over factorized geometry columns.
+    Returns bool for 'intersects', int64 numPoints otherwise.
+
+    Routing (fastest first):
+      rect×rect   → closed-form bounds math (all driver rect layers)
+      ring×ring   → vertex-count-bucketed tensor kernel (intersects)
+                    or per-pair general clipper (numPoints)
+      complex     → per-pair general kernels
+    """
+    infos_a = [_geom_info(u) for u in uniques_a]
+    infos_b = [_geom_info(u) for u in uniques_b]
+    n = len(codes_a)
+
+    rect_mask_a = np.array([i.rect is not None for i in infos_a], dtype=bool)
+    rect_mask_b = np.array([i.rect is not None for i in infos_b], dtype=bool)
+    both_rect = rect_mask_a[codes_a] & rect_mask_b[codes_b]
+    bounds_a = _gather_rect_bounds(infos_a)[codes_a]
+    bounds_b = _gather_rect_bounds(infos_b)[codes_b]
+
+    if predicate == "intersects":
+        out = np.zeros(n, dtype=bool)
+        if both_rect.any():
+            # a rect IS its MBR: closed intersects == MBR overlap
+            w, h = _rect_overlap_wh(bounds_a[both_rect], bounds_b[both_rect])
+            out[both_rect] = (w >= 0) & (h >= 0)
+        rest = np.nonzero(~both_rect)[0]
+        if len(rest):
+            out[rest] = _intersects_general(
+                codes_a[rest], infos_a, codes_b[rest], infos_b
+            )
+        return out
+
+    out = np.zeros(n, dtype=np.int64)
+    if predicate == "intersection_numpoints":
+        if both_rect.any():
+            w, h = _rect_overlap_wh(bounds_a[both_rect], bounds_b[both_rect])
+            out[both_rect] = _rect_intersection_np(w, h)
+        rest = np.nonzero(~both_rect)[0]
+        for i in rest:
+            try:
+                out[i] = _pair_intersection_num_points(
+                    infos_a[codes_a[i]], infos_b[codes_b[i]]
+                )
+            except Exception:
+                out[i] = 0  # exception-swallowing parity, thread_util.cpp:427-429
+        return out
+
+    if predicate == "union_numpoints":
+        vec = both_rect.copy()
+        if vec.any():
+            w, h = _rect_overlap_wh(bounds_a[vec], bounds_b[vec])
+            generic = (
+                (w > 0) & (h > 0)
+                & _rect_generic_position(bounds_a[vec], bounds_b[vec])
+            )
+            idx = np.nonzero(vec)[0][generic]
+            vals = _rect_union_np(bounds_a[idx], bounds_b[idx])
+            out[idx] = vals
+            vec = np.zeros(n, dtype=bool)
+            vec[idx] = True
+        rest = np.nonzero(~vec)[0]
+        for i in rest:
+            try:
+                out[i] = _pair_union_num_points(
+                    infos_a[codes_a[i]], infos_b[codes_b[i]]
+                )
+            except Exception:
+                out[i] = 0
+        return out
+
+    raise ValueError(f"unknown predicate {predicate!r}")
+
+
+def _intersects_general(codes_a, infos_a, codes_b, infos_b) -> np.ndarray:
+    """Non-rect intersects: bucketed tensor kernel for simple-ring
+    pairs, general per-pair fallback for multiparts/holes."""
+    m = len(codes_a)
+    out = np.zeros(m, dtype=bool)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    fallback: list[int] = []
+    for i in range(m):
+        ra = infos_a[codes_a[i]].ring
+        rb = infos_b[codes_b[i]].ring
+        if ra is not None and rb is not None:
+            buckets.setdefault((len(ra), len(rb)), []).append(i)
+        else:
+            fallback.append(i)
+    for (_nva, _nvb), idxs in buckets.items():
+        idx = np.asarray(idxs)
+        ta = np.stack([infos_a[codes_a[i]].ring for i in idxs])
+        tb = np.stack([infos_b[codes_b[i]].ring for i in idxs])
+        out[idx] = G.intersects_pairs_bucketed(ta, tb)
+    for i in fallback:
+        try:
+            out[i] = any(
+                G.intersects(pa, pb)
+                for pa in infos_a[codes_a[i]].parts
+                for pb in infos_b[codes_b[i]].parts
+            )
+        except Exception:
+            out[i] = False
+    return out
+
+
+# --------------------------------------------- WKB-column predicates
+
+
+def _factorize_refine(wkb_a: pd.Series, wkb_b: pd.Series, predicate: str):
+    codes_a, uniques_a = pd.factorize(wkb_a)
+    codes_b, uniques_b = pd.factorize(wkb_b)
+    return refine_pairs_core(codes_a, uniques_a, codes_b, uniques_b, predicate)
 
 
 @F.pandas_udf(T.BooleanType())
 def st_intersects(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """Exact ST_Intersects refine (J2/J5 ST_INTERSECTS mode,
-    src/spatial_join.cpp:94-118). Pairs where both sides are simple
-    single-ring polygons run through the vectorized bucketed kernel
-    (bucketed by vertex-count pair); everything else falls back to the
-    general per-pair kernel."""
-    ga = _decode_cache(wkb_a, None)
-    gb = _decode_cache(wkb_b, None)
-    n = len(ga)
-    out = np.zeros(n, dtype=bool)
-
-    def simple_ring(parts):
-        if len(parts) == 1 and parts[0][0] == W.POLYGON and len(parts[0][1]) == 1:
-            return parts[0][1][0]
-        return None
-
-    buckets: dict[tuple[int, int], list[int]] = {}
-    fallback: list[int] = []
-    rings_a, rings_b = [], []
-    for i in range(n):
-        ra, rb = simple_ring(ga[i]), simple_ring(gb[i])
-        rings_a.append(ra)
-        rings_b.append(rb)
-        if ra is not None and rb is not None:
-            buckets.setdefault((len(ra), len(rb)), []).append(i)
-        else:
-            fallback.append(i)
-    for (nva, nvb), idxs in buckets.items():
-        idx = np.asarray(idxs)
-        ta = np.stack([rings_a[i] for i in idxs])
-        tb = np.stack([rings_b[i] for i in idxs])
-        out[idx] = G.intersects_pairs_bucketed(ta, tb)
-    for i in fallback:
-        try:
-            out[i] = any(G.intersects(pa, pb) for pa in ga[i] for pb in gb[i])
-        except Exception:
-            out[i] = False  # exception-swallowing parity, thread_util.cpp:427-429
-    return pd.Series(out)
-
-
-def _is_axis_rect(parts) -> bool:
-    """Single 5-vertex ring with axis-aligned edges."""
-    if len(parts) != 1 or parts[0][0] != W.POLYGON or len(parts[0][1]) != 1:
-        return False
-    r = parts[0][1][0]
-    if len(r) != 5:
-        return False
-    dx = r[1:, 0] - r[:-1, 0]
-    dy = r[1:, 1] - r[:-1, 1]
-    return bool(((dx == 0) | (dy == 0)).all())
+    src/spatial_join.cpp:94-118)."""
+    return pd.Series(_factorize_refine(wkb_a, wkb_b, "intersects"))
 
 
 @F.pandas_udf(T.LongType())
 def st_intersection_num_points(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """numPoints of the pairwise intersection (J5 ST_INTERSECTION mode,
-    src/thread_util.cpp:424-425). Defined on convex polygon inputs.
-
-    Fast path: two MBR-overlapping axis-aligned rectangles always clip
-    to a (possibly degenerate) 5-point ring — callers guarantee MBR
-    overlap (the filter phase), so the Sutherland–Hodgman run is
-    skipped entirely for rect×rect pairs."""
-    cache: dict = {}
-    ga = _decode_cache(wkb_a, cache)
-    gb = _decode_cache(wkb_b, cache)
-    out = np.zeros(len(ga), dtype=np.int64)
-    rect_cache: dict = {}
-
-    def is_rect(wkb, parts):
-        v = rect_cache.get(wkb)
-        if v is None:
-            v = _is_axis_rect(parts)
-            rect_cache[wkb] = v
-        return v
-
-    for i in range(len(ga)):
-        try:
-            if is_rect(wkb_a.iloc[i], ga[i]) and is_rect(wkb_b.iloc[i], gb[i]):
-                out[i] = 5
-                continue
-            n = 0
-            for ta, ra in ga[i]:
-                for tb, rb in gb[i]:
-                    if ta == W.POLYGON and tb == W.POLYGON:
-                        n += G.intersection_num_points(ra, rb)
-            out[i] = n
-        except Exception:
-            out[i] = 0
-    return pd.Series(out)
+    src/thread_util.cpp:424-425), with GEOS degenerate-touch semantics
+    (5 area / 2 edge / 1 corner / 0 disjoint for rects)."""
+    return pd.Series(_factorize_refine(wkb_a, wkb_b, "intersection_numpoints"))
 
 
 @F.pandas_udf(T.LongType())
 def st_union_num_points(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """numPoints of the pairwise union (J5 ST_UNION mode,
-    src/thread_util.cpp:435-441). Defined on convex polygon inputs."""
-    cache: dict = {}
-    ga = _decode_cache(wkb_a, cache)
-    gb = _decode_cache(wkb_b, cache)
-    out = np.zeros(len(ga), dtype=np.int64)
-    for i in range(len(ga)):
-        try:
-            n = 0
-            for ta, ra in ga[i]:
-                for tb, rb in gb[i]:
-                    if ta == W.POLYGON and tb == W.POLYGON:
-                        n += G.union_num_points_convex(ra, rb)
-            out[i] = n
-        except Exception:
-            out[i] = 0
-    return pd.Series(out)
+    src/thread_util.cpp:435-441)."""
+    return pd.Series(_factorize_refine(wkb_a, wkb_b, "union_numpoints"))
+
+
+# ------------------------------------- broadcast pair-dict transport
+
+
+def make_pair_refine_broadcast(
+    spark, left_ids, left_wkbs, right_ids, right_wkbs, predicate: str
+):
+    """Build a refine(l_id, r_id) pandas UDF over BROADCAST geometry
+    dictionaries for BOTH layers: candidate pairs carry only two ids
+    through Arrow — no WKB bytes per pair. This is the polygon×polygon
+    analog of ``make_contains_xy_broadcast`` and the default transport
+    whenever both layers fit on the driver (plans/planner.py); at
+    scale beyond that the cogroup strategy ships each geometry once
+    per covering cell instead (operators/cogroup_join.py)."""
+    if predicate not in ("intersects", "intersection_numpoints", "union_numpoints"):
+        raise ValueError(f"unknown predicate {predicate!r}")
+    bc_l = spark.sparkContext.broadcast(_id_wkb_table(left_ids, left_wkbs))
+    bc_r = spark.sparkContext.broadcast(_id_wkb_table(right_ids, right_wkbs))
+    ret = T.BooleanType() if predicate == "intersects" else T.LongType()
+
+    @F.pandas_udf(ret)
+    def refine_bc(l_id: pd.Series, r_id: pd.Series) -> pd.Series:
+        tl, tr = bc_l.value, bc_r.value
+        codes_a, uniq_a = pd.factorize(l_id)
+        codes_b, uniq_b = pd.factorize(r_id)
+        uniques_a = [tl[i] for i in uniq_a]
+        uniques_b = [tr[i] for i in uniq_b]
+        return pd.Series(
+            refine_pairs_core(codes_a, uniques_a, codes_b, uniques_b, predicate)
+        )
+
+    return refine_bc
 
 
 PREDICATES = {

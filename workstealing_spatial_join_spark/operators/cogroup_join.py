@@ -61,38 +61,18 @@ def _candidate_pairs_mbr(lp: pd.DataFrame, rp: pd.DataFrame):
     return np.concatenate(li), np.concatenate(rj)
 
 
-def _refine_intersects(lp, rp, li, rj) -> np.ndarray:
-    """Vectorized intersects over candidate index pairs (single-ring
-    fast path bucketed by vertex counts, general fallback otherwise)."""
-    keep = np.zeros(len(li), dtype=bool)
-    lg = [W.from_wkb(w) for w in lp["geom_wkb"]]
-    rg = [W.from_wkb(w) for w in rp["geom_wkb"]]
+def _refine_values(lp, rp, li, rj, predicate: str) -> np.ndarray:
+    """Refine candidate index pairs through the shared vectorized core
+    (functions/predicates.refine_pairs_core): rect×rect closed-form,
+    vertex-count-bucketed ring kernels, general-clipper fallback.
+    Each cell's geometries decode once (executor decode cache)."""
+    from workstealing_spatial_join_spark.functions.predicates import (
+        refine_pairs_core,
+    )
 
-    def simple(parts):
-        if len(parts) == 1 and parts[0][0] == W.POLYGON and len(parts[0][1]) == 1:
-            return parts[0][1][0]
-        return None
-
-    ls = [simple(g) for g in lg]
-    rs = [simple(g) for g in rg]
-    buckets: dict[tuple[int, int], list[int]] = {}
-    fallback = []
-    for k in range(len(li)):
-        a, b = ls[li[k]], rs[rj[k]]
-        if a is not None and b is not None:
-            buckets.setdefault((len(a), len(b)), []).append(k)
-        else:
-            fallback.append(k)
-    for (_na, _nb), ks in buckets.items():
-        ka = np.asarray(ks)
-        ta = np.stack([ls[li[k]] for k in ks])
-        tb = np.stack([rs[rj[k]] for k in ks])
-        keep[ka] = G.intersects_pairs_bucketed(ta, tb)
-    for k in fallback:
-        keep[k] = any(
-            G.intersects(pa, pb) for pa in lg[li[k]] for pb in rg[rj[k]]
-        )
-    return keep
+    uniques_l = [bytes(w) for w in lp["geom_wkb"]]
+    uniques_r = [bytes(w) for w in rp["geom_wkb"]]
+    return refine_pairs_core(li, uniques_l, rj, uniques_r, predicate)
 
 
 def polygon_join_cogrouped(
@@ -106,9 +86,14 @@ def polygon_join_cogrouped(
     dedup: str = "refpoint",
 ) -> DataFrame:
     """Large×large polygon join via per-cell cogroup. Semantics match
-    operators.spatial_join.polygon_join exactly (tested)."""
-    if predicate != "intersects":
-        raise ValueError("cogrouped path currently refines 'intersects' only")
+    operators.spatial_join.polygon_join exactly (tested) for all three
+    runtime predicates (intersects / intersection_numpoints /
+    union_numpoints)."""
+    if predicate not in (
+        "intersects", "intersection_numpoints", "union_numpoints"
+    ):
+        raise ValueError(f"unknown predicate {predicate!r}")
+    numpoints = predicate != "intersects"
     lt = tessellate_bbox(
         left.select(
             F.col(left_id).alias("lid"), "geom_wkb", "minx", "miny", "maxx", "maxy"
@@ -122,12 +107,16 @@ def polygon_join_cogrouped(
         cell_deg,
     )
 
+    empty_cols: dict = {"lid": [], "rid": []}
+    if numpoints:
+        empty_cols["num_points"] = []
+
     def per_cell(key, lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
         if lp.empty or rp.empty:
-            return pd.DataFrame({"lid": [], "rid": []})
+            return pd.DataFrame(empty_cols)
         li, rj = _candidate_pairs_mbr(lp, rp)
         if len(li) == 0:
-            return pd.DataFrame({"lid": [], "rid": []})
+            return pd.DataFrame(empty_cols)
         if dedup == "refpoint":
             # keep the pair only in the cell holding the MBR-overlap
             # top-left corner (same rule as the Catalyst path)
@@ -138,8 +127,18 @@ def polygon_join_cogrouped(
             sel = owner == cell
             li, rj = li[sel], rj[sel]
             if len(li) == 0:
-                return pd.DataFrame({"lid": [], "rid": []})
-        keep = _refine_intersects(lp, rp, li, rj)
+                return pd.DataFrame(empty_cols)
+        vals = _refine_values(lp, rp, li, rj, predicate)
+        if numpoints:
+            keep = vals > 0
+            return pd.DataFrame(
+                {
+                    "lid": lp["lid"].to_numpy()[li[keep]],
+                    "rid": rp["rid"].to_numpy()[rj[keep]],
+                    "num_points": vals[keep],
+                }
+            )
+        keep = vals
         return pd.DataFrame(
             {
                 "lid": lp["lid"].to_numpy()[li[keep]],
@@ -149,12 +148,17 @@ def polygon_join_cogrouped(
 
     lid_t = lt.schema["lid"].dataType.simpleString()
     rid_t = rt.schema["rid"].dataType.simpleString()
+    schema = f"lid {lid_t}, rid {rid_t}"
+    if numpoints:
+        schema += ", num_points bigint"
     pairs = (
         lt.groupBy("cell_id")
         .cogroup(rt.groupBy("cell_id"))
-        .applyInPandas(per_cell, schema=f"lid {lid_t}, rid {rid_t}")
+        .applyInPandas(per_cell, schema=schema)
     )
     if mode == "count":
+        if numpoints:
+            return pairs.agg(F.sum("num_points").alias("join_count"))
         return pairs.agg(F.count(F.lit(1)).alias("join_count"))
     return pairs
 

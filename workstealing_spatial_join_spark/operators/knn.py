@@ -110,13 +110,17 @@ def knn_join(
     c_lon: str = "lon",
     c_lat: str = "lat",
     cell_deg: float = GRID.DEFAULT_CELL_DEG,
-    initial_ring: int = 1,
+    initial_ring: int | str = "auto",
     max_ring: int | None = None,
     exclude_self: bool = False,
 ) -> DataFrame:
     """k nearest candidates per query point. Returns
     ``(query_id, neighbor_id, rank, dist)``; ties broken by
     neighbor_id ascending (deterministic, oracle-matching).
+
+    ``initial_ring='auto'`` sizes the first ring from candidate
+    density (one cheap aggregate over the candidate layer) so the
+    first round settles the bulk of queries without per-query tuning.
     """
     nx, ny = GRID.grid_dims(cell_deg)
     max_ring = max_ring or max(nx, ny)
@@ -130,6 +134,22 @@ def knn_join(
         F.col(c_lon).alias("cx"),
         F.col(c_lat).alias("cy"),
     ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
+
+    if initial_ring == "auto":
+        # density estimate: avg candidates per OCCUPIED cell. A ring r
+        # covers up to (2r+1)^2 cells; aim for ~4k expected candidates
+        # so round 1 settles most queries (the 4x margin covers local
+        # density variation without ballooning the candidate join).
+        import math
+
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cell_id").alias("nc"),
+        ).collect()[0]
+        avg = (stats["n"] / stats["nc"]) if stats["nc"] else 1.0
+        initial_ring = max(1, min(
+            max_ring, math.ceil((math.sqrt(4.0 * k / max(avg, 1e-9)) - 1) / 2)
+        ))
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     settled_parts: list[DataFrame] = []
@@ -157,12 +177,17 @@ def knn_join(
             settled_parts.append(topk)
             break
         topk = topk.localCheckpoint(eager=True)
-        # settled: k found and k-th dist within the guaranteed radius
+        # settled: k found and k-th dist STRICTLY within the guaranteed
+        # radius. Ring r only guarantees unseen candidates lie at
+        # dist > r*cell_deg in exact arithmetic; after float rounding
+        # an unseen candidate's dist can collapse to exactly r*cell_deg
+        # and tie-break ahead of a kept one — strict '<' closes that
+        # hole at the cost of one extra round for exact-boundary kth.
         per_q = topk.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth")
         )
         settled_ids = per_q.where(
-            (F.col("n") >= k) & (F.col("kth") <= F.lit(float(r) * cell_deg))
+            (F.col("n") >= k) & (F.col("kth") < F.lit(float(r) * cell_deg))
         ).select("query_id")
         settled_parts.append(topk.join(settled_ids, on="query_id", how="left_semi"))
         remaining = remaining.join(

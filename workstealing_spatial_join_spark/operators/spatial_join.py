@@ -263,6 +263,9 @@ def polygon_join(
     broadcast: str | bool = "auto",
     salt: bool = False,
     target_pairs_per_task: int = 100_000,
+    refine_transport: str = "auto",  # auto | wkb | broadcast
+    broadcast_dict_rows: int = 500_000,
+    extra_pair_filter=None,
 ) -> DataFrame:
     """Geometry×geometry spatial join with a runtime refine predicate
     (J1/J3/J5). Both inputs need ``geom_wkb, minx..maxy`` columns.
@@ -272,25 +275,51 @@ def polygon_join(
     src/thread_util.cpp:431-432); with 'intersection_numpoints' /
     'union_numpoints' it sums vertex counts (thread_util.cpp:424-425,
     435-441). dedup='parity' reproduces per-cell multiplicity (§3.2).
+
+    Refine transport: with 'broadcast' (default when both layers fit
+    on the driver), candidate pairs carry only (lid, rid) through
+    Arrow and both geometry dictionaries ship once per executor —
+    the WKB-per-candidate-pair column (the round-1 bottleneck) never
+    enters the join. 'wkb' keeps the per-pair column (layers too big
+    to collect — though at that scale prefer the cogroup strategy,
+    operators/cogroup_join.py, which ships each geometry once per
+    covering cell).
+
+    ``extra_pair_filter``: optional Catalyst predicate over the pair's
+    bounds columns (``l.minx``..``r.maxy``), applied BEFORE refine —
+    pushes query-level pair restrictions into the join, ahead of the
+    Python kernel.
     """
     if predicate not in PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
-    lt = tessellate_bbox(
-        left.select(
-            F.col(left_id).alias("lid"),
-            F.col("geom_wkb").alias("l_wkb"),
-            "minx", "miny", "maxx", "maxy",
-        ),
-        cell_deg,
-    ).alias("l")
-    rt = tessellate_bbox(
-        right.select(
-            F.col(right_id).alias("rid"),
-            F.col("geom_wkb").alias("r_wkb"),
-            "minx", "miny", "maxx", "maxy",
-        ),
-        cell_deg,
-    ).alias("r")
+    use_bc = refine_transport == "broadcast"
+    if refine_transport == "auto":
+        use_bc = (
+            left.count() <= broadcast_dict_rows
+            and right.count() <= broadcast_dict_rows
+        )
+    refine_bc = None
+    if use_bc:
+        from workstealing_spatial_join_spark.functions.predicates import (
+            make_pair_refine_broadcast,
+        )
+
+        lrows = left.select(left_id, "geom_wkb").collect()
+        rrows = right.select(right_id, "geom_wkb").collect()
+        refine_bc = make_pair_refine_broadcast(
+            left.sparkSession,
+            [r[0] for r in lrows], [r[1] for r in lrows],
+            [r[0] for r in rrows], [r[1] for r in rrows],
+            predicate,
+        )
+
+    l_cols = [F.col(left_id).alias("lid"), "minx", "miny", "maxx", "maxy"]
+    r_cols = [F.col(right_id).alias("rid"), "minx", "miny", "maxx", "maxy"]
+    if refine_bc is None:
+        l_cols.insert(1, F.col("geom_wkb").alias("l_wkb"))
+        r_cols.insert(1, F.col("geom_wkb").alias("r_wkb"))
+    lt = tessellate_bbox(left.select(*l_cols), cell_deg).alias("l")
+    rt = tessellate_bbox(right.select(*r_cols), cell_deg).alias("r")
     rt = _maybe_broadcast(rt, right, broadcast)
 
     join_cond = F.col("l.cell_id") == F.col("r.cell_id")
@@ -318,22 +347,40 @@ def polygon_join(
     )
     if dedup == "refpoint":
         cand = cand.where(_refpoint_filter(cell_deg))
+    if extra_pair_filter is not None:
+        cand = cand.where(extra_pair_filter)
+
+    if refine_bc is not None:
+        refine_args = (F.col("lid"), F.col("rid"))
+        refine_udf = refine_bc
+    else:
+        refine_args = (F.col("l_wkb"), F.col("r_wkb"))
+        refine_udf = PREDICATES[predicate]
 
     if predicate == "intersects":
-        matched = cand.where(
-            PREDICATES["intersects"](F.col("l_wkb"), F.col("r_wkb"))
-        )
+        matched = cand.where(refine_udf(*refine_args))
         if mode == "count":
             return matched.agg(F.count(F.lit(1)).alias("join_count"))
         sel = ["lid", "rid"] + (["l.cell_id"] if dedup == "parity" else [])
         return matched.select(*sel)
 
     # numPoints-producing predicates
-    scored = cand.withColumn(
-        "num_points", PREDICATES[predicate](F.col("l_wkb"), F.col("r_wkb"))
-    ).where(F.col("num_points") > 0)
     if mode == "count":
+        # no >0 filter: zeros add nothing to the sum, and the filter
+        # would duplicate the Python refine (Catalyst pushes the
+        # predicate through the project, re-evaluating the UDF)
+        scored = cand.withColumn("num_points", refine_udf(*refine_args))
         return scored.agg(F.sum("num_points").alias("join_count"))
+    # pairs mode: mark the refine nondeterministic so the >0 filter
+    # stays ABOVE the projection — one ArrowEvalPython, not two
+    nd_udf = (
+        refine_udf.asNondeterministic()
+        if hasattr(refine_udf, "asNondeterministic")
+        else refine_udf
+    )
+    scored = cand.withColumn(
+        "num_points", nd_udf(*refine_args)
+    ).where(F.col("num_points") > 0)
     sel = ["lid", "rid", "num_points"] + (
         ["l.cell_id"] if dedup == "parity" else []
     )

@@ -101,11 +101,23 @@ def write_resumable(
     import time as _time
 
     t0 = _time.time()
-    (
-        pending.write.mode("append")
-        .partitionBy(partition_col)
-        .parquet(f"{table_path}/data")
-    )
+    # Dynamic partition overwrite: re-writing a partition REPLACES its
+    # files instead of appending. This is what makes resume idempotent
+    # in the crash window where data landed but the manifest row did
+    # not — the re-run re-selects that partition (absent from the
+    # manifest) and overwrites the orphaned files rather than
+    # duplicating rows. Iceberg's overwritePartitions() is the same
+    # contract on a real cluster.
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            pending.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(f"{table_path}/data")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     # commit point: manifest + lineage written only after data lands
     lineage.select("pval", "job_id").write.mode("append").parquet(
         f"{table_path}/_manifest"
