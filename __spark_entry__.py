@@ -203,6 +203,41 @@ def q_rect_union_numpoints(spark, sf_dir):
     )
 
 
+_CONCAVE_DIR = "/root/repo/bench_data/concave"
+
+
+def q_concave_intersection_numpoints(spark, sf_dir):
+    """General polygon overlay on CONCAVE (and holed) polygons — the
+    reference's ST_INTERSECTION mode on its real OSM-like inputs
+    (src/thread_util.cpp:424-425; lakes/parks are concave). Fixture
+    layers are deterministic star polygons; the oracle reads expected
+    numPoints computed by an independent exact-Fraction overlay
+    (scripts/gen_concave_fixture.py), NOT by this engine."""
+    a = spark.read.parquet(f"{_CONCAVE_DIR}/layer_a.parquet")
+    b = spark.read.parquet(f"{_CONCAVE_DIR}/layer_b.parquet")
+    return polygon_join(
+        a, b, "poly_id", "poly_id", predicate="intersection_numpoints",
+        mode="pairs", dedup="refpoint", cell_deg=CELL,
+    ).select(
+        F.col("lid").alias("a_id"), F.col("rid").alias("b_id"), "num_points"
+    )
+
+
+def q_concave_union_numpoints(spark, sf_dir):
+    """General concave union numPoints (ST_UNION mode,
+    src/thread_util.cpp:435-441) — includes union-created hole rings
+    and disjoint-pair multipolygons; oracle is the exact-Fraction
+    fixture expectation."""
+    c = spark.read.parquet(f"{_CONCAVE_DIR}/layer_c.parquet")
+    d = spark.read.parquet(f"{_CONCAVE_DIR}/layer_d.parquet")
+    return polygon_join(
+        c, d, "poly_id", "poly_id", predicate="union_numpoints",
+        mode="pairs", dedup="refpoint", cell_deg=CELL,
+    ).select(
+        F.col("lid").alias("a_id"), F.col("rid").alias("b_id"), "num_points"
+    )
+
+
 def q_tile_rect_overlap_count(spark, sf_dir):
     """Raster-tile ↔ vector assignment (J7): full zoom-6 tile grid
     joined to supplier rects through the engine's cell-partitioned
@@ -430,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_join_percell_count": q_rect_join_percell_count,
         "rect_intersection_numpoints": q_rect_intersection_numpoints,
         "rect_union_numpoints": q_rect_union_numpoints,
+        "concave_intersection_numpoints": q_concave_intersection_numpoints,
+        "concave_union_numpoints": q_concave_union_numpoints,
         "tile_rect_overlap_count": q_tile_rect_overlap_count,
         "knn_suppliers": q_knn_suppliers,
         "dwithin_pairs": q_dwithin_pairs,
@@ -562,6 +599,16 @@ def oracle_sql() -> dict[str, str]:
             "AND bmaxy < amaxy THEN 1 ELSE 0 END) AS cb FROM g) "
             "SELECT CAST(SUM(13 - 2 * (ca + cb)) AS BIGINT) AS join_count "
             "FROM c"
+        ),
+        "concave_intersection_numpoints": (
+            "SELECT a_id, b_id, CAST(expected AS BIGINT) AS num_points "
+            "FROM read_parquet("
+            f"'{_CONCAVE_DIR}/expected_int.parquet') WHERE expected > 0"
+        ),
+        "concave_union_numpoints": (
+            "SELECT a_id, b_id, CAST(expected AS BIGINT) AS num_points "
+            "FROM read_parquet("
+            f"'{_CONCAVE_DIR}/expected_union.parquet') WHERE expected > 0"
         ),
         "tile_rect_overlap_count": (
             "WITH grid AS (SELECT "

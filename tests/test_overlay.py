@@ -216,6 +216,35 @@ def test_degenerate_raises_and_convex_fallback():
     assert OV.polygon_intersection_num_points([sq], [corner]) == 1
 
 
+def test_concave_fixture_expected_counts():
+    """The committed concave fixture (bench_data/concave) was produced
+    with exact-Fraction expected numPoints; the engine's float refine
+    must reproduce every pair (the driver oracle re-checks this via
+    DuckDB; this pytest pins it without Spark)."""
+    import os
+
+    import pandas as pd
+
+    from workstealing_spatial_join_spark.functions import wkt as W
+
+    fix = "/root/repo/bench_data/concave"
+    if not os.path.exists(f"{fix}/expected_int.parquet"):
+        pytest.skip("fixture not generated")
+    for layers, expf, fn in (
+        (("layer_a", "layer_b"), "expected_int",
+         OV.polygon_intersection_num_points),
+        (("layer_c", "layer_d"), "expected_union",
+         OV.polygon_union_num_points),
+    ):
+        la = pd.read_parquet(f"{fix}/{layers[0]}.parquet")
+        lb = pd.read_parquet(f"{fix}/{layers[1]}.parquet")
+        exp = pd.read_parquet(f"{fix}/{expf}.parquet")
+        ga = {r.poly_id: W.from_wkb(r.geom_wkb)[0][1] for r in la.itertuples()}
+        gb = {r.poly_id: W.from_wkb(r.geom_wkb)[0][1] for r in lb.itertuples()}
+        for r in exp.sample(n=min(150, len(exp)), random_state=5).itertuples():
+            assert fn(ga[r.a_id], gb[r.b_id]) == r.expected, (r.a_id, r.b_id)
+
+
 def test_rect_pair_core_semantics():
     """The vectorized rect×rect refine path (predicates.refine_pairs_core)
     implements GEOS 5/2/1/0 for intersection and the 13-2c closed form
