@@ -32,9 +32,13 @@ from pyspark.sql import functions as F
 from workstealing_spatial_join_spark.functions import grid as GRID
 from workstealing_spatial_join_spark.operators import textops as TX
 from workstealing_spatial_join_spark.operators.dedup import (
+    embedding_neardup,
     exact_dedup,
+    hyperplanes,
     minhash_dedup,
-    simhash64,
+    perm_params,
+    simhash60,
+    simhash_dedup,
 )
 from workstealing_spatial_join_spark.operators.knn import knn_join
 from workstealing_spatial_join_spark.operators.similarity import (
@@ -440,17 +444,61 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
-# rows-only (no SQL-expressible oracle): LSH families + simhash
+# LLM-dedup family — every hash family is SQL-reproducible, so each
+# query has an EXACT DuckDB oracle recomputing signatures, buckets,
+# candidates, and verification from scratch (see operators/dedup.py).
+
+N_PLANES = 6  # embedding LSH planes (shared engine/oracle)
+EMB_DIM = 64
+COS_THRESHOLD = 0.4
 
 
 def q_simhash_docs(spark, sf_dir):
     docs = TB.load(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", simhash60(F.col("text")).alias("simhash"))
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """Near-dup pairs at hamming ≤ 3 via pigeonhole chunk LSH — the
+    LSH is EXACT (any pair within distance 3 shares a 15-bit chunk),
+    so the oracle's brute-force all-pairs scan must match exactly."""
+    docs = TB.load(spark, sf_dir, "documents")
+    return simhash_dedup(docs, max_hamming=3)
 
 
 def q_minhash_neardup(spark, sf_dir):
     docs = TB.load(spark, sf_dir, "documents")
     return minhash_dedup(docs, threshold=0.5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Hyperplane-LSH near-dup vectors: same-bucket pairs with cosine
+    ≥ 0.4 (the synthetic embeddings have no planted near-dups, so the
+    threshold sits where real pairs exist). Oracle replays the exact
+    bucket function (literal planes, rounded-sign dots) + verify."""
+    emb = TB.load(spark, sf_dir, "embeddings")
+    return embedding_neardup(
+        emb, threshold=COS_THRESHOLD, n_planes=N_PLANES, dim=EMB_DIM
+    )
+
+
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    """The scale ANN path (bucketed candidates + multi-probe + exact
+    re-rank) — same output contract as ann_cosine_topk; the oracle
+    replays buckets, probes, and the windowed top-k."""
+    from workstealing_spatial_join_spark.operators.similarity import (
+        cosine_topk_lsh,
+    )
+
+    emb = TB.load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = cosine_topk_lsh(queries, emb, k=5, n_planes=N_PLANES, dim=EMB_DIM)
+    return out.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("neighbor_vec_id"),
+        "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -481,12 +529,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_adjacent": q_doc_jaccard_adjacent,
         "events_user_stats": q_events_user_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "simhash_docs": q_simhash_docs,
+        "simhash_dedup": q_simhash_dedup,
         "minhash_neardup": q_minhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
 # ---------------------------------------------------------- oracle SQL
+
+# Dedup-family oracle building blocks — the DuckDB twins recompute the
+# SAME hash families from scratch (md5-prefix token hashes, base-257
+# shingle codes, exact mod-(2^61-1) permutations, literal hyperplanes).
+
+_SIMHASH_CTES = (
+    "tok AS (SELECT doc_id, tk FROM (SELECT doc_id, "
+    r"unnest(regexp_split_to_array(lower(COALESCE(text, '')), '\s+')) AS tk "
+    "FROM documents) WHERE tk <> ''), "
+    "hsh AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h FROM tok), "
+    "bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 "
+    "THEN 1 ELSE -1 END) AS acc FROM hsh, range(60) r(b) "
+    "GROUP BY doc_id, b), "
+    "sh0 AS (SELECT doc_id, CAST(SUM(CASE WHEN acc > 0 THEN "
+    "(CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash "
+    "FROM bits GROUP BY doc_id), "
+    "sh AS (SELECT d.doc_id, COALESCE(sh0.simhash, 0) AS simhash "
+    "FROM documents d LEFT JOIN sh0 USING (doc_id))"
+)
+
+
+def _minhash_ctes(num_perm: int = 64, bands: int = 16) -> str:
+    a, b = perm_params(num_perm)
+    rows_per_band = num_perm // bands
+    vals = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    p4, p3, p2 = 257 ** 4, 257 ** 3, 257 ** 2
+    shingle = (
+        f"[unicode(substr(s, i, 1)) * {p4} "
+        f"+ unicode(substr(s, i + 1, 1)) * {p3} "
+        f"+ unicode(substr(s, i + 2, 1)) * {p2} "
+        f"+ unicode(substr(s, i + 3, 1)) * 257 "
+        f"+ unicode(substr(s, i + 4, 1)) for i in range(1, length(s) - 3)]"
+    )
+    return (
+        f"perms(pid, pa, pb) AS (VALUES {vals}), "
+        "d AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents), "
+        "pads AS (SELECT doc_id, CASE WHEN length(lt) < 5 THEN "
+        "lt || repeat('_', 5 - length(lt)) ELSE lt END AS s FROM d), "
+        f"shs AS (SELECT doc_id, list_distinct({shingle}) AS hs FROM pads), "
+        "sg AS (SELECT doc_id, pid, list_min(list_transform(hs, "
+        "x -> CAST((CAST(pa AS HUGEINT) * x + pb) % 2305843009213693951 "
+        "AS BIGINT))) AS mh FROM shs, perms), "
+        "sigl AS (SELECT doc_id, list(mh ORDER BY pid) AS sig "
+        "FROM sg GROUP BY doc_id), "
+        "bnd AS (SELECT doc_id, band, array_to_string(list_slice(sig, "
+        f"band * {rows_per_band} + 1, band * {rows_per_band} + "
+        f"{rows_per_band}), ',') AS bucket "
+        f"FROM sigl, range({bands}) r(band)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db "
+        "FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id), "
+        "ver AS (SELECT da, db, "
+        "CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / "
+        "(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) "
+        "AS jaccard FROM cand "
+        "JOIN shs sa ON sa.doc_id = da JOIN shs sb ON sb.doc_id = db)"
+    )
+
+
+def _bucket_sql(e_expr: str) -> str:
+    planes = hyperplanes(N_PLANES, EMB_DIM)
+    terms = []
+    for r in range(N_PLANES):
+        lit = "[" + ", ".join(repr(float(v)) for v in planes[r]) + "]"
+        terms.append(
+            f"(CASE WHEN ROUND(list_dot_product({e_expr}, {lit}), 6) > 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
 
 _PTS = TB.SQL_POINTS
 _SUP = TB.SQL_SUPPLIER_RECTS
@@ -747,6 +871,53 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
             "CAST(e.embedding AS DOUBLE[])), 9) AS c9 "
             "FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id), "
+            "ranked AS (SELECT vec_id, neighbor_vec_id, c9, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
+            "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank, "
+            "ROUND(c9, 6) AS cosine FROM ranked WHERE rank <= 5"
+        ),
+        "simhash_docs": (
+            f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sh"
+        ),
+        "simhash_dedup": (
+            f"WITH {_SIMHASH_CTES} "
+            "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "minhash_neardup": (
+            f"WITH {_minhash_ctes()} "
+            "SELECT da AS doc_id_a, db AS doc_id_b, jaccard "
+            "FROM ver WHERE jaccard >= 0.5"
+        ),
+        "embedding_neardup": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings), "
+            f"bk AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM v) "
+            "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            "FROM bk a JOIN bk b ON a.bucket = b.bucket "
+            "AND a.vec_id < b.vec_id "
+            f"WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) "
+            f">= {COS_THRESHOLD}"
+        ),
+        "ann_cosine_topk_lsh": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings), "
+            f"bk AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM v), "
+            "q AS (SELECT * FROM bk WHERE vec_id < 20), "
+            "probes AS (SELECT vec_id, unnest([bucket"
+            + "".join(f", xor(bucket, {1 << i})" for i in range(N_PLANES))
+            + "]) AS bucket FROM q), "
+            "cand AS (SELECT DISTINCT p.vec_id, c.vec_id AS neighbor_vec_id "
+            "FROM probes p JOIN bk c ON p.bucket = c.bucket "
+            "AND p.vec_id <> c.vec_id), "
+            "scored AS (SELECT cand.vec_id, cand.neighbor_vec_id, "
+            "ROUND(list_cosine_similarity(a.e, b.e), 9) AS c9 FROM cand "
+            "JOIN v a ON a.vec_id = cand.vec_id "
+            "JOIN v b ON b.vec_id = cand.neighbor_vec_id), "
             "ranked AS (SELECT vec_id, neighbor_vec_id, c9, "
             "ROW_NUMBER() OVER (PARTITION BY vec_id "
             "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "

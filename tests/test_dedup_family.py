@@ -68,6 +68,90 @@ def test_simhash_identical_zero_distance(docs):
             assert pairs.get((a, b)) == 0
 
 
+def test_minhash_recall_vs_exact_jaccard(docs):
+    """Pin the LSH recall contract (ADVICE r1): band-colliding output
+    vs the EXACT ≥-threshold pair set. At threshold 0.7 with b=16/r=4
+    the S-curve gives collision prob ≈ 1-(1-0.7^4)^16 ≈ 0.99."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        _shingle_hashes,
+    )
+
+    rows = docs.collect()
+    shingles = {r.doc_id: _shingle_hashes(r.text) for r in rows}
+    truth = set()
+    ids = sorted(shingles)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = shingles[a], shingles[b]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac = inter / (sa.size + sb.size - inter)
+            if jac >= 0.7:
+                truth.add((a, b))
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_dedup(docs, threshold=0.7).collect()
+    }
+    assert got <= truth  # verify step guarantees no false positives
+    assert len(got) >= 0.9 * len(truth), (len(got), len(truth))
+
+
+def test_simhash_lsh_equals_allpairs(docs):
+    """Pigeonhole chunking is EXACT: the chunk-join result must equal
+    a brute-force all-pairs hamming scan."""
+    from workstealing_spatial_join_spark.operators.dedup import simhash60
+
+    sh = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash60(F.col("text")).alias("sh")).collect()
+    }
+    truth = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sh[a] ^ sh[b]).count("1") <= 3:
+                truth.add((a, b))
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in simhash_dedup(docs, max_hamming=3).collect()
+    }
+    assert got == truth
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """The scale ANN path must keep useful recall vs the exact
+    baseline on the driver's embedding shape (64-dim, 6 planes +
+    1-bit multi-probe)."""
+    from workstealing_spatial_join_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    # clustered corpus (the realistic ANN shape): 40 centers, points =
+    # center + noise → true neighbors sit at small angles where the
+    # hyperplane collision probability (1-θ/π)^n is high
+    centers = rng.normal(size=(40, 64))
+    vecs = (
+        centers[rng.integers(0, 40, 400)]
+        + rng.normal(scale=0.25, size=(400, 64))
+    ).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    q = emb.where(F.col("vec_id") < 25)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(q, emb, k=5, n_planes=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall  # documented approximate contract
+
+
 def test_embedding_neardup_finds_planted(spark):
     rng = np.random.default_rng(7)
     vecs = rng.normal(size=(100, 32)).astype("float32")

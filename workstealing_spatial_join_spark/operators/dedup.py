@@ -3,11 +3,40 @@ MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine
 near-dup.
 
 Scale shape (the only one that survives 100 TB): every candidate
-generation step is an EQUI-JOIN on a bucket key (band hash / simhash
+generation step is an EQUI-JOIN on a bucket key (band bucket / simhash
 chunk / hyperplane bucket) — never an all-pairs comparison; exact
 verification runs only within buckets. Signatures are computed in
 vectorized pandas UDFs (Arrow-batched); bucketing/grouping is pure
 Catalyst.
+
+Every hash family here is EXACTLY reproducible in ANSI SQL (the
+DuckDB oracle recomputes signatures, buckets, candidates, and
+verification from scratch — __spark_entry__.oracle_sql):
+
+* shingle hash: base-257 positional code of the k (=5) lowercased
+  bytes — INJECTIVE (a bijective base-257 numeral), so Jaccard over
+  hash sets equals Jaccard over shingle sets, and the max value
+  257^5 ≈ 2^40 keeps every downstream product exact in int64.
+* MinHash permutation: (a*h + b) mod (2^61-1) with FULL-RANGE a — the
+  product is computed EXACTLY via 31-bit limb splitting and the
+  Mersenne identity 2^61 ≡ 1 (vectorized uint64, no wraparound), so
+  the advertised universal family is the implemented one (round-1
+  wrapped modulo 2^64 silently; a small-`a` family is no fix — it
+  makes argmin deterministic and destroys min-wise independence).
+  The SQL twin computes the same value with 128-bit HUGEINT.
+* SimHash: 60-bit, token hash = first 15 hex chars of md5(token)
+  (big-endian) — reproducible as CAST('0x'||substr(md5(t),1,15) AS
+  BIGINT). 60 = 4 chunks × 15 bits for the pigeonhole LSH, which is
+  EXACT for hamming ≤ 3 (any pair within distance 3 shares ≥1 chunk),
+  so the LSH result equals the all-pairs result.
+
+Recall contracts: ``minhash_dedup`` output is DEFINED as "band-
+colliding pairs with exact Jaccard ≥ threshold" — a pair above the
+threshold with no colliding band is missed (probability follows the
+LSH S-curve 1-(1-s^r)^b; tests/test_dedup_family.py pins measured
+recall ≥ 0.9 at the driver's threshold). ``simhash_dedup`` has NO
+recall loss (pigeonhole exactness). ``embedding_neardup`` is defined
+as same-bucket pairs (single hash table; recall measured in tests).
 """
 
 from __future__ import annotations
@@ -42,51 +71,88 @@ def exact_dedup(
 
 # -------------------------------------------------------------- minhash
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+MERSENNE61 = (1 << 61) - 1
+SHINGLE_BASE = 257  # > any byte value → positional code is injective
+SHINGLE_K = 5
 
 
-def _perm_params(num_perm: int, seed: int = 42):
+def perm_params(num_perm: int, seed: int = 42):
+    """Full-range (a, b) uint64 arrays over [1,p) × [0,p) — a proper
+    universal family; pair with ``mulmod61`` for exact evaluation."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, MERSENNE61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE61, size=num_perm, dtype=np.uint64)
     return a, b
 
 
-_SHINGLE_BASE = np.uint64(1099511628211)
+_M61 = np.uint64(MERSENNE61)
+_MASK31 = np.uint64((1 << 31) - 1)
+_MASK30 = np.uint64((1 << 30) - 1)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Unique hashes of the char k-shingle set — fully vectorized:
-    sliding byte windows × polynomial powers, wrapping uint64
-    arithmetic (no Python-level per-shingle loop)."""
+def _fold61(t: np.ndarray) -> np.ndarray:
+    """Reduce t < 2^63 modulo 2^61-1 (one fold + conditional subtract)."""
+    r = (t & _M61) + (t >> np.uint64(61))
+    return np.where(r >= _M61, r - _M61, r)
+
+
+def mulmod61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """EXACT (x*y) mod (2^61-1) for uint64 inputs < 2^61, fully
+    vectorized: split both factors into 31/30-bit limbs; 2^62 ≡ 2 and
+    2^61 ≡ 1 fold the partial products back under 2^63 with no
+    uint64 wraparound anywhere."""
+    xh, xl = x >> np.uint64(31), x & _MASK31
+    yh, yl = y >> np.uint64(31), y & _MASK31
+    hh = xh * yh                      # * 2^62 ≡ * 2
+    mid = xh * yl + xl * yh           # * 2^31, < 2^62
+    mh, ml = mid >> np.uint64(30), mid & _MASK30
+    # mid * 2^31 = mh*2^61 + ml*2^31 ≡ mh + (ml << 31)
+    t = (hh << np.uint64(1)) + mh + (ml << np.uint64(31))
+    return _fold61(_fold61(t) + _fold61(xl * yl))
+
+
+def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Unique base-257 codes of the byte k-shingle set — vectorized
+    sliding windows × positional powers, exact int64 (max 257^k-1)."""
     s = (text or "").lower().encode("utf-8", "ignore")
     if len(s) < k:
         s = s.ljust(k, b"_")
-    data = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    data = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
     windows = np.lib.stride_tricks.sliding_window_view(data, k)
-    pows = np.empty(k, dtype=np.uint64)
-    pows[0] = 1
-    for i in range(1, k):
-        pows[i] = pows[i - 1] * _SHINGLE_BASE
-    with np.errstate(over="ignore"):
-        h = (windows * pows[None, :]).sum(axis=1, dtype=np.uint64)
-    return np.unique(h) >> np.uint64(1)  # top bit clear keeps mod-p math exact
+    pows = SHINGLE_BASE ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    return np.unique((windows * pows[None, :]).sum(axis=1))
 
 
-def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
-    a, b = _perm_params(num_perm, seed)
+def minhash_signature_udf(num_perm: int = 64, shingle_k: int = SHINGLE_K,
+                          seed: int = 42):
+    a, b = perm_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(text: pd.Series) -> pd.Series:
-        out = []
-        for s in text:
-            hs = _shingle_hashes(s or "", shingle_k)
-            # (a*h + b) mod p, min over shingles, per permutation
-            vals = (a[None, :] * hs[:, None] + b[None, :]) % _MERSENNE
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+        # duplicate texts (exact-dup corpora) shingle + hash once
+        codes, uniques = pd.factorize(text)
+        sigs = []
+        for s in uniques:
+            hs = _shingle_hashes(s or "", shingle_k).astype(np.uint64)
+            # (a*h + b) mod p — exact limb-split modular arithmetic
+            vals = _fold61(mulmod61(a[None, :], hs[:, None]) + b[None, :])
+            sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series([sigs[c] for c in codes])
 
     return sig
+
+
+def band_bucket_col(sig, band: int, rows_per_band: int):
+    """Deterministic band bucket: the band's signature slice joined as
+    a string — exactly reproducible in SQL (array_to_string of
+    list_slice), unlike a Spark-internal hash."""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(sig, band * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string"),
+        ),
+    )
 
 
 def minhash_dedup(
@@ -95,32 +161,30 @@ def minhash_dedup(
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = SHINGLE_K,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash + banded LSH + exact Jaccard
-    verify. Returns ``(doc_id_a, doc_id_b, jaccard)`` with a < b and
-    jaccard ≥ threshold.
+    verify. Returns ``(doc_id_a, doc_id_b, jaccard)`` with a < b,
+    jaccard ≥ threshold, restricted to BAND-COLLIDING pairs (the LSH
+    recall contract — see module docstring; b=16 bands × r=4 rows
+    puts the S-curve knee near s≈0.5).
 
-    Plan: signature UDF → explode band hashes → groupBy band bucket
-    (self equi-join inside buckets only) → distinct candidate pairs →
-    exact Jaccard verify UDF.
+    Plan: signature UDF → explode band buckets → self equi-join on
+    (band, bucket) → distinct candidate pairs → exact Jaccard verify.
     """
     rows_per_band = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm, shingle_k)
     signed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
         sig_udf(F.col(text_col)).alias("sig"),
     )
     banded = signed.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.hash(
-                    band, F.slice("sig", band * rows_per_band + 1, rows_per_band)
-                ).cast("long"),
+            F.array(
+                *[band_bucket_col(F.col("sig"), i, rows_per_band)
+                  for i in range(bands)]
             )
         ).alias("band", "bucket"),
     )
@@ -156,11 +220,12 @@ def minhash_dedup(
     )
 
 
-def ngram_jaccard_udf(k: int = 5):
+def ngram_jaccard_udf(k: int = SHINGLE_K):
     @F.pandas_udf(T.DoubleType())
     def jac(a: pd.Series, b: pd.Series) -> pd.Series:
         # a doc participates in many candidate pairs — shingle each
-        # unique text once per batch
+        # unique text once per batch. The shingle code is injective,
+        # so hash-set Jaccard IS shingle-set Jaccard (exact).
         codes_a, uniq_a = pd.factorize(a)
         codes_b, uniq_b = pd.factorize(b)
         sh_a = [_shingle_hashes(t, k) for t in uniq_a]
@@ -179,32 +244,56 @@ def ngram_jaccard_udf(k: int = 5):
 
 # -------------------------------------------------------------- simhash
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 → BIGINT-castable in SQL
 
-@F.pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (deterministic md5-based
-    token hashes so results are stable across Python processes)."""
+# executor-lifetime token-hash vocabulary (natural-language corpora
+# have Zipfian vocabularies — the md5 cost amortizes to ~0 per batch)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 2_000_000
+
+
+def _token_hash(tok: str) -> int:
     import hashlib
 
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, s in enumerate(text):
-        tokens = (s or "").lower().split()
-        if not tokens:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in tokens:
-            h = np.uint64(
-                int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8", "ignore")).digest()[:8], "little"
-                )
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        val = 0
-        for b in range(64):
-            if acc[b] > 0:
-                val |= 1 << b
-        out[i] = np.int64(np.uint64(val))
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = int(hashlib.md5(tok.encode("utf-8", "ignore")).hexdigest()[:15], 16)
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE.clear()
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
+@F.pandas_udf(T.LongType())
+def simhash60(text: pd.Series) -> pd.Series:
+    """60-bit SimHash over lowercased whitespace tokens. Vectorized:
+    per batch, md5 runs once per NEW vocabulary token (cached across
+    batches); the ±1 bit accumulation is one reduceat over the flat
+    token stream — no per-token Python in the hot path."""
+    docs = [(s or "").lower().split() for s in text]
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    out = np.zeros(len(docs), dtype=np.int64)
+    nonempty = lengths > 0
+    if not nonempty.any():
+        return pd.Series(out)
+    flat = np.concatenate([d for d in docs if d])
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uhash = np.fromiter(
+        (_token_hash(t) for t in uniq), dtype=np.int64, count=len(uniq)
+    )
+    # (n_uniq, 60) ±1 bit matrix, gathered per occurrence
+    bits = (
+        (uhash[:, None] >> np.arange(SIMHASH_BITS, dtype=np.int64)[None, :]) & 1
+    ) * 2 - 1
+    occ = bits[inv]  # (n_tokens, 60)
+    starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=starts[1:])
+    acc = np.add.reduceat(occ, starts, axis=0)  # (n_nonempty, 60)
+    vals = (
+        (acc > 0).astype(np.int64)
+        << np.arange(SIMHASH_BITS, dtype=np.int64)[None, :]
+    ).sum(axis=1)
+    out[nonempty] = vals
     return pd.Series(out)
 
 
@@ -215,13 +304,14 @@ def simhash_dedup(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming.
-    LSH: split the 64-bit hash into (max_hamming+1) chunks — any pair
+    LSH: split the 60-bit hash into (max_hamming+1) chunks — any pair
     within distance max_hamming shares at least one exact chunk
-    (pigeonhole), so candidates come from chunk equi-joins only."""
+    (pigeonhole), so the chunk equi-join finds EVERY qualifying pair:
+    zero recall loss vs all-pairs."""
     nchunks = max_hamming + 1
-    width = 64 // nchunks
+    width = SIMHASH_BITS // nchunks
     hashed = docs.select(
-        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("doc_id"), simhash60(F.col(text_col)).alias("sh")
     )
     mask = (1 << width) - 1
     chunked = hashed.select(
@@ -254,7 +344,7 @@ def simhash_dedup(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
@@ -263,6 +353,30 @@ def simhash_dedup(
 
 
 # -------------------------------------- embedding cosine near-duplicate
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic LSH hyperplanes, shared verbatim with the SQL
+    oracle (embedded as literals there)."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def hyperplane_bucket_udf(planes: np.ndarray):
+    """bucket(v) = Σ 2^r [round(v·plane_r, 6) > 0]. The rounding makes
+    the sign decision robust to summation-order differences between
+    NumPy and the SQL oracle's list_dot_product (a dot within 5e-7 of
+    zero would otherwise be engine-dependent; fixture dots are O(0.1))."""
+    n_planes = len(planes)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        signs = np.round(mat @ planes.T, 6) > 0
+        vals = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.Series(vals.astype(np.int64))
+
+    return bucket
 
 
 def embedding_neardup(
@@ -275,18 +389,14 @@ def embedding_neardup(
     dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs by random-hyperplane LSH buckets +
-    exact cosine verify: ``(vec_id_a, vec_id_b, cosine)``."""
+    exact cosine verify: ``(vec_id_a, vec_id_b, cosine)``. Output is
+    DEFINED as same-bucket pairs with cosine ≥ threshold — a single
+    hash table, so a qualifying pair split across buckets is missed
+    (P[same bucket] = (1 - θ/π)^n_planes; recall pinned in tests)."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
-
-    @F.pandas_udf(T.LongType())
-    def bucket(v: pd.Series) -> pd.Series:
-        mat = np.asarray(v.tolist(), dtype=np.float64)
-        signs = (mat @ planes.T) > 0
-        vals = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-        return pd.Series(vals.astype(np.int64))
+    planes = hyperplanes(n_planes, dim, seed)
+    bucket = hyperplane_bucket_udf(planes)
 
     vecs = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -316,7 +426,7 @@ def embedding_neardup(
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
     return (
-        cand.withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .where(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
     )

@@ -13,11 +13,8 @@
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -92,18 +89,15 @@ def cosine_topk_lsh(
     """Approximate top-k: hyperplane-LSH bucketed candidates with
     multi-probe (own bucket + all 1-bit flips), exact cosine re-rank.
     Recall grows with probes; candidates come only from equi-joins."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        hyperplane_bucket_udf,
+        hyperplanes,
+    )
+
     if dim is None:
         dim = len(corpus.select(c_vec).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
-
-    @F.pandas_udf(T.LongType())
-    def bucket(v: pd.Series) -> pd.Series:
-        mat = np.asarray(v.tolist(), dtype=np.float64)
-        signs = (mat @ planes.T) > 0
-        return pd.Series(
-            (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-        )
+    planes = hyperplanes(n_planes, dim, seed)
+    bucket = hyperplane_bucket_udf(planes)
 
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"),
