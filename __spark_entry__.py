@@ -89,6 +89,20 @@ def q_pip_count(spark, sf_dir):
     return _pip(spark, sf_dir, "count")
 
 
+def q_pip_count_salted(spark, sf_dir):
+    """Same join with LB1 skew handling LIVE: the per-cell cost table
+    salts hot cells (probe split, build replicated) and the equi-join
+    runs on (cell_id, salt). Results must be identical — the same
+    oracle as pip_count checks that."""
+    pts = TB.customer_points(spark, sf_dir)
+    polys = TB.rects_with_geom(TB.supplier_rects(spark, sf_dir))
+    return point_in_polygon_join(
+        pts, polys, point_id="point_id", poly_id="rect_id",
+        mode="count", cell_deg=CELL, salt=True,
+        target_pairs_per_task=2_000,
+    )
+
+
 def q_pip_pairs(spark, sf_dir):
     return _pip(spark, sf_dir, "pairs").select(
         F.col("point_id").alias("c_custkey"),
@@ -115,6 +129,25 @@ def q_pip_pairs_cogrouped(spark, sf_dir):
     polys = TB.rects_with_geom(TB.supplier_rects(spark, sf_dir))
     return point_in_polygon_join_cogrouped(
         pts, polys, point_id="point_id", poly_id="rect_id", cell_deg=CELL
+    ).select(
+        F.col("point_id").alias("c_custkey"),
+        F.col("poly_id").alias("s_suppkey"),
+    )
+
+
+def q_pip_pairs_cogrouped_salted(spark, sf_dir):
+    """Cogroup strategy with hot cells PRE-SPLIT into (cell_id, salt)
+    sub-groups — the skew handling AQE cannot provide for cogroups
+    (one group = one task). Same oracle as pip_pairs."""
+    from workstealing_spatial_join_spark.operators.cogroup_join import (
+        point_in_polygon_join_cogrouped,
+    )
+
+    pts = TB.customer_points(spark, sf_dir)
+    polys = TB.rects_with_geom(TB.supplier_rects(spark, sf_dir))
+    return point_in_polygon_join_cogrouped(
+        pts, polys, point_id="point_id", poly_id="rect_id", cell_deg=CELL,
+        salt=True, target_pairs_per_task=2_000,
     ).select(
         F.col("point_id").alias("c_custkey"),
         F.col("poly_id").alias("s_suppkey"),
@@ -504,9 +537,11 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count": q_pip_count,
+        "pip_count_salted": q_pip_count_salted,
         "pip_pairs": q_pip_pairs,
         "pip_pairs_percell": q_pip_pairs_percell,
         "pip_pairs_cogrouped": q_pip_pairs_cogrouped,
+        "pip_pairs_cogrouped_salted": q_pip_pairs_cogrouped_salted,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
         "rect_join_count": q_rect_join_count,
@@ -664,8 +699,14 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pip_count": f"SELECT COUNT(*) AS join_count FROM ({_PIP_PAIRS})",
+        "pip_count_salted": (
+            f"SELECT COUNT(*) AS join_count FROM ({_PIP_PAIRS})"
+        ),
         "pip_pairs": f"SELECT c_custkey, s_suppkey FROM ({_PIP_PAIRS})",
         "pip_pairs_cogrouped": f"SELECT c_custkey, s_suppkey FROM ({_PIP_PAIRS})",
+        "pip_pairs_cogrouped_salted": (
+            f"SELECT c_custkey, s_suppkey FROM ({_PIP_PAIRS})"
+        ),
         "pip_pairs_percell": (
             f"SELECT c_custkey, s_suppkey, {cellid} AS cell_id "
             f"FROM ({_PIP_PAIRS})"

@@ -92,6 +92,16 @@ def main():
     extras["spatial_join_rows_per_sec"] = round(n_img / timings["spatial_join_pip"], 1)
     extras["spatial_join_matches"] = matched
 
+    # headline 1b: same join with LB1 salting live — the fixture corpus
+    # concentrates 10% of images in one hot box (FIXTURES.md), so this
+    # measures the skew pre-split's overhead/payoff, not just parity
+    timed(
+        "spatial_join_pip_salted",
+        lambda: point_in_polygon_join(
+            images, layer, mode="count", salt=True
+        ).collect()[0][0],
+    )
+
     # headline 2: tile assignment throughput (images/sec)
     timed("tile_assign", lambda: assign_tiles(images).count())
     extras["tile_assign_images_per_sec"] = round(n_img / timings["tile_assign"], 1)

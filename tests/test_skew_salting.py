@@ -50,6 +50,33 @@ def test_salted_polygon_join_invariance(spark):
     assert plain == salted and len(plain) > 0
 
 
+def test_salted_cogroup_invariance(spark):
+    """The cogroup strategy's (cell_id, salt) pre-split — the skew
+    handling AQE cannot give a cogroup — must not change results on
+    the hot-box fixture."""
+    from workstealing_spatial_join_spark.operators.cogroup_join import (
+        point_in_polygon_join_cogrouped,
+    )
+
+    images = spark.createDataFrame(
+        FX.images_pdf(2500, with_bytes=False)[["image_id", "lon", "lat"]]
+    )
+    polys = ingest_geometry(
+        spark.createDataFrame(FX.polygons_pdf(150)), "wkt", keep_cols=["polygon_id"]
+    )
+    plain = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join_cogrouped(images, polys).collect()
+    }
+    salted = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join_cogrouped(
+            images, polys, salt=True, target_pairs_per_task=50
+        ).collect()
+    }
+    assert plain == salted and len(plain) > 0
+
+
 def test_cost_table_targets_hot_cells(spark):
     """The fixture's hot box (10% of points in 1°×1°) must be the top
     cost cell, and only heavy cells get n_salt > 1."""

@@ -2,17 +2,28 @@
 (reference: per-thread partitioned join, src/thread_util.cpp:247-933)
 for LARGE × LARGE layers where neither side fits in a broadcast.
 
-Shape: tessellate both layers → ``groupBy(cell_id).cogroup(...)``
-→ one ``applyInPandas`` call per cell with BOTH sides' rows as pandas
-DataFrames. Each geometry crosses the JVM→Python wire once per
-covering cell (not once per candidate pair, as the WKB-column
-transport does), and the whole filter+refine for a cell runs as one
-vectorized NumPy pass — the in-Python analog of the reference's
-build-STRtree-probe-shard loop (src/thread_util.cpp:284-319).
+Shape: tessellate both layers → hash each cell into one of B BUCKETS
+(B ≈ 8× parallelism) → ``groupBy(bucket).cogroup(...)`` → one
+``applyInPandas`` call per bucket, which pairs rows PER CELL inside
+(pandas groupby, vectorized NumPy refine per cell). Each geometry
+crosses the JVM→Python wire once per covering cell (not once per
+candidate pair, as the WKB-column transport does).
 
-Skew note: a cogroup group = one task; AQE cannot split it. Pair this
-with finer ``cell_deg`` or pre-salting for pathological cells — the
-cost table (operators/skew.py) says which.
+Why buckets instead of one group per cell: cogroup pays a fixed
+pandas/Arrow cost per GROUP. With millions of mostly-tiny cells (any
+fine grid at scale) that fixed cost dominates; hashing cells into a
+bounded number of fat groups amortizes it while keeping every
+refine strictly cell-scoped. Group count stays O(cluster parallelism)
+at any data scale.
+
+Skew note: a cogroup group = one task; AQE cannot split it. Both
+cogroup joins therefore take ``salt=True`` to PRE-SPLIT hot cells
+before bucketing: the cost table (operators/skew.py) estimates
+per-cell candidate volume, the probe side gets one salt per row, the
+build side replicates across that cell's salts, and the pairing key
+becomes (cell_id, salt) — bounding the largest single cell-task the
+way TASKS_PER_JOB bounded the reference's work units
+(include/global_var.h:26).
 """
 
 from __future__ import annotations
@@ -75,6 +86,38 @@ def _refine_values(lp, rp, li, rj, predicate: str) -> np.ndarray:
     return refine_pairs_core(li, uniques_l, rj, uniques_r, predicate)
 
 
+def _salt_for_cogroup(probe: DataFrame, build: DataFrame, probe_keys,
+                      target_pairs_per_task: int):
+    """Pre-split hot cells: probe rows get one deterministic salt,
+    build rows replicate across the cell's salts. Cold cells (absent
+    from the cost table) keep salt 0 on both sides."""
+    from workstealing_spatial_join_spark.operators.skew import (
+        cell_cost_table,
+        salt_build_side,
+        salt_probe_side,
+    )
+
+    cost = cell_cost_table(
+        probe, build, target_pairs=target_pairs_per_task
+    ).where(F.col("n_salt") > 1)
+    return salt_probe_side(probe, cost, probe_keys), salt_build_side(build, cost)
+
+
+def _with_bucket(df: DataFrame, n_buckets: int, salted: bool) -> DataFrame:
+    cols = [F.col("cell_id")] + ([F.col("salt")] if salted else [])
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _default_buckets(df: DataFrame) -> int:
+    return 8 * df.sparkSession.sparkContext.defaultParallelism
+
+
+def _group_key_cols(salted: bool) -> list[str]:
+    return ["cell_id", "salt"] if salted else ["cell_id"]
+
+
 def polygon_join_cogrouped(
     left: DataFrame,
     right: DataFrame,
@@ -84,10 +127,13 @@ def polygon_join_cogrouped(
     cell_deg: float = GRID.DEFAULT_CELL_DEG,
     mode: str = "pairs",  # pairs | count
     dedup: str = "refpoint",
+    salt: bool = False,
+    target_pairs_per_task: int = 100_000,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Large×large polygon join via per-cell cogroup. Semantics match
-    operators.spatial_join.polygon_join exactly (tested) for all three
-    runtime predicates (intersects / intersection_numpoints /
+    """Large×large polygon join via cell-bucketed cogroup. Semantics
+    match operators.spatial_join.polygon_join exactly (tested) for all
+    three runtime predicates (intersects / intersection_numpoints /
     union_numpoints)."""
     if predicate not in (
         "intersects", "intersection_numpoints", "union_numpoints"
@@ -106,28 +152,31 @@ def polygon_join_cogrouped(
         ),
         cell_deg,
     )
+    if salt:
+        lt, rt = _salt_for_cogroup(lt, rt, ["lid"], target_pairs_per_task)
+    nb = n_buckets or _default_buckets(left)
+    lt = _with_bucket(lt, nb, salt)
+    rt = _with_bucket(rt, nb, salt)
+    keys = _group_key_cols(salt)
 
     empty_cols: dict = {"lid": [], "rid": []}
     if numpoints:
         empty_cols["num_points"] = []
 
-    def per_cell(key, lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
-        if lp.empty or rp.empty:
-            return pd.DataFrame(empty_cols)
+    def per_cell(cell: int, lp: pd.DataFrame, rp: pd.DataFrame):
         li, rj = _candidate_pairs_mbr(lp, rp)
         if len(li) == 0:
-            return pd.DataFrame(empty_cols)
+            return None
         if dedup == "refpoint":
             # keep the pair only in the cell holding the MBR-overlap
             # top-left corner (same rule as the Catalyst path)
-            cell = key[0]
             rx = np.maximum(lp["minx"].to_numpy()[li], rp["minx"].to_numpy()[rj])
             ry = np.maximum(lp["miny"].to_numpy()[li], rp["miny"].to_numpy()[rj])
             owner = GRID.cell_id(rx, ry, cell_deg)
             sel = owner == cell
             li, rj = li[sel], rj[sel]
             if len(li) == 0:
-                return pd.DataFrame(empty_cols)
+                return None
         vals = _refine_values(lp, rp, li, rj, predicate)
         if numpoints:
             keep = vals > 0
@@ -146,15 +195,32 @@ def polygon_join_cogrouped(
             }
         )
 
+    def per_bucket(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        if lp.empty or rp.empty:
+            return pd.DataFrame(empty_cols)
+        frames = []
+        rgroups = dict(tuple(rp.groupby(keys)))
+        for key, lg in lp.groupby(keys):
+            rg = rgroups.get(key)
+            if rg is None:
+                continue
+            cell = key[0] if isinstance(key, tuple) else key
+            out = per_cell(cell, lg, rg)
+            if out is not None:
+                frames.append(out)
+        if not frames:
+            return pd.DataFrame(empty_cols)
+        return pd.concat(frames, ignore_index=True)
+
     lid_t = lt.schema["lid"].dataType.simpleString()
     rid_t = rt.schema["rid"].dataType.simpleString()
     schema = f"lid {lid_t}, rid {rid_t}"
     if numpoints:
         schema += ", num_points bigint"
     pairs = (
-        lt.groupBy("cell_id")
-        .cogroup(rt.groupBy("cell_id"))
-        .applyInPandas(per_cell, schema=schema)
+        lt.groupBy("bucket")
+        .cogroup(rt.groupBy("bucket"))
+        .applyInPandas(per_bucket, schema=schema)
     )
     if mode == "count":
         if numpoints:
@@ -172,9 +238,13 @@ def point_in_polygon_join_cogrouped(
     lat: str = "lat",
     cell_deg: float = GRID.DEFAULT_CELL_DEG,
     mode: str = "pairs",
+    salt: bool = False,
+    target_pairs_per_task: int = 100_000,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Large×large PIP via per-cell cogroup (polygon layer too big to
-    broadcast). Each polygon crosses the wire once per covering cell."""
+    """Large×large PIP via cell-bucketed cogroup (polygon layer too
+    big to broadcast). Each polygon crosses the wire once per covering
+    cell; points pair only with polygons sharing their exact cell."""
     pts = tessellate_points(
         points.select(
             F.col(point_id).alias("point_id"),
@@ -192,10 +262,16 @@ def point_in_polygon_join_cogrouped(
         ),
         cell_deg,
     )
+    if salt:
+        pts, pls = _salt_for_cogroup(
+            pts, pls, ["point_id"], target_pairs_per_task
+        )
+    nb = n_buckets or _default_buckets(points)
+    pts = _with_bucket(pts, nb, salt)
+    pls = _with_bucket(pls, nb, salt)
+    keys = _group_key_cols(salt)
 
-    def per_cell(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
-        if lp.empty or rp.empty:
-            return pd.DataFrame({"point_id": [], "poly_id": []})
+    def per_cell(lp: pd.DataFrame, rp: pd.DataFrame):
         xs = lp["px"].to_numpy()
         ys = lp["py"].to_numpy()
         out_p, out_g = [], []
@@ -213,14 +289,32 @@ def point_in_polygon_join_cogrouped(
             hit_ids = lp["point_id"].to_numpy()[m][res]
             out_p.extend(hit_ids)
             out_g.extend([poly["poly_id"]] * len(hit_ids))
+        if not out_p:
+            return None
         return pd.DataFrame({"point_id": out_p, "poly_id": out_g})
+
+    def per_bucket(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        if lp.empty or rp.empty:
+            return pd.DataFrame({"point_id": [], "poly_id": []})
+        frames = []
+        rgroups = dict(tuple(rp.groupby(keys)))
+        for key, lg in lp.groupby(keys):
+            rg = rgroups.get(key)
+            if rg is None:
+                continue
+            out = per_cell(lg, rg)
+            if out is not None:
+                frames.append(out)
+        if not frames:
+            return pd.DataFrame({"point_id": [], "poly_id": []})
+        return pd.concat(frames, ignore_index=True)
 
     pid_t = pts.schema["point_id"].dataType.simpleString()
     gid_t = pls.schema["poly_id"].dataType.simpleString()
     pairs = (
-        pts.groupBy("cell_id")
-        .cogroup(pls.groupBy("cell_id"))
-        .applyInPandas(per_cell, schema=f"point_id {pid_t}, poly_id {gid_t}")
+        pts.groupBy("bucket")
+        .cogroup(pls.groupBy("bucket"))
+        .applyInPandas(per_bucket, schema=f"point_id {pid_t}, poly_id {gid_t}")
     )
     if mode == "count":
         return pairs.agg(F.count(F.lit(1)).alias("join_count"))
