@@ -526,11 +526,15 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     emb = TB.load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     out = cosine_topk_lsh(queries, emb, k=5, n_planes=N_PLANES, dim=EMB_DIM)
+    # no cosine column here: a raw score can sit 1 ulp from a 6-decimal
+    # rounding boundary and flip between Spark's fold and DuckDB's
+    # accumulation (observed once at sf0.001); the cosine VALUES are
+    # oracle-verified by ann_cosine_topk — this query verifies the LSH
+    # candidate generation and the ranking
     return out.select(
         F.col("query_id").alias("vec_id"),
         F.col("neighbor_id").alias("neighbor_vec_id"),
         "rank",
-        F.round("cosine", 6).alias("cosine"),
     )
 
 
@@ -962,7 +966,7 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT vec_id, neighbor_vec_id, c9, "
             "ROW_NUMBER() OVER (PARTITION BY vec_id "
             "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
-            "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank, "
-            "ROUND(c9, 6) AS cosine FROM ranked WHERE rank <= 5"
+            "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank "
+            "FROM ranked WHERE rank <= 5"
         ),
     }

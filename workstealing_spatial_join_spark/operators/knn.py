@@ -136,20 +136,30 @@ def knn_join(
     ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
 
     if initial_ring == "auto":
-        # density estimate: avg candidates per OCCUPIED cell. A ring r
-        # covers up to (2r+1)^2 cells; aim for ~4k expected candidates
-        # so round 1 settles most queries (the 4x margin covers local
-        # density variation without ballooning the candidate join).
+        # density estimate over the candidate BOUNDING BOX (occupied-
+        # cell density over-estimates sparse layers — most ring cells
+        # are empty). A ring r covers (2r+1)^2 cells; aim for ~4k
+        # expected candidates so round 1 settles most queries.
         import math
 
         stats = c.agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct("cell_id").alias("nc"),
+            F.min("cx").alias("x0"), F.max("cx").alias("x1"),
+            F.min("cy").alias("y0"), F.max("cy").alias("y1"),
         ).collect()[0]
-        avg = (stats["n"] / stats["nc"]) if stats["nc"] else 1.0
-        initial_ring = max(1, min(
-            max_ring, math.ceil((math.sqrt(4.0 * k / max(avg, 1e-9)) - 1) / 2)
-        ))
+        if stats["n"]:
+            cells = max(
+                1.0,
+                ((stats["x1"] - stats["x0"]) / cell_deg + 1)
+                * ((stats["y1"] - stats["y0"]) / cell_deg + 1),
+            )
+            density = stats["n"] / cells
+            initial_ring = max(1, min(
+                max_ring,
+                math.ceil((math.sqrt(4.0 * k / max(density, 1e-12)) - 1) / 2),
+            ))
+        else:
+            initial_ring = 1
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     settled_parts: list[DataFrame] = []
