@@ -87,3 +87,56 @@ def test_line_predicates():
 def _ring_area(ring):
     x, y = ring[:-1, 0], ring[:-1, 1]
     return abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2
+
+
+def test_is_valid_geom():
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)
+    open_ring = sq[:-1]
+    hole_in = np.array(
+        [[0.5, 0.5], [0.5, 1.0], [1.0, 1.0], [1.0, 0.5], [0.5, 0.5]], dtype=float
+    )
+    hole_out = hole_in + 5.0
+    assert G.is_valid_geom(W.POLYGON, [sq])
+    assert not G.is_valid_geom(W.POLYGON, [bow])        # self-intersecting
+    assert not G.is_valid_geom(W.POLYGON, [open_ring])  # not closed
+    assert G.is_valid_geom(W.POLYGON, [sq, hole_in])
+    assert not G.is_valid_geom(W.POLYGON, [sq, hole_out])
+    assert not G.is_valid_geom(
+        W.POLYGON, [np.array([[0, 0], [1, np.nan], [1, 1], [0, 0]])]
+    )
+    assert G.is_valid_geom(W.POINT, [np.array([[1.0, 2.0]])])
+    assert G.is_valid_geom(W.LINESTRING, [sq[:3]])
+    # concave-but-simple star stays valid
+    from workstealing_spatial_join_spark.functions import overlay as OV
+
+    star = np.array(
+        [[0, 0], [4, 1], [2, 2], [3, 4], [1, 3], [0, 0]], dtype=float
+    )
+    assert not OV.is_convex(star)
+    assert G.is_valid_geom(W.POLYGON, [star])
+
+
+def test_ingest_validate_drops_invalid(spark):
+    from workstealing_spatial_join_spark.operators.ingest import ingest_geometry
+
+    rows = [
+        (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (2, "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"),  # bowtie
+        (3, "not a geometry"),
+    ]
+    df = spark.createDataFrame(rows, "gid int, wkt string")
+    lax = ingest_geometry(df, "wkt", keep_cols=["gid"])
+    strict = ingest_geometry(df, "wkt", keep_cols=["gid"], validate=True)
+    assert {r.gid for r in lax.collect()} == {1, 2}
+    assert {r.gid for r in strict.collect()} == {1}
+    # st_is_valid UDF agrees
+    from pyspark.sql import functions as F
+
+    from workstealing_spatial_join_spark.functions.predicates import st_is_valid
+
+    flags = {
+        r.gid: r.ok
+        for r in lax.select("gid", st_is_valid(F.col("geom_wkb")).alias("ok")).collect()
+    }
+    assert flags == {1: True, 2: False}

@@ -282,6 +282,88 @@ def _point_on_path(path: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarr
     return res
 
 
+# ------------------------------------------------------------ validity
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """No self-intersection: no two NON-ADJACENT edges of the closed
+    ring touch or cross (adjacent edges share an endpoint by
+    construction). Vectorized over the edge-pair grid."""
+    p = ring[:-1]
+    n = len(p)
+    if n < 3:
+        return False
+    a0 = p
+    a1 = np.roll(p, -1, axis=0)
+    A0 = a0[:, None, :]
+    A1 = a1[:, None, :]
+    B0 = a0[None, :, :]
+    B1 = a1[None, :, :]
+
+    def orient(q, r, s):
+        return np.sign(
+            (r[..., 0] - q[..., 0]) * (s[..., 1] - q[..., 1])
+            - (r[..., 1] - q[..., 1]) * (s[..., 0] - q[..., 0])
+        )
+
+    d1 = orient(A0, A1, B0)
+    d2 = orient(A0, A1, B1)
+    d3 = orient(B0, B1, A0)
+    d4 = orient(B0, B1, A1)
+    proper = (d1 != d2) & (d3 != d4)
+
+    def on_seg(q, r, s):
+        return (
+            (s[..., 0] >= np.minimum(q[..., 0], r[..., 0]))
+            & (s[..., 0] <= np.maximum(q[..., 0], r[..., 0]))
+            & (s[..., 1] >= np.minimum(q[..., 1], r[..., 1]))
+            & (s[..., 1] <= np.maximum(q[..., 1], r[..., 1]))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(A0, A1, B0))
+        | ((d2 == 0) & on_seg(A0, A1, B1))
+        | ((d3 == 0) & on_seg(B0, B1, A0))
+        | ((d4 == 0) & on_seg(B0, B1, A1))
+    )
+    hit = proper | touch
+    i = np.arange(n)
+    adjacent = (
+        (np.abs(i[:, None] - i[None, :]) <= 1)
+        | (np.abs(i[:, None] - i[None, :]) == n - 1)
+    )
+    return not bool((hit & ~adjacent).any())
+
+
+def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
+    """Structural + topological validity (the F6 upgrade — the
+    reference only drops parse failures, src/reader.cpp:36-40):
+    finite coordinates everywhere; polygons additionally need every
+    ring closed with ≥4 points, simple (no self-intersection), and
+    each hole's anchor vertex inside the shell."""
+    for r in rings:
+        if not np.isfinite(r).all():
+            return False
+    if gtype == POINT:
+        return rings[0].shape == (1, 2)
+    if gtype == LINESTRING:
+        return len(rings[0]) >= 2
+    for r in rings:
+        if len(r) < 4:
+            return False
+        if r[0][0] != r[-1][0] or r[0][1] != r[-1][1]:
+            return False
+        if not ring_is_simple(r):
+            return False
+    shell = rings[0]
+    for hole in rings[1:]:
+        if not ring_contains_xy(
+            shell, hole[:1, 0], hole[:1, 1]
+        )[0]:
+            return False
+    return True
+
+
 # ---------------------------------------------- convex clip (ST_Intersection)
 
 

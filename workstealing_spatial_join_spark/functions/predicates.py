@@ -467,6 +467,25 @@ def make_pair_refine_broadcast(
     return refine_bc
 
 
+# ------------------------------------------------------------ validity
+
+
+@F.pandas_udf(T.BooleanType())
+def st_is_valid(wkb: pd.Series) -> pd.Series:
+    """Geometry validity (F6): structural checks + ring simplicity +
+    hole containment (functions/geom.is_valid_geom). Decoded once per
+    unique WKB per batch; parse failures are invalid."""
+    codes, uniques = pd.factorize(wkb)
+    valid = np.zeros(len(uniques), dtype=bool)
+    for u, w in enumerate(uniques):
+        try:
+            parts = _decode_one(bytes(w))
+            valid[u] = all(G.is_valid_geom(t, rings) for t, rings in parts)
+        except Exception:
+            valid[u] = False
+    return pd.Series(valid[codes])
+
+
 PREDICATES = {
     "contains_xy": st_contains_xy,
     "intersects": st_intersects,

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from workstealing_spatial_join_spark.functions import geom as GEOM
 from workstealing_spatial_join_spark.functions import wkt as W
 
 GEOM_COLS = ["geom_wkb", "gtype", "part_idx", "minx", "miny", "maxx", "maxy"]
@@ -32,6 +33,7 @@ def ingest_geometry(
     geom_col: str = "wkt",
     fmt: str = "wkt",
     keep_cols: list[str] | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Parse a WKT (or hex-WKB) string column into exploded simple
     geometries with cached bounds. One input row with a MULTI*
@@ -39,6 +41,11 @@ def ingest_geometry(
 
     Output columns: ``keep_cols + [geom_wkb, gtype, part_idx,
     minx, miny, maxx, maxy]``.
+
+    ``validate=True`` additionally drops TOPOLOGICALLY invalid parts
+    (self-intersecting rings, open rings, holes outside the shell,
+    non-finite coordinates) — the F6 upgrade beyond the reference's
+    parse-failure-only validation (src/reader.cpp:36-40).
     """
     keep_cols = keep_cols or [c for c in df.columns if c != geom_col]
     src = df.select(*keep_cols, F.col(geom_col).alias("__geom_src"))
@@ -72,6 +79,8 @@ def ingest_geometry(
                 except Exception:
                     continue  # lax validation, reference parity
                 for pidx, (gtype, rings) in enumerate(geoms):
+                    if validate and not GEOM.is_valid_geom(gtype, rings):
+                        continue
                     allc = np.vstack(rings)
                     wkbs.append(W.to_wkb(gtype, rings))
                     gtypes.append(gtype)
