@@ -52,3 +52,45 @@ def test_stream_events_hourly(spark, tmp_path):
     assert len(g) > 0
     for k, v in g.items():
         assert b[k] == v  # every emitted window matches the batch truth
+
+
+def test_stateful_sessionize_resumes_across_runs(spark, tmp_path):
+    """applyInPandasWithState sessionization: an open session survives
+    in the CHECKPOINTED state store across two separate availableNow
+    runs (process-restart semantics), and closes only when a later
+    event exceeds the gap."""
+    import pandas as pd
+
+    from workstealing_spatial_join_spark.streaming.ingest import stream_sessionize
+
+    src = tmp_path / "events_src"
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sessions_ckpt")
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).astype({"ts": "datetime64[us]"}).to_parquet(src / name, index=False)
+
+    t0 = pd.Timestamp("2026-01-01 08:00:00")
+    m = pd.Timedelta(minutes=1)
+    # run 1: user 7 has two events 10 min apart → one OPEN session
+    write_batch("a.parquet", [
+        (1, t0, 7, "click", 1.0, ""),
+        (2, t0 + 10 * m, 7, "click", 1.0, ""),
+        (3, t0, 9, "view", 1.0, ""),
+    ])
+    stream_sessionize(spark, str(src), out, ckpt)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 0  # nothing closed yet
+
+    # run 2 (new query, same checkpoint): 2h-later event closes it
+    write_batch("b.parquet", [(4, t0 + 120 * m, 7, "click", 1.0, "")])
+    stream_sessionize(spark, str(src), out, ckpt)
+    rows = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {7}
+    s = rows[7]
+    assert s.n_events == 2
+    assert s.session_end - s.session_start == 600  # the 10-min session

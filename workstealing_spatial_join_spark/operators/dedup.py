@@ -131,12 +131,28 @@ def minhash_signature_udf(num_perm: int = 64, shingle_k: int = SHINGLE_K,
     def sig(text: pd.Series) -> pd.Series:
         # duplicate texts (exact-dup corpora) shingle + hash once
         codes, uniques = pd.factorize(text)
+        sh_list = [
+            _shingle_hashes(s or "", shingle_k).astype(np.uint64)
+            for s in uniques
+        ]
+        if not sh_list:
+            return pd.Series([])
+        # the modular permutation runs once per UNIQUE SHINGLE in the
+        # batch (natural-language 5-gram vocabularies are far smaller
+        # than the shingle stream); per doc it's a gather + min
+        flat = np.concatenate(sh_list)
+        uniq_sh, inv = np.unique(flat, return_inverse=True)
+        # (a*h + b) mod p — exact limb-split modular arithmetic
+        vals_u = _fold61(
+            mulmod61(a[None, :], uniq_sh[:, None]) + b[None, :]
+        )
         sigs = []
-        for s in uniques:
-            hs = _shingle_hashes(s or "", shingle_k).astype(np.uint64)
-            # (a*h + b) mod p — exact limb-split modular arithmetic
-            vals = _fold61(mulmod61(a[None, :], hs[:, None]) + b[None, :])
-            sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+        offset = 0
+        for hs in sh_list:
+            n = len(hs)
+            rows = vals_u[inv[offset:offset + n]]
+            offset += n
+            sigs.append(rows.min(axis=0).astype(np.int64).tolist())
         return pd.Series([sigs[c] for c in codes])
 
     return sig

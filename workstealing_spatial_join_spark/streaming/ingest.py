@@ -60,6 +60,91 @@ def stream_tile_assignments(
     return writer.start()
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    available_now: bool = True,
+):
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    per-user sessionization over an event file-stream. Per-user state
+    = (session_start, last_ts, n_events) epochs; a batch's events
+    extend the open session or CLOSE it when the gap exceeds
+    ``gap_minutes`` — closed sessions are emitted as
+    ``(user_id, session_start, session_end, n_events)``.
+
+    State lives in the streaming state store under ``checkpoint_dir``:
+    a later availableNow run RESUMES open sessions across process
+    restarts (tested), which is the stateful analog of the batch
+    writer's checkpointed resume."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user,) = key
+        if state.exists:
+            st, last, n = state.get
+        else:
+            st, last, n = None, None, 0
+        closed = []
+        epochs = []
+        for pdf in pdfs:
+            epochs.append(pdf["epoch"].to_numpy())
+        import numpy as np
+
+        ts = np.sort(np.concatenate(epochs)) if epochs else np.array([])
+        for t in ts:
+            t = int(t)
+            if last is None:
+                st, last, n = t, t, 1
+            elif t - last > gap:
+                closed.append((user, st, last, n))
+                st, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if last is not None:
+            state.update((st, last, n))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .select("user_id", F.col("ts").cast("long").alias("epoch"))
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, session_start long, session_end long, n_events long"
+        ),
+        stateStructType="session_start long, last_ts long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_events_hourly(
     spark: SparkSession,
     source_dir: str,
