@@ -62,6 +62,18 @@ def tessellate_bbox(
     )
 
 
+def _collect_geom_dict(layer: DataFrame, id_col: str, max_rows: int | None):
+    """Collect (id, wkb) rows for the broadcast dictionary in ONE
+    action. ``max_rows`` None = unconditional; otherwise returns None
+    when the layer exceeds the cap (caller falls back to another
+    transport)."""
+    sel = layer.select(id_col, "geom_wkb")
+    if max_rows is None:
+        return sel.collect()
+    rows = sel.limit(max_rows + 1).collect()
+    return None if len(rows) > max_rows else rows
+
+
 def _refpoint_filter(cell_deg: float):
     """Keep a candidate pair only in the cell that contains the
     top-left (minx, miny) corner of the MBR intersection — standard
@@ -102,8 +114,8 @@ class PreparedPolygonLayer:
         ).cache()
         self.n_rows = self.exploded.count()  # materialize the cache
         self.contains_udf = None
-        if polygons.count() <= broadcast_dict_rows:
-            rows = polygons.select(poly_id, "geom_wkb").collect()
+        rows = _collect_geom_dict(polygons, poly_id, broadcast_dict_rows)
+        if rows is not None:
             self.contains_udf = make_contains_xy_broadcast(
                 polygons.sparkSession,
                 [r[0] for r in rows],
@@ -172,16 +184,16 @@ def point_in_polygon_join(
     # bandwidth), so when the polygon layer fits on the driver we ship
     # only (poly_id, x, y) and broadcast the geometry once per worker.
     contains_udf = None
-    if refine:
-        use_bc = refine_transport == "broadcast"
-        if refine_transport == "auto":
-            use_bc = polygons.count() <= broadcast_dict_rows
-        if use_bc:
+    if refine and refine_transport in ("auto", "broadcast"):
+        rows = _collect_geom_dict(
+            polygons, poly_id,
+            None if refine_transport == "broadcast" else broadcast_dict_rows,
+        )
+        if rows is not None:
             from workstealing_spatial_join_spark.functions.predicates import (
                 make_contains_xy_broadcast,
             )
 
-            rows = polygons.select(poly_id, "geom_wkb").collect()
             contains_udf = make_contains_xy_broadcast(
                 polygons.sparkSession,
                 [r[0] for r in rows],
@@ -292,26 +304,32 @@ def polygon_join(
     """
     if predicate not in PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
-    use_bc = refine_transport == "broadcast"
-    if refine_transport == "auto":
-        use_bc = (
-            left.count() <= broadcast_dict_rows
-            and right.count() <= broadcast_dict_rows
-        )
     refine_bc = None
-    if use_bc:
-        from workstealing_spatial_join_spark.functions.predicates import (
-            make_pair_refine_broadcast,
+    if refine_transport in ("auto", "broadcast"):
+        # one pass per side: the size probe and the dictionary
+        # collection are the same limited collect (a separate count()
+        # would re-run the whole ingest pipeline)
+        lrows = _collect_geom_dict(
+            left, left_id,
+            None if refine_transport == "broadcast" else broadcast_dict_rows,
         )
+        rrows = None
+        if lrows is not None:
+            rrows = _collect_geom_dict(
+                right, right_id,
+                None if refine_transport == "broadcast" else broadcast_dict_rows,
+            )
+        if lrows is not None and rrows is not None:
+            from workstealing_spatial_join_spark.functions.predicates import (
+                make_pair_refine_broadcast,
+            )
 
-        lrows = left.select(left_id, "geom_wkb").collect()
-        rrows = right.select(right_id, "geom_wkb").collect()
-        refine_bc = make_pair_refine_broadcast(
-            left.sparkSession,
-            [r[0] for r in lrows], [r[1] for r in lrows],
-            [r[0] for r in rrows], [r[1] for r in rrows],
-            predicate,
-        )
+            refine_bc = make_pair_refine_broadcast(
+                left.sparkSession,
+                [r[0] for r in lrows], [r[1] for r in lrows],
+                [r[0] for r in rrows], [r[1] for r in rrows],
+                predicate,
+            )
 
     l_cols = [F.col(left_id).alias("lid"), "minx", "miny", "maxx", "maxy"]
     r_cols = [F.col(right_id).alias("rid"), "minx", "miny", "maxx", "maxy"]
