@@ -166,3 +166,30 @@ def test_embedding_neardup_finds_planted(spark):
     assert (0, 1) in pairs and (2, 3) in pairs
     # random 32-dim gaussians essentially never hit cosine ≥ 0.99
     assert len(pairs) <= 5
+
+
+def test_phash_neardup_images(spark):
+    """Image-side near-dup: identical image bytes → identical phash →
+    hamming-0 pair; the pigeonhole join equals brute force on the
+    whole fixture set."""
+    from workstealing_spatial_join_spark.operators.dedup import phash_neardup
+    from workstealing_spatial_join_spark.sources import fixtures as FX
+
+    pdf = FX.images_pdf(60, with_bytes=True)[["image_id", "phash"]]
+    # plant a duplicate: image 1 takes image 0's phash (same bytes)
+    pdf.loc[1, "phash"] = pdf.loc[0, "phash"]
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.image_id_a, r.image_id_b): r.hamming
+        for r in phash_neardup(df, max_hamming=4).collect()
+    }
+    ph = dict(zip(pdf.image_id, pdf.phash))
+    ids = sorted(ph)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 4:
+                want[(a, b)] = h
+    assert got == want
+    assert got[(pdf.image_id.iloc[0], pdf.image_id.iloc[1])] == 0

@@ -313,25 +313,28 @@ def simhash60(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_dedup(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hash_neardup(
+    df: DataFrame,
+    id_col: str,
+    hash_col,
     max_hamming: int = 3,
+    bits: int = 64,
+    out_prefix: str = "id",
 ) -> DataFrame:
-    """Near-dup pairs with simhash hamming distance ≤ max_hamming.
-    LSH: split the 60-bit hash into (max_hamming+1) chunks — any pair
-    within distance max_hamming shares at least one exact chunk
-    (pigeonhole), so the chunk equi-join finds EVERY qualifying pair:
-    zero recall loss vs all-pairs."""
+    """Near-dup pairs on ANY integer-hash column with hamming distance
+    ≤ max_hamming — the pigeonhole chunk-LSH: split the hash into
+    (max_hamming+1) chunks; any pair within distance max_hamming
+    shares at least one exact chunk, so the chunk equi-join finds
+    EVERY qualifying pair (zero recall loss vs all-pairs) while never
+    comparing across buckets. Used for text SimHash (60-bit) and image
+    perceptual hashes (phash64)."""
     nchunks = max_hamming + 1
-    width = SIMHASH_BITS // nchunks
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"), simhash60(F.col(text_col)).alias("sh")
-    )
+    width = bits // nchunks
+    ca, cb = f"{out_prefix}_a", f"{out_prefix}_b"
+    hashed = df.select(F.col(id_col).alias("_id"), hash_col.alias("sh"))
     mask = (1 << width) - 1
     chunked = hashed.select(
-        "doc_id",
+        "_id",
         "sh",
         F.posexplode(
             F.array(
@@ -349,12 +352,12 @@ def simhash_dedup(
             on=[
                 F.col("a.chunk_idx") == F.col("b.chunk_idx"),
                 F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a._id") < F.col("b._id"),
             ],
         )
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a._id").alias(ca),
+            F.col("b._id").alias(cb),
             F.col("a.sh").alias("sh_a"),
             F.col("b.sh").alias("sh_b"),
         )
@@ -364,7 +367,37 @@ def simhash_dedup(
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_id_a", "doc_id_b", "hamming")
+        .select(ca, cb, "hamming")
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup text pairs with simhash hamming distance ≤ max_hamming
+    (exact-recall pigeonhole LSH — see ``hash_neardup``)."""
+    return hash_neardup(
+        docs, id_col, simhash60(F.col(text_col)),
+        max_hamming=max_hamming, bits=SIMHASH_BITS, out_prefix="doc_id",
+    )
+
+
+def phash_neardup(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance
+    (the image-side twin of simhash_dedup; phash64 comes from the
+    multimodal ingest — functions/images.phash64). Exact recall via
+    the pigeonhole chunk join; never all-pairs."""
+    return hash_neardup(
+        images, id_col, F.col(phash_col),
+        max_hamming=max_hamming, bits=64, out_prefix="image_id",
     )
 
 
