@@ -120,3 +120,51 @@ def test_tile_cell_assignment_cover(spark):
         per_tile[r.tile_id] += 1
     assert len(per_tile) == 64 * 64
     assert all(12 <= n <= 28 for n in per_tile.values())
+
+
+def test_dwithin_haversine_vs_bruteforce(spark):
+    """Great-circle range join vs a NumPy haversine oracle, with
+    points pushed to high latitudes where a fixed Chebyshev ring in
+    degrees would miss neighbors (longitude degrees shrink)."""
+    import pandas as pd
+
+    from workstealing_spatial_join_spark.operators.knn import (
+        EARTH_RADIUS_KM,
+        dwithin_haversine_join,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"p{i}" for i in range(n)],
+            "lon": rng.uniform(-170, 170, n),
+            # bias toward high latitudes (pole-adjacent cover matters)
+            "lat": np.clip(rng.normal(70, 15, n), -89, 89),
+        }
+    )
+    df = spark.createDataFrame(pdf).cache()
+    radius = 300.0  # km
+    got = {
+        (r.left_id, r.right_id)
+        for r in dwithin_haversine_join(
+            df, df, radius, exclude_self=True, cell_deg=1.0
+        ).collect()
+    }
+
+    lon = np.radians(pdf.lon.to_numpy())
+    lat = np.radians(pdf.lat.to_numpy())
+    dlat = lat[:, None] - lat[None, :]
+    dlon = lon[:, None] - lon[None, :]
+    a = (
+        np.sin(dlat / 2) ** 2
+        + np.cos(lat)[:, None] * np.cos(lat)[None, :] * np.sin(dlon / 2) ** 2
+    )
+    d = 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+    ids = pdf.image_id.to_numpy()
+    want = {
+        (ids[i], ids[j])
+        for i, j in zip(*np.nonzero(d <= radius))
+        if i != j
+    }
+    assert got == want and len(want) > 50

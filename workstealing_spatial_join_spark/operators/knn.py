@@ -57,6 +57,116 @@ def _ring_cells(df: DataFrame, r: int, cell_deg: float) -> DataFrame:
     ).drop("ring_x", "ring_y")
 
 
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean radius
+_KM_PER_DEG = EARTH_RADIUS_KM * 3.141592653589793 / 180.0  # ≈ 111.195
+
+
+def _haversine_km(qx, qy, cx, cy):
+    """Great-circle distance in km — pure Catalyst (sin/cos/asin are
+    JVM intrinsics; no Python)."""
+    rad = F.lit(3.141592653589793 / 180.0)
+    dlat = (cy - qy) * rad
+    dlon = (cx - qx) * rad
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(qy * rad) * F.cos(cy * rad)
+        * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def dwithin_haversine_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    left_id: str = "image_id",
+    right_id: str = "image_id",
+    l_lon: str = "lon",
+    l_lat: str = "lat",
+    r_lon: str = "lon",
+    r_lat: str = "lat",
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Great-circle fixed-radius range join. The cell cover is
+    POLE-SAFE: the latitude ring is radius/111.2km-per-degree, and the
+    longitude ring widens by 1/cos at the band's extreme latitude
+    (longitude degrees shrink toward the poles — a fixed Chebyshev
+    ring would MISS true neighbors there). Everything stays Catalyst;
+    the per-row longitude cover is a per-row sequence bound.
+
+    Known limitation (shared with the whole grid): the cell cover
+    CLAMPS at ±180° — pairs whose shortest arc crosses the
+    antimeridian are not candidates (ROADMAP)."""
+    import math
+
+    nx, ny = GRID.grid_dims(cell_deg)
+    lat_deg = radius_km / _KM_PER_DEG
+    r_lat_cells = max(1, math.ceil(lat_deg / cell_deg))
+    q = left.select(
+        F.col(left_id).alias("left_id"),
+        F.col(l_lon).alias("qx"),
+        F.col(l_lat).alias("qy"),
+    )
+    c = right.select(
+        F.col(right_id).alias("right_id"),
+        F.col(r_lon).alias("cx"),
+        F.col(r_lat).alias("cy"),
+    ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
+
+    # conservative per-row longitude cover at the band's extreme |lat|
+    # (smallest cos → widest reach). The EXACT spherical bound is
+    # λ_max = 2·asin(sin(ρ/2)/cos φ) — the linear ρ/cos φ UNDER-covers
+    # at high latitude; beyond sin-ratio ≥ 1 the radius wraps the pole
+    # and every longitude qualifies.
+    extreme = F.least(F.abs(F.col("qy")) + F.lit(lat_deg), F.lit(89.99))
+    rad = F.lit(3.141592653589793 / 180.0)
+    sin_half = F.lit(
+        math.sin(radius_km / (2.0 * EARTH_RADIUS_KM))
+    )
+    ratio = sin_half / F.cos(extreme * rad)
+    lon_deg = F.asin(F.least(ratio, F.lit(1.0))) * F.lit(2.0) / rad + F.lit(1e-9)
+    # pole wrap (ratio ≥ 1): EVERY longitude qualifies — the ring must
+    # span the full x index range (cx ± nx clamps to [0, nx-1]); a
+    # half-circle reach would clamp away the far side instead of
+    # wrapping
+    rx = F.when(ratio >= 1.0, F.lit(int(nx)).cast("long")).otherwise(
+        F.ceil(lon_deg / F.lit(cell_deg)).cast("long")
+    )
+    cx_idx = GRID.cell_x_col(F.col("qx"), cell_deg)
+    cy_idx = GRID.cell_y_col(F.col("qy"), cell_deg)
+    ringed = q.withColumn(
+        "ring_x",
+        F.explode(
+            F.sequence(
+                F.greatest(cx_idx - rx, F.lit(0)),
+                F.least(cx_idx + rx, F.lit(nx - 1)),
+            )
+        ),
+    ).withColumn(
+        "ring_y",
+        F.explode(
+            F.sequence(
+                F.greatest(cy_idx - F.lit(r_lat_cells), F.lit(0)),
+                F.least(cy_idx + F.lit(r_lat_cells), F.lit(ny - 1)),
+            )
+        ),
+    ).withColumn(
+        "cell_id",
+        F.col("ring_x").cast("long") * F.lit(4294967296).cast("long")
+        + F.col("ring_y").cast("long"),
+    ).drop("ring_x", "ring_y")
+    cand = ringed.join(c, on="cell_id")
+    if exclude_self:
+        cand = cand.where(F.col("left_id") != F.col("right_id"))
+    return cand.withColumn(
+        "dist_km",
+        _haversine_km(F.col("qx"), F.col("qy"), F.col("cx"), F.col("cy")),
+    ).where(F.col("dist_km") <= F.lit(float(radius_km))).select(
+        "left_id", "right_id", "dist_km"
+    )
+
+
 def dwithin_join(
     left: DataFrame,
     right: DataFrame,
