@@ -335,6 +335,32 @@ def q_dwithin_pairs(spark, sf_dir):
     )
 
 
+def q_dwithin_haversine(spark, sf_dir):
+    """Great-circle range join (500 km) customer→supplier — the
+    spherical-metric twin of dwithin_pairs, with the pole-safe
+    longitude cover live. Oracle recomputes the haversine in SQL;
+    outputs round to 3 decimals (JVM and DuckDB libm differ in the
+    last ulp)."""
+    from workstealing_spatial_join_spark.operators.knn import (
+        dwithin_haversine_join,
+    )
+
+    pts = TB.customer_points(spark, sf_dir)
+    sup = TB.supplier_rects(spark, sf_dir).select(
+        "rect_id",
+        ((F.col("minx") + F.col("maxx")) / 2.0).alias("lon"),
+        ((F.col("miny") + F.col("maxy")) / 2.0).alias("lat"),
+    )
+    return dwithin_haversine_join(
+        pts, sup, radius_km=500.0, left_id="point_id", right_id="rect_id",
+        cell_deg=CELL,
+    ).select(
+        F.col("left_id").alias("c_custkey"),
+        F.col("right_id").alias("s_suppkey"),
+        F.round("dist_km", 3).alias("dist_km"),
+    )
+
+
 def q_q1_pricing(spark, sf_dir):
     li = TB.load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
@@ -557,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rect_overlap_count": q_tile_rect_overlap_count,
         "knn_suppliers": q_knn_suppliers,
         "dwithin_pairs": q_dwithin_pairs,
+        "dwithin_haversine": q_dwithin_haversine,
         "q1_pricing": q_q1_pricing,
         "q6_revenue": q_q6_revenue,
         "exact_dedup": q_exact_dedup,
@@ -814,6 +841,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM q CROSS JOIN c "
             "WHERE SQRT((q.lon - c.cx) * (q.lon - c.cx) "
             "+ (q.lat - c.cy) * (q.lat - c.cy)) <= 2.5"
+        ),
+        "dwithin_haversine": (
+            f"WITH q AS ({_PTS}), "
+            "c AS (SELECT rect_id, (minx + maxx) / 2.0 AS cx, "
+            f"(miny + maxy) / 2.0 AS cy FROM ({_SUP})), "
+            "s AS (SELECT q.point_id, c.rect_id, "
+            "2.0 * 6371.0088 * asin(sqrt("
+            "sin((c.cy - q.lat) * 0.008726646259971648) "
+            "* sin((c.cy - q.lat) * 0.008726646259971648) "
+            "+ cos(q.lat * 0.017453292519943295) "
+            "* cos(c.cy * 0.017453292519943295) "
+            "* sin((c.cx - q.lon) * 0.008726646259971648) "
+            "* sin((c.cx - q.lon) * 0.008726646259971648))) AS d "
+            "FROM q CROSS JOIN c) "
+            "SELECT point_id AS c_custkey, rect_id AS s_suppkey, "
+            "ROUND(d, 3) AS dist_km FROM s WHERE d <= 500.0"
         ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "

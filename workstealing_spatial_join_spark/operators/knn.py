@@ -92,12 +92,11 @@ def dwithin_haversine_join(
     POLE-SAFE: the latitude ring is radius/111.2km-per-degree, and the
     longitude ring widens by 1/cos at the band's extreme latitude
     (longitude degrees shrink toward the poles — a fixed Chebyshev
-    ring would MISS true neighbors there). Everything stays Catalyst;
-    the per-row longitude cover is a per-row sequence bound.
-
-    Known limitation (shared with the whole grid): the cell cover
-    CLAMPS at ±180° — pairs whose shortest arc crosses the
-    antimeridian are not candidates (ROADMAP)."""
+    ring would MISS true neighbors there), and the longitude ring
+    WRAPS at ±180° (antimeridian pairs are genuine neighbors on the
+    sphere — ring indices pass through pmod; array_distinct collapses
+    full-circle rings). Everything stays Catalyst; the per-row
+    longitude cover is a per-row sequence bound."""
     import math
 
     nx, ny = GRID.grid_dims(cell_deg)
@@ -135,12 +134,17 @@ def dwithin_haversine_join(
     )
     cx_idx = GRID.cell_x_col(F.col("qx"), cell_deg)
     cy_idx = GRID.cell_y_col(F.col("qy"), cell_deg)
+    # longitude WRAPS (antimeridian pairs are real neighbors on the
+    # sphere): ring indices go through pmod, array_distinct collapses
+    # the overlap when the ring spans the full circle
     ringed = q.withColumn(
         "ring_x",
         F.explode(
-            F.sequence(
-                F.greatest(cx_idx - rx, F.lit(0)),
-                F.least(cx_idx + rx, F.lit(nx - 1)),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(cx_idx - rx, cx_idx + rx),
+                    lambda x: F.pmod(x, F.lit(int(nx))),
+                )
             )
         ),
     ).withColumn(
