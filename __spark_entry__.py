@@ -418,6 +418,18 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", TX.lang_id_col(F.col("text")).alias("lang_pred"))
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """64-bit rolling-hash document fingerprint (textops family) —
+    the oracle recomputes the wrapping mod-2^64 recurrence with
+    HUGEINT list_reduce."""
+    from workstealing_spatial_join_spark.operators.textops import fingerprint64
+
+    docs = TB.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint64(F.col("text")).alias("fingerprint")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = TB.load(spark, sf_dir, "events")
     return (
@@ -590,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "doc_jaccard_adjacent": q_doc_jaccard_adjacent,
@@ -908,6 +921,19 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en' "
             "WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es' "
             "ELSE 'fr' END AS lang_pred FROM s"
+        ),
+        "doc_fingerprint": (
+            "WITH fp AS (SELECT doc_id, list_reduce("
+            "list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+            "list_transform([unicode(substr(t, i, 1)) "
+            "for i in range(1, length(t) + 1)], "
+            "x -> CAST(x AS HUGEINT))), "
+            "(acc, b) -> (acc * 1099511628211 + b) % 18446744073709551616"
+            ") AS v FROM (SELECT doc_id, COALESCE(text, '') AS t "
+            "FROM documents)) "
+            "SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808 "
+            "THEN v - 18446744073709551616 ELSE v END AS BIGINT) "
+            "AS fingerprint FROM fp"
         ),
         "events_hourly": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, "

@@ -100,18 +100,31 @@ def ngram_jaccard_cols(a: Column, b: Column, k: int = 3) -> Column:
 @F.pandas_udf(T.LongType())
 def fingerprint64(text: pd.Series) -> pd.Series:
     """Deterministic 64-bit rolling-hash document fingerprint
-    (polynomial rolling hash, base 1099511628211 — FNV-ish), as a
-    vectorized pandas UDF."""
-    out = np.zeros(len(text), dtype=np.uint64)
+    (FNV-style polynomial, base 1099511628211, wrapping mod 2^64),
+    SQL-reproducible (HUGEINT list_reduce in the oracle). Vectorized:
+    the rolling recurrence h_n = C·B^n + Σ b_i·B^(n-1-i) unrolls into
+    one wrapping dot product per doc — the only Python loop is over
+    the power table (max doc length)."""
     base = np.uint64(1099511628211)
-    for i, s in enumerate(text):
-        h = np.uint64(14695981039346656037)
-        if s:
-            data = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-            for b in data.astype(np.uint64):
-                h = (h * base + b) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return pd.Series(out.astype(np.int64))
+    seed = np.uint64(14695981039346656037)
+    codes, uniques = pd.factorize(text)
+    bufs = [(s or "").encode("utf-8", "ignore") for s in uniques]
+    maxlen = max((len(b) for b in bufs), default=0)
+    pows = np.empty(maxlen + 1, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(1, maxlen + 1):
+            pows[i] = pows[i - 1] * base
+        vals = np.empty(len(uniques), dtype=np.uint64)
+        for u, buf in enumerate(bufs):
+            n = len(buf)
+            if n == 0:
+                vals[u] = seed
+                continue
+            data = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+            # wrapping add is associative mod 2^64 — sum order free
+            vals[u] = seed * pows[n] + (data * pows[n - 1::-1]).sum()
+    return pd.Series(vals[codes].astype(np.int64))
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
