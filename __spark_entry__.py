@@ -524,6 +524,24 @@ EMB_DIM = 64
 COS_THRESHOLD = 0.4
 
 
+def q_ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF ANN scale path: deterministic coarse quantizer (lowest-id
+    vectors as centroids), inverted-list probe (4 of 32 lists), exact
+    re-rank. Oracle replays quantization, probing, and ranking."""
+    from workstealing_spatial_join_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = TB.load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = cosine_topk_ivf(queries, emb, k=5, n_centroids=32, n_probe=4)
+    return out.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("neighbor_vec_id"),
+        "rank",
+    )
+
+
 def q_simhash_docs(spark, sf_dir):
     docs = TB.load(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash60(F.col("text")).alias("simhash"))
@@ -609,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_stats": q_events_user_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "simhash_docs": q_simhash_docs,
         "simhash_dedup": q_simhash_dedup,
         "minhash_neardup": q_minhash_neardup,
@@ -990,6 +1009,34 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
             "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank, "
             "ROUND(c9, 6) AS cosine FROM ranked WHERE rank <= 5"
+        ),
+        "ann_cosine_topk_ivf": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings), "
+            "cents AS (SELECT vec_id AS list_id, e AS centv FROM v "
+            "ORDER BY vec_id LIMIT 32), "
+            "ca AS (SELECT v.vec_id, v.e, c.list_id, "
+            "ROUND(list_cosine_similarity(v.e, c.centv), 9) AS cs "
+            "FROM v CROSS JOIN cents c), "
+            "corp AS (SELECT vec_id AS neighbor_vec_id, e, list_id FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY cs DESC, list_id) AS r FROM ca) WHERE r = 1), "
+            "qp AS (SELECT vec_id, list_id FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY cs DESC, list_id) AS r FROM ca WHERE vec_id < 20) "
+            "WHERE r <= 4), "
+            "cand AS (SELECT DISTINCT q.vec_id, c.neighbor_vec_id "
+            "FROM qp q JOIN corp c ON q.list_id = c.list_id "
+            "AND q.vec_id <> c.neighbor_vec_id), "
+            "scored AS (SELECT cand.vec_id, cand.neighbor_vec_id, "
+            "ROUND(list_cosine_similarity(a.e, b.e), 9) AS c9 FROM cand "
+            "JOIN v a ON a.vec_id = cand.vec_id "
+            "JOIN v b ON b.vec_id = cand.neighbor_vec_id), "
+            "ranked AS (SELECT vec_id, neighbor_vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
+            "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank "
+            "FROM ranked WHERE rank <= 5"
         ),
         "simhash_docs": (
             f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sh"

@@ -193,3 +193,34 @@ def test_phash_neardup_images(spark):
                 want[(a, b)] = h
     assert got == want
     assert got[(pdf.image_id.iloc[0], pdf.image_id.iloc[1])] == 0
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF probe (4 of 16 lists) must keep useful recall vs the exact
+    baseline on a clustered corpus."""
+    from workstealing_spatial_join_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(30, 64))
+    vecs = (
+        centers[rng.integers(0, 30, 400)]
+        + rng.normal(scale=0.25, size=(400, 64))
+    ).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    q = emb.where(F.col("vec_id") < 25)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(q, emb, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall

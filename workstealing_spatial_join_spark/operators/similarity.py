@@ -74,6 +74,82 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    n_centroids: int = 32,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors partition into
+    inverted lists by nearest centroid (deterministic coarse
+    quantizer: the n_centroids lowest-id corpus vectors — no k-means
+    iterations, so the whole operator is SQL-replayable); queries
+    probe their n_probe nearest lists and re-rank exactly inside.
+
+    100-TB shape: list assignment is one broadcast pass over the
+    corpus; the probe is an equi-join on list_id against a corpus
+    BUCKETED/partitioned by list_id, so a query touches only
+    n_probe/n_centroids of the data. Zero Python anywhere (Catalyst
+    higher-order-function dot products)."""
+    cents = F.broadcast(
+        corpus.orderBy(c_id).limit(n_centroids).select(
+            F.col(c_id).alias("list_id"), F.col(c_vec).alias("centv")
+        ).withColumn("cnorm", _norm(F.col("centv")))
+    )
+
+    def assign(df, id_out, vec_out, keep_n):
+        scored = df.crossJoin(cents).select(
+            F.col(id_out),
+            F.col(vec_out),
+            "list_id",
+            F.round(
+                _dot(F.col(vec_out), F.col("centv"))
+                / (_norm(F.col(vec_out)) * F.col("cnorm")),
+                9,
+            ).alias("cscore"),
+        )
+        w = Window.partitionBy(id_out).orderBy(
+            F.desc("cscore"), F.asc("list_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= keep_n)
+            .drop("cscore", "crank")
+        )
+
+    c = assign(
+        corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv")),
+        "neighbor_id", "cv", 1,
+    )
+    q = assign(
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv")),
+        "query_id", "qv", n_probe,
+    )
+    cand = q.join(c, on="list_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            9,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
