@@ -97,6 +97,27 @@ def test_polygon_join_wkb_transport_still_works(layers):
     assert a == b and a > 0
 
 
+def test_parquet_filter_and_column_pushdown(spark, tmp_path):
+    """Filters and projections must reach the parquet scan: the plan
+    shows PushedFilters with the predicate and a ReadSchema pruned to
+    the selected columns (a scan reading all columns for a 2-column
+    projection is wrong at any scale)."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "pd")
+    spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("a"),
+        (F.col("id") * 3).alias("b"),
+        (F.col("id") * 5).alias("c"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("id") > 100).select("id", "a")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,100)]" in plan, plan
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "a:" in read and "b:" not in read and "c:" not in read, read
+
+
 def test_strategy_matrix():
     assert choose_pip_strategy(10**9, 10**4).broadcast is True
     s = choose_pip_strategy(10**9, 10**8, max_cell_share=0.2)
