@@ -168,3 +168,94 @@ def test_ingest_multipart_and_invalid(spark):
     assert len(by_gid["a"]) == 2  # multipart exploded
     assert "b" not in by_gid and "d" not in by_gid  # dropped silently
     assert by_gid["c"][0].minx == 3.0 and by_gid["c"][0].maxy == 4.0
+
+
+def test_polygon_join_concave_random_layers(spark):
+    """Spark-level differential test on RANDOM CONCAVE layers: the
+    full polygon_join pipeline (tessellation, refpoint dedup,
+    broadcast pair-dict transport, GH refine) vs a nested-loop Python
+    oracle — guards the general-overlay path independently of the
+    committed concave fixture."""
+    import numpy as np
+
+    from workstealing_spatial_join_spark.functions import overlay as OV
+    from workstealing_spatial_join_spark.functions import wkt as W
+    from workstealing_spatial_join_spark.operators.spatial_join import (
+        polygon_join,
+    )
+
+    rng = np.random.default_rng(31)
+
+    def star(cx, cy, nv):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.4, 1.5, nv)
+        pts = np.round(
+            np.column_stack(
+                [cx + rad * np.cos(ang), cy + rad * np.sin(ang)]
+            ),
+            3,
+        )
+        return np.vstack([pts, pts[:1]])
+
+    def layer(n, seed_ids):
+        rows = []
+        for i in range(n):
+            ring = star(rng.uniform(-6, 6), rng.uniform(-6, 6),
+                        int(rng.integers(6, 14)))
+            rows.append(
+                (
+                    seed_ids + i,
+                    bytearray(W.to_wkb(W.POLYGON, [ring])),
+                    float(ring[:, 0].min()), float(ring[:, 1].min()),
+                    float(ring[:, 0].max()), float(ring[:, 1].max()),
+                    ring,
+                )
+            )
+        return rows
+
+    la, lb = layer(45, 0), layer(55, 1000)
+    schema = (
+        "pid long, geom_wkb binary, minx double, miny double, "
+        "maxx double, maxy double"
+    )
+    da = spark.createDataFrame([r[:6] for r in la], schema)
+    db = spark.createDataFrame([r[:6] for r in lb], schema)
+
+    # python oracle with the predicate registry's exception parity
+    def oracle(pred):
+        out = {}
+        for ida, _, ax0, ay0, ax1, ay1, ra in la:
+            for idb, _, bx0, by0, bx1, by1, rb in lb:
+                if ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1:
+                    continue
+                try:
+                    n = OV.polygon_intersection_num_points([ra], [rb])
+                except OV.DegenerateGeometry:
+                    n = 0
+                if pred == "intersects":
+                    from workstealing_spatial_join_spark.functions import (
+                        geom as G,
+                    )
+
+                    if G.intersects((W.POLYGON, [ra]), (W.POLYGON, [rb])):
+                        out[(ida, idb)] = True
+                elif n > 0:
+                    out[(ida, idb)] = n
+        return out
+
+    got_i = {
+        (r.lid, r.rid)
+        for r in polygon_join(
+            da, db, "pid", "pid", predicate="intersects", cell_deg=1.0
+        ).collect()
+    }
+    assert got_i == set(oracle("intersects"))
+    got_n = {
+        (r.lid, r.rid): r.num_points
+        for r in polygon_join(
+            da, db, "pid", "pid", predicate="intersection_numpoints",
+            cell_deg=1.0,
+        ).collect()
+    }
+    assert got_n == oracle("intersection_numpoints")
+    assert len(got_n) > 30  # layers actually overlap
