@@ -20,23 +20,65 @@ No per-row Python anywhere; DataFrames everywhere; no RDDs.
 
 from workstealing_spatial_join_spark.session import get_spark
 from workstealing_spatial_join_spark.operators.spatial_join import (
+    PreparedPolygonLayer,
     point_in_polygon_join,
     polygon_join,
 )
-from workstealing_spatial_join_spark.operators.knn import knn_join
+from workstealing_spatial_join_spark.operators.cogroup_join import (
+    point_in_polygon_join_cogrouped,
+    polygon_join_cogrouped,
+)
+from workstealing_spatial_join_spark.operators.knn import (
+    dwithin_haversine_join,
+    dwithin_join,
+    knn_join,
+)
 from workstealing_spatial_join_spark.operators.tiles import (
     assign_tiles,
     tile_cell_assignment,
 )
+from workstealing_spatial_join_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_dedup,
+    phash_neardup,
+    simhash_dedup,
+)
+from workstealing_spatial_join_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
+from workstealing_spatial_join_spark.sources.writer import write_resumable
+from workstealing_spatial_join_spark.sources.bucketed import (
+    pip_join_bucketed,
+    save_bucketed_polygon_layer,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "get_spark",
+    "PreparedPolygonLayer",
     "point_in_polygon_join",
     "polygon_join",
+    "point_in_polygon_join_cogrouped",
+    "polygon_join_cogrouped",
     "knn_join",
+    "dwithin_join",
+    "dwithin_haversine_join",
     "assign_tiles",
     "tile_cell_assignment",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "phash_neardup",
+    "embedding_neardup",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "write_resumable",
+    "save_bucketed_polygon_layer",
+    "pip_join_bucketed",
     "__version__",
 ]
