@@ -168,3 +168,52 @@ def test_dwithin_haversine_vs_bruteforce(spark):
         if i != j
     }
     assert got == want and len(want) > 50
+
+
+def test_knn_haversine_vs_bruteforce(spark):
+    """Great-circle kNN vs a NumPy haversine oracle — high latitudes
+    AND antimeridian-adjacent longitudes included (both break planar
+    ring covers)."""
+    import pandas as pd
+
+    from workstealing_spatial_join_spark.operators.knn import (
+        EARTH_RADIUS_KM,
+        knn_haversine_join,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"h{i:03d}" for i in range(n)],
+            "lon": rng.uniform(-180, 180, n),
+            "lat": np.clip(rng.normal(60, 25, n), -89, 89),
+        }
+    )
+    df = spark.createDataFrame(pdf).cache()
+    got_rows = knn_haversine_join(
+        df.limit(25), df, k=4, exclude_self=True, cell_deg=1.0
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+
+    lon = np.radians(pdf.lon.to_numpy())
+    lat = np.radians(pdf.lat.to_numpy())
+    dlat = lat[:, None] - lat[None, :]
+    dlon = lon[:, None] - lon[None, :]
+    a = (
+        np.sin(dlat / 2) ** 2
+        + np.cos(lat)[:, None] * np.cos(lat)[None, :] * np.sin(dlon / 2) ** 2
+    )
+    d = 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+    ids = pdf.image_id.to_numpy()
+    want = {}
+    for qid in got:
+        i = int(np.nonzero(ids == qid)[0][0])
+        order = sorted(
+            ((d[i, j], ids[j]) for j in range(n) if j != i)
+        )
+        want[qid] = [nid for _, nid in order[:4]]
+    assert got == want
+    assert all(len(v) == 4 for v in got.values())

@@ -31,6 +31,7 @@ from workstealing_spatial_join_spark.operators.cogroup_join import (
 from workstealing_spatial_join_spark.operators.knn import (
     dwithin_haversine_join,
     dwithin_join,
+    knn_haversine_join,
     knn_join,
 )
 from workstealing_spatial_join_spark.operators.tiles import (
@@ -67,6 +68,7 @@ __all__ = [
     "knn_join",
     "dwithin_join",
     "dwithin_haversine_join",
+    "knn_haversine_join",
     "assign_tiles",
     "tile_cell_assignment",
     "exact_dedup",

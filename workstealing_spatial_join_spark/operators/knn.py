@@ -75,6 +75,60 @@ def _haversine_km(qx, qy, cx, cy):
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def _haversine_ring_cover(
+    q: DataFrame, radius_km: float, cell_deg: float
+) -> DataFrame:
+    """Explode query rows (qx, qy) into every cell that can hold a
+    point within ``radius_km`` great-circle distance — the spherical
+    cover shared by dwithin_haversine_join and knn_haversine_join.
+
+    Latitude ring = radius/111.2 km-per-degree. Longitude ring uses
+    the EXACT spherical bound λ_max = 2·asin(sin(ρ/2)/cos φ) at the
+    band's extreme |lat| (the linear ρ/cos φ bound UNDER-covers at
+    high latitude); when sin-ratio ≥ 1 the radius wraps the pole and
+    every longitude qualifies. Longitude WRAPS at ±180° (pmod ring
+    indices; array_distinct collapses full-circle rings)."""
+    import math
+
+    nx, ny = GRID.grid_dims(cell_deg)
+    lat_deg = radius_km / _KM_PER_DEG
+    r_lat_cells = max(1, math.ceil(lat_deg / cell_deg))
+    extreme = F.least(F.abs(F.col("qy")) + F.lit(lat_deg), F.lit(89.99))
+    rad = F.lit(3.141592653589793 / 180.0)
+    sin_half = F.lit(math.sin(min(radius_km, 3.0 * EARTH_RADIUS_KM) /
+                              (2.0 * EARTH_RADIUS_KM)))
+    ratio = sin_half / F.cos(extreme * rad)
+    lon_deg = F.asin(F.least(ratio, F.lit(1.0))) * F.lit(2.0) / rad + F.lit(1e-9)
+    rx = F.when(ratio >= 1.0, F.lit(int(nx)).cast("long")).otherwise(
+        F.ceil(lon_deg / F.lit(cell_deg)).cast("long")
+    )
+    cx_idx = GRID.cell_x_col(F.col("qx"), cell_deg)
+    cy_idx = GRID.cell_y_col(F.col("qy"), cell_deg)
+    return q.withColumn(
+        "ring_x",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(cx_idx - rx, cx_idx + rx),
+                    lambda x: F.pmod(x, F.lit(int(nx))),
+                )
+            )
+        ),
+    ).withColumn(
+        "ring_y",
+        F.explode(
+            F.sequence(
+                F.greatest(cy_idx - F.lit(r_lat_cells), F.lit(0)),
+                F.least(cy_idx + F.lit(r_lat_cells), F.lit(ny - 1)),
+            )
+        ),
+    ).withColumn(
+        "cell_id",
+        F.col("ring_x").cast("long") * F.lit(4294967296).cast("long")
+        + F.col("ring_y").cast("long"),
+    ).drop("ring_x", "ring_y")
+
+
 def dwithin_haversine_join(
     left: DataFrame,
     right: DataFrame,
@@ -113,53 +167,7 @@ def dwithin_haversine_join(
         F.col(r_lat).alias("cy"),
     ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
 
-    # conservative per-row longitude cover at the band's extreme |lat|
-    # (smallest cos → widest reach). The EXACT spherical bound is
-    # λ_max = 2·asin(sin(ρ/2)/cos φ) — the linear ρ/cos φ UNDER-covers
-    # at high latitude; beyond sin-ratio ≥ 1 the radius wraps the pole
-    # and every longitude qualifies.
-    extreme = F.least(F.abs(F.col("qy")) + F.lit(lat_deg), F.lit(89.99))
-    rad = F.lit(3.141592653589793 / 180.0)
-    sin_half = F.lit(
-        math.sin(radius_km / (2.0 * EARTH_RADIUS_KM))
-    )
-    ratio = sin_half / F.cos(extreme * rad)
-    lon_deg = F.asin(F.least(ratio, F.lit(1.0))) * F.lit(2.0) / rad + F.lit(1e-9)
-    # pole wrap (ratio ≥ 1): EVERY longitude qualifies — the ring must
-    # span the full x index range (cx ± nx clamps to [0, nx-1]); a
-    # half-circle reach would clamp away the far side instead of
-    # wrapping
-    rx = F.when(ratio >= 1.0, F.lit(int(nx)).cast("long")).otherwise(
-        F.ceil(lon_deg / F.lit(cell_deg)).cast("long")
-    )
-    cx_idx = GRID.cell_x_col(F.col("qx"), cell_deg)
-    cy_idx = GRID.cell_y_col(F.col("qy"), cell_deg)
-    # longitude WRAPS (antimeridian pairs are real neighbors on the
-    # sphere): ring indices go through pmod, array_distinct collapses
-    # the overlap when the ring spans the full circle
-    ringed = q.withColumn(
-        "ring_x",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(cx_idx - rx, cx_idx + rx),
-                    lambda x: F.pmod(x, F.lit(int(nx))),
-                )
-            )
-        ),
-    ).withColumn(
-        "ring_y",
-        F.explode(
-            F.sequence(
-                F.greatest(cy_idx - F.lit(r_lat_cells), F.lit(0)),
-                F.least(cy_idx + F.lit(r_lat_cells), F.lit(ny - 1)),
-            )
-        ),
-    ).withColumn(
-        "cell_id",
-        F.col("ring_x").cast("long") * F.lit(4294967296).cast("long")
-        + F.col("ring_y").cast("long"),
-    ).drop("ring_x", "ring_y")
+    ringed = _haversine_ring_cover(q, radius_km, cell_deg)
     cand = ringed.join(c, on="cell_id")
     if exclude_self:
         cand = cand.where(F.col("left_id") != F.col("right_id"))
@@ -169,6 +177,104 @@ def dwithin_haversine_join(
     ).where(F.col("dist_km") <= F.lit(float(radius_km))).select(
         "left_id", "right_id", "dist_km"
     )
+
+
+def knn_haversine_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "image_id",
+    cand_id: str = "image_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    c_lon: str = "lon",
+    c_lat: str = "lat",
+    cell_deg: float = GRID.DEFAULT_CELL_DEG,
+    initial_radius_km: float | str = "auto",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Great-circle kNN: radius-doubling rounds over the spherical
+    cell cover (pole-safe, antimeridian-wrapping — the same cover as
+    dwithin_haversine_join). A query SETTLES when it has ≥k candidates
+    and its k-th distance is STRICTLY inside the covered radius (the
+    cover is a superset of the radius ball, so every unseen candidate
+    is farther). Returns (query_id, neighbor_id, rank, dist_km);
+    ties break by neighbor_id."""
+    import math
+
+    global_cover_km = 180.0 * _KM_PER_DEG + 1.0  # whole globe covered
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(q_lon).alias("qx"),
+        F.col(q_lat).alias("qy"),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"),
+        F.col(c_lon).alias("cx"),
+        F.col(c_lat).alias("cy"),
+    ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
+
+    if initial_radius_km == "auto":
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cx").alias("x0"), F.max("cx").alias("x1"),
+            F.min("cy").alias("y0"), F.max("cy").alias("y1"),
+        ).collect()[0]
+        if stats["n"]:
+            cells = max(
+                1.0,
+                ((stats["x1"] - stats["x0"]) / cell_deg + 1)
+                * ((stats["y1"] - stats["y0"]) / cell_deg + 1),
+            )
+            density = stats["n"] / cells
+            r0 = max(1, math.ceil(
+                (math.sqrt(4.0 * k / max(density, 1e-12)) - 1) / 2
+            ))
+            initial_radius_km = r0 * cell_deg * _KM_PER_DEG
+        else:
+            initial_radius_km = cell_deg * _KM_PER_DEG
+
+    w = Window.partitionBy("query_id").orderBy("dist_km", "neighbor_id")
+    settled_parts: list[DataFrame] = []
+    remaining = q.localCheckpoint(eager=True)
+    radius = float(initial_radius_km)
+    while True:
+        ringed = _haversine_ring_cover(remaining, radius, cell_deg)
+        cand = ringed.join(c, on="cell_id")
+        if exclude_self:
+            cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+        scored = cand.withColumn(
+            "dist_km",
+            _haversine_km(F.col("qx"), F.col("qy"), F.col("cx"), F.col("cy")),
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "dist_km")
+        )
+        if radius >= global_cover_km:
+            settled_parts.append(topk)
+            break
+        topk = topk.localCheckpoint(eager=True)
+        per_q = topk.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist_km").alias("kth")
+        )
+        settled_ids = per_q.where(
+            (F.col("n") >= k) & (F.col("kth") < F.lit(radius))
+        ).select("query_id")
+        settled_parts.append(
+            topk.join(settled_ids, on="query_id", how="left_semi")
+        )
+        remaining = remaining.join(
+            settled_ids, on="query_id", how="left_anti"
+        ).localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        radius *= 2
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def dwithin_join(
