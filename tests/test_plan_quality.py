@@ -82,6 +82,74 @@ def test_polygon_join_broadcast_transport_no_wkb_in_join(layers):
         assert "wkb" not in audit["plan"], mode
 
 
+def test_rect_layers_refine_in_pure_catalyst(spark, tmp_path):
+    """When every geometry IS its MBR (verified per row at dict-build
+    time), intersects and intersection-numPoints plans must contain
+    ZERO Python nodes — the bounds predicate / closed-form CASE is the
+    exact refine."""
+    import pyspark.sql.functions as F
+
+    from workstealing_spatial_join_spark.sources.tables import rects_with_geom
+
+    d = str(tmp_path / "rects")
+    rects_with_geom(
+        spark.range(1, 300).select(
+            F.col("id").alias("rect_id"),
+            (F.col("id") % 30 - 15.0).alias("minx"),
+            (F.col("id") % 20 - 10.0).alias("miny"),
+            (F.col("id") % 30 - 12.0).alias("maxx"),
+            (F.col("id") % 20 - 7.0).alias("maxy"),
+        )
+    ).write.parquet(d)
+    rects = spark.read.parquet(d)
+    for pred in ("intersects", "intersection_numpoints"):
+        df = polygon_join(rects, rects, "rect_id", "rect_id",
+                          predicate=pred, mode="count")
+        audit = assert_plan_quality(df, max_python_nodes=0)
+        assert sum(audit["python_nodes"].values()) == 0, pred
+    # PIP against a rect layer: zero Python as well
+    pts = spark.range(2000).select(
+        F.col("id").alias("image_id"),
+        (F.rand(5) * 30 - 15).alias("lon"),
+        (F.rand(6) * 20 - 10).alias("lat"),
+    )
+    df = point_in_polygon_join(pts, rects, poly_id="rect_id", mode="count")
+    audit = assert_plan_quality(df, max_python_nodes=0)
+    assert sum(audit["python_nodes"].values()) == 0
+    # and the shortcut result equals the forced-UDF path
+    a = df.collect()[0][0]
+    b = point_in_polygon_join(
+        pts, rects, poly_id="rect_id", mode="count", refine_transport="wkb"
+    ).collect()[0][0]
+    assert a == b > 0
+
+
+def test_polygon_join_multipart_ids_fall_back_to_wkb(spark):
+    """Repeated ids (multipart parts) must keep per-part refine
+    semantics: the dict transport declines and the WKB path runs."""
+    from workstealing_spatial_join_spark.operators.ingest import ingest_geometry
+
+    rows = [
+        (1, "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "((10 10, 12 10, 12 12, 10 12, 10 10)))"),
+        (2, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+    ]
+    geoms = ingest_geometry(
+        spark.createDataFrame(rows, "gid int, wkt string"), "wkt",
+        keep_cols=["gid"],
+    )
+    out = polygon_join(
+        geoms, geoms, "gid", "gid", predicate="intersects", mode="pairs",
+        dedup="refpoint",
+    ).collect()
+    got = sorted((r.lid, r.rid) for r in out)
+    # part-level semantics: each part intersects itself; part1 of gid1
+    # intersects gid2 (and vice versa); part2 of gid1 only itself
+    assert got == sorted(
+        [(1, 1), (1, 1), (1, 2), (2, 1), (2, 2)]
+    )
+
+
 def test_polygon_join_wkb_transport_still_works(layers):
     _, polys = layers
     a = polygon_join(

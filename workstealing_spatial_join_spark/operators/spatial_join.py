@@ -63,15 +63,31 @@ def tessellate_bbox(
 
 
 def _collect_geom_dict(layer: DataFrame, id_col: str, max_rows: int | None):
-    """Collect (id, wkb) rows for the broadcast dictionary in ONE
-    action. ``max_rows`` None = unconditional; otherwise returns None
-    when the layer exceeds the cap (caller falls back to another
-    transport)."""
-    sel = layer.select(id_col, "geom_wkb")
+    """Collect (id, wkb, minx, miny, maxx, maxy) rows for the
+    broadcast dictionary in ONE action. ``max_rows`` None =
+    unconditional; otherwise returns None when the layer exceeds the
+    cap (caller falls back to another transport)."""
+    sel = layer.select(id_col, "geom_wkb", "minx", "miny", "maxx", "maxy")
     if max_rows is None:
         return sel.collect()
     rows = sel.limit(max_rows + 1).collect()
     return None if len(rows) > max_rows else rows
+
+
+def _all_rects_matching_bounds(rows) -> bool:
+    """True iff EVERY collected geometry is a single axis-aligned
+    rectangle whose ring equals the row's declared bounds exactly.
+    When a layer passes this check, the Catalyst MBR predicate IS the
+    exact geometry predicate — refine needs no Python at all. This is
+    verified per row (driver-side decode through the executor cache's
+    code path), never assumed from metadata."""
+    from workstealing_spatial_join_spark.functions.predicates import _geom_info
+
+    for r in rows:
+        info = _geom_info(bytes(r[1]))
+        if info.rect is None or info.rect != (r[2], r[3], r[4], r[5]):
+            return False
+    return True
 
 
 def _refpoint_filter(cell_deg: float):
@@ -189,16 +205,25 @@ def point_in_polygon_join(
             polygons, poly_id,
             None if refine_transport == "broadcast" else broadcast_dict_rows,
         )
-        if rows is not None:
-            from workstealing_spatial_join_spark.functions.predicates import (
-                make_contains_xy_broadcast,
-            )
+        # id-keyed transports need one geometry per id — repeated ids
+        # (multipart parts exploded at ingest) keep the WKB column so
+        # each PART row refines against its own part (reference
+        # semantics: parts are separate geometries, src/reader.cpp:44)
+        if rows is not None and len({r[0] for r in rows}) == len(rows):
+            if _all_rects_matching_bounds(rows):
+                # every polygon IS its MBR: the Catalyst bounds filter
+                # is the exact closed contains — zero Python
+                refine = False
+            else:
+                from workstealing_spatial_join_spark.functions.predicates import (
+                    make_contains_xy_broadcast,
+                )
 
-            contains_udf = make_contains_xy_broadcast(
-                polygons.sparkSession,
-                [r[0] for r in rows],
-                [r[1] for r in rows],
-            )
+                contains_udf = make_contains_xy_broadcast(
+                    polygons.sparkSession,
+                    [r[0] for r in rows],
+                    [r[1] for r in rows],
+                )
 
     poly_cols = [F.col(poly_id).alias("poly_id"), "minx", "miny", "maxx", "maxy"]
     if refine and contains_udf is None:
@@ -305,6 +330,8 @@ def polygon_join(
     if predicate not in PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
     refine_bc = None
+    catalyst_rect = False
+    lrows = rrows = None
     if refine_transport in ("auto", "broadcast"):
         # one pass per side: the size probe and the dictionary
         # collection are the same limited collect (a separate count()
@@ -313,27 +340,45 @@ def polygon_join(
             left, left_id,
             None if refine_transport == "broadcast" else broadcast_dict_rows,
         )
-        rrows = None
         if lrows is not None:
             rrows = _collect_geom_dict(
                 right, right_id,
                 None if refine_transport == "broadcast" else broadcast_dict_rows,
             )
-        if lrows is not None and rrows is not None:
-            from workstealing_spatial_join_spark.functions.predicates import (
-                make_pair_refine_broadcast,
-            )
+        # id-keyed transports need one geometry per id — repeated ids
+        # (multipart parts exploded at ingest) keep the WKB column so
+        # each PART row refines against its own part (reference
+        # semantics: parts are separate geometries, src/reader.cpp:44)
+        if (
+            lrows is not None and rrows is not None
+            and len({r[0] for r in lrows}) == len(lrows)
+            and len({r[0] for r in rrows}) == len(rrows)
+        ):
+            # zero-Python fast path: every geometry IS its MBR →
+            # the Catalyst bounds predicate is the exact predicate
+            # (verified per row, never assumed) and numPoints is a
+            # closed-form CASE over the pair bounds
+            if (
+                predicate in ("intersects", "intersection_numpoints")
+                and _all_rects_matching_bounds(lrows)
+                and _all_rects_matching_bounds(rrows)
+            ):
+                catalyst_rect = True
+            else:
+                from workstealing_spatial_join_spark.functions.predicates import (
+                    make_pair_refine_broadcast,
+                )
 
-            refine_bc = make_pair_refine_broadcast(
-                left.sparkSession,
-                [r[0] for r in lrows], [r[1] for r in lrows],
-                [r[0] for r in rrows], [r[1] for r in rrows],
-                predicate,
-            )
+                refine_bc = make_pair_refine_broadcast(
+                    left.sparkSession,
+                    [r[0] for r in lrows], [r[1] for r in lrows],
+                    [r[0] for r in rrows], [r[1] for r in rrows],
+                    predicate,
+                )
 
     l_cols = [F.col(left_id).alias("lid"), "minx", "miny", "maxx", "maxy"]
     r_cols = [F.col(right_id).alias("rid"), "minx", "miny", "maxx", "maxy"]
-    if refine_bc is None:
+    if refine_bc is None and not catalyst_rect:
         l_cols.insert(1, F.col("geom_wkb").alias("l_wkb"))
         r_cols.insert(1, F.col("geom_wkb").alias("r_wkb"))
     lt = tessellate_bbox(left.select(*l_cols), cell_deg).alias("l")
@@ -367,6 +412,36 @@ def polygon_join(
         cand = cand.where(_refpoint_filter(cell_deg))
     if extra_pair_filter is not None:
         cand = cand.where(extra_pair_filter)
+
+    if catalyst_rect:
+        # geometry == MBR on both sides: intersects is exactly the
+        # bounds predicate already applied; numPoints is the GEOS
+        # 5/2/1 CASE over the overlap extent. Whole-stage codegen,
+        # no Python node anywhere in this plan.
+        if predicate == "intersects":
+            if mode == "count":
+                return cand.agg(F.count(F.lit(1)).alias("join_count"))
+            sel = ["lid", "rid"] + (["l.cell_id"] if dedup == "parity" else [])
+            return cand.select(*sel)
+        w = F.least(F.col("l.maxx"), F.col("r.maxx")) - F.greatest(
+            F.col("l.minx"), F.col("r.minx")
+        )
+        h = F.least(F.col("l.maxy"), F.col("r.maxy")) - F.greatest(
+            F.col("l.miny"), F.col("r.miny")
+        )
+        np_col = (
+            F.when((w > 0) & (h > 0), F.lit(5))
+            .when((w == 0) & (h == 0), F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("long")
+        )
+        scored = cand.withColumn("num_points", np_col)
+        if mode == "count":
+            return scored.agg(F.sum("num_points").alias("join_count"))
+        sel = ["lid", "rid", "num_points"] + (
+            ["l.cell_id"] if dedup == "parity" else []
+        )
+        return scored.select(*sel)
 
     if refine_bc is not None:
         refine_args = (F.col("lid"), F.col("rid"))
