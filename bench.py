@@ -142,6 +142,7 @@ def main():
         "pip_count",
         "rect_join_count",
         "rect_intersection_numpoints",
+        "concave_intersection_numpoints",  # general GH overlay path
         "q1_pricing",
         "q6_revenue",
         "exact_dedup",
