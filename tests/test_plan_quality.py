@@ -192,3 +192,44 @@ def test_strategy_matrix():
     assert s.salt and not s.broadcast
     s2 = choose_pip_strategy(10**9, 10**8)
     assert not s2.salt and not s2.broadcast
+
+
+def test_driver_query_python_node_budgets(spark):
+    """Plan-audit the driver contract's spatial queries: each has a
+    known Python-node budget (0 = pure Catalyst; rect layers refine
+    JVM-side, concave layers pay exactly one Arrow refine). Catches
+    any future regression that sneaks extra Python into these plans."""
+    import __spark_entry__ as E
+
+    budgets = {
+        "pip_count": 0,            # rect layer → catalyst shortcut
+        "pip_pairs": 0,
+        "cell_assign": 0,
+        "tile_assign": 0,
+        "rect_join_count": 0,
+        "rect_intersection_numpoints": 0,
+        "rect_union_numpoints": 1,  # union keeps the pair UDF
+        "concave_intersection_numpoints": 1,
+        "concave_union_numpoints": 1,
+        "dwithin_pairs": 0,
+        "dwithin_haversine": 0,
+        "q1_pricing": 0,
+        "q6_revenue": 0,
+        "events_hourly": 0,
+        "events_user_stats": 0,
+        "ann_cosine_topk": 0,
+        "ann_cosine_topk_ivf": 0,
+        "doc_jaccard_adjacent": 0,
+    }
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+    for name, budget in budgets.items():
+        df = qs[name](spark, sf)
+        audit = audit_plan(df)
+        # MapInPandas appears only as the driver-table layer BUILDER
+        # (rects_with_geom attaches WKB to derived layers) — the gate
+        # here is the REFINE path: Arrow UDF nodes and, always, zero
+        # row-at-a-time Python
+        n_arrow = audit["python_nodes"]["ArrowEvalPython"]
+        assert n_arrow <= budget, (name, n_arrow, audit["python_nodes"])
+        assert audit["python_nodes"]["BatchEvalPython"] == 0, name
