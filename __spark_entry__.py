@@ -6,20 +6,38 @@ the ANSI-SQL twin that DuckDB executes on the same tables. Spatial
 layers are derived from TPC-H keys with exact integer arithmetic
 (sources/tables.py) so engine and oracle agree bit-for-bit.
 
-Operator coverage map (SURVEY.md §2 → query name):
+Operator coverage map (SURVEY.md §2 → query name). EVERY query below
+has an exact DuckDB oracle — no rows-only entries:
   S1/S5 scans ......... every query (parquet scan + bounds columns)
-  F3/F4 filter phase .. pip_*, rect_* (cell equi-join + MBR residual)
-  J2 PIP join ......... pip_count / pip_pairs / pip_pairs_percell
-  J3/J5 polygon join .. rect_join_count / rect_intersection_numpoints
+  F3/F4 filter phase .. pip_*, rect_*, concave_* (cell equi-join + MBR
+                        residual; rect layers refine in pure Catalyst)
+  J2 PIP join ......... pip_count[_salted] / pip_pairs[_percell]
+  J3 cogroup strategy . pip_pairs_cogrouped[_salted]
+  J5 polygon join ..... rect_join_count / rect_intersection_numpoints
+                        / rect_union_numpoints (bounds-CASE oracles);
+                        concave_intersection_numpoints /
+                        concave_union_numpoints (Greiner–Hormann
+                        overlay vs exact-Fraction fixture oracles)
   §3.2 parity ......... rect_join_percell_count (per-cell multiplicity)
-  J6 kNN + dwithin .... knn_suppliers (k-ring + window top-k), dwithin_pairs
+  J6 kNN + dwithin .... knn_suppliers (auto-ring + window top-k),
+                        dwithin_pairs (planar), dwithin_haversine
+                        (great-circle, pole+antimeridian-safe cover)
   J7 raster↔vector .... tile_assign, tile_rect_overlap_count
   A1-A3 aggregation ... q1_pricing / q6_revenue / every count query
-  dedup family ........ exact_dedup (oracle), minhash_neardup,
-                        simhash_docs, embedding_neardup (rows-only)
-  similarity .......... ann_cosine_topk (oracle via list_cosine_similarity)
-  text analysis ....... token_count / text_quality / lang_id
-  streaming analog .... events_hourly (windowed agg), events_sessionize (lag+cumsum windows)
+  LB1 skew salting .... pip_count_salted, pip_pairs_cogrouped_salted
+  dedup family ........ exact_dedup, minhash_neardup (full signature
+                        recomputation in SQL), simhash_docs,
+                        simhash_dedup (exact-recall pigeonhole LSH),
+                        embedding_neardup (literal-plane buckets)
+  similarity .......... ann_cosine_topk (exact), ann_cosine_topk_lsh
+                        (multi-probe LSH), ann_cosine_topk_ivf
+                        (inverted-list probe) — oracles replay buckets
+  text analysis ....... token_count / text_quality / lang_id /
+                        doc_fingerprint (HUGEINT rolling-hash oracle) /
+                        doc_jaccard_adjacent
+  streaming analog .... events_hourly (windowed agg), events_sessionize
+                        (lag+cumsum windows; the stateful streaming
+                        twin lives in streaming/ingest.stream_sessionize)
 """
 
 from __future__ import annotations
