@@ -33,9 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from workstealing_spatial_join_spark.functions import geom as G
 from workstealing_spatial_join_spark.functions import grid as GRID
-from workstealing_spatial_join_spark.functions import wkt as W
 from workstealing_spatial_join_spark.operators.spatial_join import (
     tessellate_bbox,
     tessellate_points,
@@ -272,26 +270,36 @@ def point_in_polygon_join_cogrouped(
     keys = _group_key_cols(salt)
 
     def per_cell(lp: pd.DataFrame, rp: pd.DataFrame):
+        # candidate (point, polygon) pairs by bbox containment, then
+        # ONE vectorized pass through the shared contains core
+        # (vertex-count-bucketed ray-cast; decode cached per executor)
+        from workstealing_spatial_join_spark.functions.predicates import (
+            _contains_xy_core,
+        )
+
         xs = lp["px"].to_numpy()
         ys = lp["py"].to_numpy()
-        out_p, out_g = [], []
-        for _, poly in rp.iterrows():
-            m = (
-                (xs >= poly["minx"]) & (xs <= poly["maxx"])
-                & (ys >= poly["miny"]) & (ys <= poly["maxy"])
-            )
-            if not m.any():
-                continue
-            res = np.zeros(int(m.sum()), dtype=bool)
-            for gtype, rings in W.from_wkb(poly["geom_wkb"]):
-                if gtype == W.POLYGON:
-                    res |= G.polygon_contains_xy(rings, xs[m], ys[m])
-            hit_ids = lp["point_id"].to_numpy()[m][res]
-            out_p.extend(hit_ids)
-            out_g.extend([poly["poly_id"]] * len(hit_ids))
-        if not out_p:
+        x0 = rp["minx"].to_numpy()
+        y0 = rp["miny"].to_numpy()
+        x1 = rp["maxx"].to_numpy()
+        y1 = rp["maxy"].to_numpy()
+        inbox = (
+            (xs[:, None] >= x0[None, :]) & (xs[:, None] <= x1[None, :])
+            & (ys[:, None] >= y0[None, :]) & (ys[:, None] <= y1[None, :])
+        )
+        li, rj = np.nonzero(inbox)
+        if len(li) == 0:
             return None
-        return pd.DataFrame({"point_id": out_p, "poly_id": out_g})
+        uniques = [bytes(w) for w in rp["geom_wkb"]]
+        keep = _contains_xy_core(rj, uniques, xs[li], ys[li])
+        if not keep.any():
+            return None
+        return pd.DataFrame(
+            {
+                "point_id": lp["point_id"].to_numpy()[li[keep]],
+                "poly_id": rp["poly_id"].to_numpy()[rj[keep]],
+            }
+        )
 
     def per_bucket(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
         if lp.empty or rp.empty:
