@@ -1,0 +1,132 @@
+"""Regression guards from the round-2 adversarial self-review:
+null-text/null-geometry factorize wraparound, shared-UDF mutation,
+late streaming events, and the near-pole tiny-radius cover."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_null_text_minhash_and_fingerprint(spark):
+    """NULL text must behave exactly like '' (the oracles COALESCE),
+    never inherit another document's signature, and an all-null batch
+    must not crash the UDF."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        minhash_signature_udf,
+    )
+    from workstealing_spatial_join_spark.operators.textops import fingerprint64
+
+    rows = [(0, "some real document text"), (1, None), (2, ""), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signature_udf(16, 5)
+    sigs = {r.doc_id: tuple(r.s) for r in docs.select(
+        "doc_id", sig(F.col("text")).alias("s")).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]      # null ≡ ''
+    assert sigs[1] != sigs[0]                 # never someone else's
+    fps = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", fingerprint64(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[1] != fps[0]
+    # all-null frame: length-preserving, no crash
+    nulls = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert nulls.select(sig(F.col("text"))).count() == 1
+
+
+def test_null_geometry_is_invalid_and_never_matches(spark):
+    from workstealing_spatial_join_spark.functions import wkt as W
+    from workstealing_spatial_join_spark.functions.predicates import (
+        st_intersects,
+        st_is_valid,
+    )
+
+    sq = W.to_wkb(
+        W.POLYGON,
+        [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)],
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(sq)), (1, None)], "gid long, geom_wkb binary"
+    )
+    flags = {r.gid: r.ok for r in df.select(
+        "gid", st_is_valid(F.col("geom_wkb")).alias("ok")).collect()}
+    assert flags == {0: True, 1: False}
+    hits = {r.gid: r.hit for r in df.select(
+        "gid",
+        st_intersects(F.col("geom_wkb"), F.lit(bytearray(sq))).alias("hit"),
+    ).collect()}
+    assert hits == {0: True, 1: False}
+
+
+def test_pairs_mode_does_not_mutate_shared_predicates(spark, tmp_path):
+    """polygon_join pairs mode must not flip the registry UDFs to
+    nondeterministic for the rest of the session."""
+    from workstealing_spatial_join_spark.functions.predicates import PREDICATES
+    from workstealing_spatial_join_spark.operators.ingest import ingest_geometry
+    from workstealing_spatial_join_spark.operators.spatial_join import (
+        polygon_join,
+    )
+    from workstealing_spatial_join_spark.sources import fixtures as FX
+
+    polys = ingest_geometry(
+        spark.createDataFrame(FX.polygons_pdf(40)), "wkt",
+        keep_cols=["polygon_id"],
+    )
+    polygon_join(
+        polys, polys, "polygon_id", "polygon_id",
+        predicate="intersection_numpoints", mode="pairs",
+        refine_transport="wkb",
+    ).collect()
+    assert PREDICATES["intersection_numpoints"].deterministic
+    assert PREDICATES["union_numpoints"].deterministic
+
+
+def test_sessionize_late_event_never_rewinds(spark, tmp_path):
+    """An out-of-order event in a later micro-batch joins the open
+    session without moving last_ts backward (no end < start, no
+    session split from a rewound gap test)."""
+    from workstealing_spatial_join_spark.streaming.ingest import stream_sessionize
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).astype({"ts": "datetime64[us]"}).to_parquet(src / name, index=False)
+
+    t0 = pd.Timestamp("2026-02-01 09:00:00")
+    m = pd.Timedelta(minutes=1)
+    write("a.parquet", [(1, t0, 5, "c", 1.0, ""), (2, t0 + 10 * m, 5, "c", 1.0, "")])
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "k")
+    stream_sessionize(spark, str(src), out, ckpt)
+    # LATE event (t0+2min) arrives in the next batch, then a gap-buster
+    write("b.parquet", [(3, t0 + 2 * m, 5, "c", 1.0, "")])
+    stream_sessionize(spark, str(src), out, ckpt)
+    write("c.parquet", [(4, t0 + 120 * m, 5, "c", 1.0, "")])
+    stream_sessionize(spark, str(src), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.n_events == 3
+    assert s.session_end - s.session_start == 600  # late event absorbed
+
+
+def test_haversine_tiny_radius_cross_pole(spark):
+    """Two points 0.011° from the pole on opposite longitudes are
+    ~2.4 km apart across the pole — a tiny radius must still cover
+    the far side (the extreme-latitude clamp must not truncate)."""
+    from workstealing_spatial_join_spark.operators.knn import (
+        dwithin_haversine_join,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 89.989), ("b", -170.0, 89.9912)],
+        "image_id string, lon double, lat double",
+    )
+    got = {
+        (r.left_id, r.right_id)
+        for r in dwithin_haversine_join(
+            df, df, radius_km=3.0, exclude_self=True
+        ).collect()
+    }
+    assert ("a", "b") in got and ("b", "a") in got

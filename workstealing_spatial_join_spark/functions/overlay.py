@@ -318,14 +318,17 @@ def polygon_intersection_num_points(
     try:
         shells = gh_clip(rings_a[0], rings_b[0], "intersection")
     except DegenerateGeometry:
-        # convex touches are exact under closed-halfplane SH
-        if len(rings_a) == 1 and len(rings_b) == 1 and is_convex(rings_b[0]):
+        # convex×convex touches are exact under closed-halfplane SH;
+        # a CONCAVE subject through SH can emit bridged multi-component
+        # chains whose deduped count is wrong, so the fallback requires
+        # BOTH rings convex (matching the union fallback) and concave
+        # degenerate contacts re-raise to the caller's 0-parity
+        if (
+            len(rings_a) == 1 and len(rings_b) == 1
+            and is_convex(rings_a[0]) and is_convex(rings_b[0])
+        ):
             return G.classify_clip_num_points(
                 G.clip_convex_raw(rings_a[0], rings_b[0])
-            )
-        if len(rings_a) == 1 and len(rings_b) == 1 and is_convex(rings_a[0]):
-            return G.classify_clip_num_points(
-                G.clip_convex_raw(rings_b[0], rings_a[0])
             )
         raise
     if not shells:

@@ -409,7 +409,21 @@ def _intersects_general(codes_a, infos_a, codes_b, infos_b) -> np.ndarray:
 def _factorize_refine(wkb_a: pd.Series, wkb_b: pd.Series, predicate: str):
     codes_a, uniques_a = pd.factorize(wkb_a)
     codes_b, uniques_b = pd.factorize(wkb_b)
-    return refine_pairs_core(codes_a, uniques_a, codes_b, uniques_b, predicate)
+    # factorize marks nulls with code -1, which would WRAP to the last
+    # unique via negative indexing — null geometry matches nothing
+    ok = (codes_a >= 0) & (codes_b >= 0)
+    if ok.all():
+        return refine_pairs_core(
+            codes_a, uniques_a, codes_b, uniques_b, predicate
+        )
+    out = np.zeros(
+        len(codes_a), dtype=bool if predicate == "intersects" else np.int64
+    )
+    if ok.any():
+        out[ok] = refine_pairs_core(
+            codes_a[ok], uniques_a, codes_b[ok], uniques_b, predicate
+        )
+    return out
 
 
 @F.pandas_udf(T.BooleanType())
@@ -483,7 +497,10 @@ def st_is_valid(wkb: pd.Series) -> pd.Series:
             valid[u] = all(G.is_valid_geom(t, rings) for t, rings in parts)
         except Exception:
             valid[u] = False
-    return pd.Series(valid[codes])
+    out = np.zeros(len(codes), dtype=bool)  # null geometry → invalid
+    ok = codes >= 0
+    out[ok] = valid[codes[ok]]
+    return pd.Series(out)
 
 
 PREDICATES = {
@@ -491,4 +508,14 @@ PREDICATES = {
     "intersects": st_intersects,
     "intersection_numpoints": st_intersection_num_points,
     "union_numpoints": st_union_num_points,
+}
+
+# Nondeterministic COPIES for call sites that need to pin a UDF above
+# a filter (pairs-mode numPoints). asNondeterministic() MUTATES the
+# receiver in place, so marking the shared registry objects would
+# permanently change every other plan in the session — these are
+# fresh wrappers around the same kernels.
+PREDICATES_ND = {
+    name: F.pandas_udf(udf.func, udf.returnType).asNondeterministic()
+    for name, udf in PREDICATES.items()
 }

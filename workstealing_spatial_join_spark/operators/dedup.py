@@ -129,8 +129,10 @@ def minhash_signature_udf(num_perm: int = 64, shingle_k: int = SHINGLE_K,
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(text: pd.Series) -> pd.Series:
-        # duplicate texts (exact-dup corpora) shingle + hash once
-        codes, uniques = pd.factorize(text)
+        # duplicate texts (exact-dup corpora) shingle + hash once;
+        # nulls normalize to "" BEFORE factorize (code -1 would wrap
+        # to the last unique's signature)
+        codes, uniques = pd.factorize(text.fillna(""))
         sh_list = [
             _shingle_hashes(s or "", shingle_k).astype(np.uint64)
             for s in uniques
@@ -242,8 +244,8 @@ def ngram_jaccard_udf(k: int = SHINGLE_K):
         # a doc participates in many candidate pairs — shingle each
         # unique text once per batch. The shingle code is injective,
         # so hash-set Jaccard IS shingle-set Jaccard (exact).
-        codes_a, uniq_a = pd.factorize(a)
-        codes_b, uniq_b = pd.factorize(b)
+        codes_a, uniq_a = pd.factorize(a.fillna(""))
+        codes_b, uniq_b = pd.factorize(b.fillna(""))
         sh_a = [_shingle_hashes(t, k) for t in uniq_a]
         sh_b = [_shingle_hashes(t, k) for t in uniq_b]
         out = np.zeros(len(a))

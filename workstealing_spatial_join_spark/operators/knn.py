@@ -75,6 +75,34 @@ def _haversine_km(qx, qy, cx, cy):
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def _auto_ring_cells(c: DataFrame, k: int, cell_deg: float,
+                     max_ring: int) -> int:
+    """First-ring size in cells from candidate BOUNDING-BOX density
+    (occupied-cell density over-estimates sparse layers — most ring
+    cells are empty). A ring r covers (2r+1)^2 cells; aim for ~4k
+    expected candidates so round 1 settles most queries. Shared by
+    the planar and great-circle kNN joins. One cheap aggregate."""
+    import math
+
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cx").alias("x0"), F.max("cx").alias("x1"),
+        F.min("cy").alias("y0"), F.max("cy").alias("y1"),
+    ).collect()[0]
+    if not stats["n"]:
+        return 1
+    cells = max(
+        1.0,
+        ((stats["x1"] - stats["x0"]) / cell_deg + 1)
+        * ((stats["y1"] - stats["y0"]) / cell_deg + 1),
+    )
+    density = stats["n"] / cells
+    return max(1, min(
+        max_ring,
+        math.ceil((math.sqrt(4.0 * k / max(density, 1e-12)) - 1) / 2),
+    ))
+
+
 def _haversine_ring_cover(
     q: DataFrame, radius_km: float, cell_deg: float
 ) -> DataFrame:
@@ -99,9 +127,15 @@ def _haversine_ring_cover(
                               (2.0 * EARTH_RADIUS_KM)))
     ratio = sin_half / F.cos(extreme * rad)
     lon_deg = F.asin(F.least(ratio, F.lit(1.0))) * F.lit(2.0) / rad + F.lit(1e-9)
-    rx = F.when(ratio >= 1.0, F.lit(int(nx)).cast("long")).otherwise(
-        F.ceil(lon_deg / F.lit(cell_deg)).cast("long")
-    )
+    # full-circle cover when the ball reaches within 0.01° of the pole
+    # (the extreme-latitude clamp would otherwise under-cover tiny
+    # radii right at the pole: cross-pole neighbors sit at dlon=180°)
+    # or when the sin-ratio bound wraps
+    rx = F.when(
+        (ratio >= 1.0)
+        | (F.abs(F.col("qy")) + F.lit(lat_deg) >= F.lit(89.99)),
+        F.lit(int(nx)).cast("long"),
+    ).otherwise(F.ceil(lon_deg / F.lit(cell_deg)).cast("long"))
     cx_idx = GRID.cell_x_col(F.col("qx"), cell_deg)
     cy_idx = GRID.cell_y_col(F.col("qy"), cell_deg)
     return q.withColumn(
@@ -215,24 +249,8 @@ def knn_haversine_join(
     ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
 
     if initial_radius_km == "auto":
-        stats = c.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("cx").alias("x0"), F.max("cx").alias("x1"),
-            F.min("cy").alias("y0"), F.max("cy").alias("y1"),
-        ).collect()[0]
-        if stats["n"]:
-            cells = max(
-                1.0,
-                ((stats["x1"] - stats["x0"]) / cell_deg + 1)
-                * ((stats["y1"] - stats["y0"]) / cell_deg + 1),
-            )
-            density = stats["n"] / cells
-            r0 = max(1, math.ceil(
-                (math.sqrt(4.0 * k / max(density, 1e-12)) - 1) / 2
-            ))
-            initial_radius_km = r0 * cell_deg * _KM_PER_DEG
-        else:
-            initial_radius_km = cell_deg * _KM_PER_DEG
+        r0 = _auto_ring_cells(c, k, cell_deg, 1 << 30)
+        initial_radius_km = r0 * cell_deg * _KM_PER_DEG
 
     w = Window.partitionBy("query_id").orderBy("dist_km", "neighbor_id")
     settled_parts: list[DataFrame] = []
@@ -356,30 +374,7 @@ def knn_join(
     ).withColumn("cell_id", GRID.cell_id_col(F.col("cx"), F.col("cy"), cell_deg))
 
     if initial_ring == "auto":
-        # density estimate over the candidate BOUNDING BOX (occupied-
-        # cell density over-estimates sparse layers — most ring cells
-        # are empty). A ring r covers (2r+1)^2 cells; aim for ~4k
-        # expected candidates so round 1 settles most queries.
-        import math
-
-        stats = c.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("cx").alias("x0"), F.max("cx").alias("x1"),
-            F.min("cy").alias("y0"), F.max("cy").alias("y1"),
-        ).collect()[0]
-        if stats["n"]:
-            cells = max(
-                1.0,
-                ((stats["x1"] - stats["x0"]) / cell_deg + 1)
-                * ((stats["y1"] - stats["y0"]) / cell_deg + 1),
-            )
-            density = stats["n"] / cells
-            initial_ring = max(1, min(
-                max_ring,
-                math.ceil((math.sqrt(4.0 * k / max(density, 1e-12)) - 1) / 2),
-            ))
-        else:
-            initial_ring = 1
+        initial_ring = _auto_ring_cells(c, k, cell_deg, max_ring)
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     settled_parts: list[DataFrame] = []

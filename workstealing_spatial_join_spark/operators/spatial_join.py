@@ -464,13 +464,19 @@ def polygon_join(
         # predicate through the project, re-evaluating the UDF)
         scored = cand.withColumn("num_points", refine_udf(*refine_args))
         return scored.agg(F.sum("num_points").alias("join_count"))
-    # pairs mode: mark the refine nondeterministic so the >0 filter
-    # stays ABOVE the projection — one ArrowEvalPython, not two
-    nd_udf = (
-        refine_udf.asNondeterministic()
-        if hasattr(refine_udf, "asNondeterministic")
-        else refine_udf
-    )
+    # pairs mode: a nondeterministic-marked refine keeps the >0 filter
+    # ABOVE the projection — one ArrowEvalPython, not two. The shared
+    # registry UDFs must NOT be mutated (asNondeterministic mutates in
+    # place): use the pre-built ND copies; a per-join broadcast UDF is
+    # private and safe to mark.
+    if refine_bc is not None:
+        nd_udf = refine_bc.asNondeterministic()
+    else:
+        from workstealing_spatial_join_spark.functions.predicates import (
+            PREDICATES_ND,
+        )
+
+        nd_udf = PREDICATES_ND[predicate]
     scored = cand.withColumn(
         "num_points", nd_udf(*refine_args)
     ).where(F.col("num_points") > 0)

@@ -107,7 +107,9 @@ def fingerprint64(text: pd.Series) -> pd.Series:
     the power table (max doc length)."""
     base = np.uint64(1099511628211)
     seed = np.uint64(14695981039346656037)
-    codes, uniques = pd.factorize(text)
+    # nulls normalize to "" BEFORE factorize (code -1 would wrap to
+    # the last unique's fingerprint; the oracle COALESCEs to '')
+    codes, uniques = pd.factorize(text.fillna(""))
     bufs = [(s or "").encode("utf-8", "ignore") for s in uniques]
     maxlen = max((len(b) for b in bufs), default=0)
     pows = np.empty(maxlen + 1, dtype=np.uint64)

@@ -106,7 +106,11 @@ def stream_sessionize(
                 closed.append((user, st, last, n))
                 st, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # events sort within a batch but a LATE event can
+                # arrive in a later micro-batch: it joins the open
+                # session without rewinding last_ts (a rewind would
+                # corrupt the gap test and emit end < start)
+                last, n = max(last, t), n + 1
         if last is not None:
             state.update((st, last, n))
         yield pd.DataFrame(
