@@ -206,14 +206,29 @@ def int_numpoints_exact(shell_a, holes_a, shell_b, holes_b) -> int:
         if not swallowed:
             kept.append(ring)
     total = sum(len(r) + 1 for r in kept)
+    placed: dict[int, list] = {}
     for h in holes:
-        for ring in kept:
+        for ridx, ring in enumerate(kept):
             ch, _ = crossings_exact(h, ring)
             if ch:
                 raise Degenerate("hole crosses result")
             if point_in_ring_exact(ring, h[0]):
-                total += len(h) + 1
+                placed.setdefault(ridx, []).append(h)
                 break
+    for ring_holes in placed.values():
+        # same rule as the engine: holes interacting inside one result
+        # component are out of scope — raise, never silently miscount
+        for i in range(len(ring_holes)):
+            for j in range(i + 1, len(ring_holes)):
+                ha, hb = ring_holes[i], ring_holes[j]
+                ch, _ = crossings_exact(ha, hb)
+                if ch:
+                    raise Degenerate("holes overlap in result")
+                if point_in_ring_exact(ha, hb[0]) or point_in_ring_exact(
+                    hb, ha[0]
+                ):
+                    raise Degenerate("nested holes in result")
+        total += sum(len(h) + 1 for h in ring_holes)
     return total
 
 

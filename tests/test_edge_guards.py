@@ -130,3 +130,49 @@ def test_haversine_tiny_radius_cross_pole(spark):
         ).collect()
     }
     assert ("a", "b") in got and ("b", "a") in got
+
+
+def test_is_valid_straddling_hole_and_zero_length_edge():
+    import numpy as np
+
+    from workstealing_spatial_join_spark.functions import geom as G
+    from workstealing_spatial_join_spark.functions import wkt as W
+
+    shell = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    straddle = np.array(
+        [[0.5, 0.5], [0.5, 1.5], [1.5, 1.5], [1.5, 0.5], [0.5, 0.5]],
+        dtype=float,
+    )
+    # anchor vertex is inside the shell but the hole straddles out
+    assert not G.is_valid_geom(W.POLYGON, [shell, straddle])
+    dup_edge = np.array(
+        [[0, 0], [1, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float
+    )
+    assert not G.is_valid_geom(W.POLYGON, [dup_edge])
+
+
+def test_interacting_holes_raise_not_miscount():
+    import numpy as np
+
+    from workstealing_spatial_join_spark.functions import overlay as OV
+
+    def closed(pts):
+        a = np.asarray(pts, dtype=np.float64)
+        return np.vstack([a, a[:1]])
+
+    shell_a = closed([(0, 0), (10, 0), (10, 10), (0, 10)])
+    shell_b = closed([(-1, -1), (11, -1), (11, 11), (-1, 11)])  # contains A
+    h1 = closed([(4, 4), (4, 6), (6, 6), (6, 4)])[::-1]
+    h2_overlap = closed([(5, 5), (5, 7), (7, 7), (7, 5)])[::-1]
+    h2_nested = closed([(4.5, 4.5), (4.5, 5.5), (5.5, 5.5), (5.5, 4.5)])[::-1]
+    import pytest as _pytest
+
+    with _pytest.raises(OV.DegenerateGeometry):
+        OV.polygon_intersection_num_points([shell_a, h1], [shell_b, h2_overlap])
+    with _pytest.raises(OV.DegenerateGeometry):
+        OV.polygon_intersection_num_points([shell_a, h1], [shell_b, h2_nested])
+    # disjoint holes in one component still count normally
+    h2_far = closed([(1, 1), (1, 2), (2, 2), (2, 1)])[::-1]
+    assert OV.polygon_intersection_num_points(
+        [shell_a, h1], [shell_b, h2_far]
+    ) == 5 + 5 + 5

@@ -295,6 +295,10 @@ def ring_is_simple(ring: np.ndarray) -> bool:
         return False
     a0 = p
     a1 = np.roll(p, -1, axis=0)
+    # zero-length edges (repeated consecutive vertices) are invalid —
+    # the adjacency mask below would otherwise hide them
+    if ((a0 == a1).all(axis=1)).any():
+        return False
     A0 = a0[:, None, :]
     A1 = a1[:, None, :]
     B0 = a0[None, :, :]
@@ -335,12 +339,39 @@ def ring_is_simple(ring: np.ndarray) -> bool:
     return not bool((hit & ~adjacent).any())
 
 
+def _proper_cross_any(pa: np.ndarray, pb: np.ndarray) -> bool:
+    """Any PROPER crossing between edges of two closed rings (strict
+    transversal intersections only — shared vertices/touches allowed,
+    as OGC permits a hole to touch its shell at points)."""
+    a0, a1 = _edges(pa)
+    b0, b1 = _edges(pb)
+    A0 = a0[:, None, :]
+    A1 = a1[:, None, :]
+    B0 = b0[None, :, :]
+    B1 = b1[None, :, :]
+
+    def orient(p, q, r):
+        return np.sign(
+            (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+            - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0])
+        )
+
+    d1 = orient(A0, A1, B0)
+    d2 = orient(A0, A1, B1)
+    d3 = orient(B0, B1, A0)
+    d4 = orient(B0, B1, A1)
+    proper = (d1 != d2) & (d3 != d4) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    return bool(proper.any())
+
+
 def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
     """Structural + topological validity (the F6 upgrade — the
     reference only drops parse failures, src/reader.cpp:36-40):
     finite coordinates everywhere; polygons additionally need every
-    ring closed with ≥4 points, simple (no self-intersection), and
-    each hole's anchor vertex inside the shell."""
+    ring closed with ≥4 points, simple (no self-intersection, no
+    zero-length edges), and each hole fully inside the shell (every
+    hole vertex contained AND no edge properly crossing the shell —
+    an anchor-vertex-only test would accept straddling holes)."""
     for r in rings:
         if not np.isfinite(r).all():
             return False
@@ -358,8 +389,10 @@ def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
     shell = rings[0]
     for hole in rings[1:]:
         if not ring_contains_xy(
-            shell, hole[:1, 0], hole[:1, 1]
-        )[0]:
+            shell, hole[:-1, 0], hole[:-1, 1]
+        ).all():
+            return False
+        if _proper_cross_any(hole, shell):
             return False
     return True
 

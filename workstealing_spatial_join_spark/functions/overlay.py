@@ -350,11 +350,29 @@ def polygon_intersection_num_points(
                 break
         if not inside_hole:
             kept.append(shell)
+    placed: dict[int, list[np.ndarray]] = {}
     for hole in holes:
         idx = _hole_placement(hole, kept)
         if idx is not None:
-            h = _open(np.asarray(hole, dtype=np.float64))
-            hole_rings.append(np.vstack([h, h[:1]]))
+            placed.setdefault(idx, []).append(
+                _open(np.asarray(hole, dtype=np.float64))
+            )
+    for ring_holes in placed.values():
+        # two input holes landing in the SAME result component must
+        # not interact: overlapping/nested holes would union into one
+        # interior ring in GEOS — out of scope, raise (never a silent
+        # wrong count)
+        for i in range(len(ring_holes)):
+            for j in range(i + 1, len(ring_holes)):
+                ha, hb = ring_holes[i], ring_holes[j]
+                ii, _jj, _t, _u, _px, _py = _proper_crossings(ha, hb)
+                if len(ii):
+                    raise DegenerateGeometry("holes overlap in result")
+                if _point_in(hb, ha[0, 0], ha[0, 1]) or _point_in(
+                    ha, hb[0, 0], hb[0, 1]
+                ):
+                    raise DegenerateGeometry("nested holes in result")
+        hole_rings.extend(np.vstack([h, h[:1]]) for h in ring_holes)
     return _ring_num_points(kept) + _ring_num_points(hole_rings)
 
 

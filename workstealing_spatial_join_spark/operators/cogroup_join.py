@@ -116,6 +116,30 @@ def _group_key_cols(salted: bool) -> list[str]:
     return ["cell_id", "salt"] if salted else ["cell_id"]
 
 
+def _make_per_bucket(per_cell, empty_cols: dict, keys: list[str]):
+    """Shared bucket body for both cogroup joins: pair the two sides'
+    rows PER (cell[, salt]) group inside the bucket (pandas groupby),
+    run ``per_cell(key, lg, rg)`` on each match, concat the frames."""
+
+    def per_bucket(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        if lp.empty or rp.empty:
+            return pd.DataFrame(empty_cols)
+        frames = []
+        rgroups = dict(tuple(rp.groupby(keys)))
+        for key, lg in lp.groupby(keys):
+            rg = rgroups.get(key)
+            if rg is None:
+                continue
+            out = per_cell(key, lg, rg)
+            if out is not None:
+                frames.append(out)
+        if not frames:
+            return pd.DataFrame(empty_cols)
+        return pd.concat(frames, ignore_index=True)
+
+    return per_bucket
+
+
 def polygon_join_cogrouped(
     left: DataFrame,
     right: DataFrame,
@@ -161,7 +185,8 @@ def polygon_join_cogrouped(
     if numpoints:
         empty_cols["num_points"] = []
 
-    def per_cell(cell: int, lp: pd.DataFrame, rp: pd.DataFrame):
+    def per_cell(key, lp: pd.DataFrame, rp: pd.DataFrame):
+        cell = key[0] if isinstance(key, tuple) else key
         li, rj = _candidate_pairs_mbr(lp, rp)
         if len(li) == 0:
             return None
@@ -193,22 +218,7 @@ def polygon_join_cogrouped(
             }
         )
 
-    def per_bucket(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
-        if lp.empty or rp.empty:
-            return pd.DataFrame(empty_cols)
-        frames = []
-        rgroups = dict(tuple(rp.groupby(keys)))
-        for key, lg in lp.groupby(keys):
-            rg = rgroups.get(key)
-            if rg is None:
-                continue
-            cell = key[0] if isinstance(key, tuple) else key
-            out = per_cell(cell, lg, rg)
-            if out is not None:
-                frames.append(out)
-        if not frames:
-            return pd.DataFrame(empty_cols)
-        return pd.concat(frames, ignore_index=True)
+    per_bucket = _make_per_bucket(per_cell, empty_cols, keys)
 
     lid_t = lt.schema["lid"].dataType.simpleString()
     rid_t = rt.schema["rid"].dataType.simpleString()
@@ -269,7 +279,7 @@ def point_in_polygon_join_cogrouped(
     pls = _with_bucket(pls, nb, salt)
     keys = _group_key_cols(salt)
 
-    def per_cell(lp: pd.DataFrame, rp: pd.DataFrame):
+    def per_cell(_key, lp: pd.DataFrame, rp: pd.DataFrame):
         # candidate (point, polygon) pairs by bbox containment, then
         # ONE vectorized pass through the shared contains core
         # (vertex-count-bucketed ray-cast; decode cached per executor)
@@ -301,21 +311,9 @@ def point_in_polygon_join_cogrouped(
             }
         )
 
-    def per_bucket(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
-        if lp.empty or rp.empty:
-            return pd.DataFrame({"point_id": [], "poly_id": []})
-        frames = []
-        rgroups = dict(tuple(rp.groupby(keys)))
-        for key, lg in lp.groupby(keys):
-            rg = rgroups.get(key)
-            if rg is None:
-                continue
-            out = per_cell(lg, rg)
-            if out is not None:
-                frames.append(out)
-        if not frames:
-            return pd.DataFrame({"point_id": [], "poly_id": []})
-        return pd.concat(frames, ignore_index=True)
+    per_bucket = _make_per_bucket(
+        per_cell, {"point_id": [], "poly_id": []}, keys
+    )
 
     pid_t = pts.schema["point_id"].dataType.simpleString()
     gid_t = pls.schema["poly_id"].dataType.simpleString()

@@ -11,7 +11,12 @@ Catalyst.
 
 Every hash family here is EXACTLY reproducible in ANSI SQL (the
 DuckDB oracle recomputes signatures, buckets, candidates, and
-verification from scratch — __spark_entry__.oracle_sql):
+verification from scratch — __spark_entry__.oracle_sql). SQL-parity
+scope: ASCII corpora (the driver tables are ASCII). The engine hashes
+UTF-8 BYTES while the SQL twins address CHARACTERS — identical for
+ASCII; for non-ASCII text the engine remains internally consistent
+and injective (bytes < 256 < 257) but the oracle would diverge
+(ROADMAP).
 
 * shingle hash: base-257 positional code of the k (=5) lowercased
   bytes — INJECTIVE (a bijective base-257 numeral), so Jaccard over

@@ -185,11 +185,6 @@ def dwithin_haversine_join(
     sphere — ring indices pass through pmod; array_distinct collapses
     full-circle rings). Everything stays Catalyst; the per-row
     longitude cover is a per-row sequence bound."""
-    import math
-
-    nx, ny = GRID.grid_dims(cell_deg)
-    lat_deg = radius_km / _KM_PER_DEG
-    r_lat_cells = max(1, math.ceil(lat_deg / cell_deg))
     q = left.select(
         F.col(left_id).alias("left_id"),
         F.col(l_lon).alias("qx"),

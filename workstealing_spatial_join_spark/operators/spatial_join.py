@@ -131,7 +131,10 @@ class PreparedPolygonLayer:
         self.n_rows = self.exploded.count()  # materialize the cache
         self.contains_udf = None
         rows = _collect_geom_dict(polygons, poly_id, broadcast_dict_rows)
-        if rows is not None:
+        # same unique-id guard as the other id-keyed transports:
+        # repeated ids (multipart parts) would make the dict answer
+        # point-in-ANY-part per PART ROW and emit duplicate pairs
+        if rows is not None and len({r[0] for r in rows}) == len(rows):
             self.contains_udf = make_contains_xy_broadcast(
                 polygons.sparkSession,
                 [r[0] for r in rows],
@@ -186,7 +189,9 @@ def point_in_polygon_join(
         if refine and polygons.contains_udf is None:
             raise ValueError(
                 "PreparedPolygonLayer was built without a broadcastable "
-                "geometry dict; use refine=False or a DataFrame layer"
+                "geometry dict (layer too large, or multipart ids — the "
+                "dict transport needs one geometry per id); use "
+                "refine=False or a DataFrame layer"
             )
         polys = _maybe_broadcast(polygons.exploded, None, broadcast)
         return _pip_finish(
@@ -345,26 +350,28 @@ def polygon_join(
                 right, right_id,
                 None if refine_transport == "broadcast" else broadcast_dict_rows,
             )
-        # id-keyed transports need one geometry per id — repeated ids
-        # (multipart parts exploded at ingest) keep the WKB column so
-        # each PART row refines against its own part (reference
-        # semantics: parts are separate geometries, src/reader.cpp:44)
-        if (
-            lrows is not None and rrows is not None
-            and len({r[0] for r in lrows}) == len(lrows)
-            and len({r[0] for r in rrows}) == len(rrows)
-        ):
+        if lrows is not None and rrows is not None:
             # zero-Python fast path: every geometry IS its MBR →
             # the Catalyst bounds predicate is the exact predicate
             # (verified per row, never assumed) and numPoints is a
-            # closed-form CASE over the pair bounds
+            # closed-form CASE over the pair bounds. This path is
+            # per-ROW and id-free, so repeated (multipart) ids are
+            # fine — identical semantics to the WKB path.
             if (
                 predicate in ("intersects", "intersection_numpoints")
                 and _all_rects_matching_bounds(lrows)
                 and _all_rects_matching_bounds(rrows)
             ):
                 catalyst_rect = True
-            else:
+            # the id-keyed dict transport needs one geometry per id —
+            # repeated ids (multipart parts exploded at ingest) keep
+            # the WKB column so each PART row refines against its own
+            # part (reference semantics: parts are separate
+            # geometries, src/reader.cpp:44)
+            elif (
+                len({r[0] for r in lrows}) == len(lrows)
+                and len({r[0] for r in rrows}) == len(rrows)
+            ):
                 from workstealing_spatial_join_spark.functions.predicates import (
                     make_pair_refine_broadcast,
                 )
