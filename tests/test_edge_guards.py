@@ -176,3 +176,79 @@ def test_interacting_holes_raise_not_miscount():
     assert OV.polygon_intersection_num_points(
         [shell_a, h1], [shell_b, h2_far]
     ) == 5 + 5 + 5
+
+
+def test_contains_xy_null_geometry_and_null_id(spark):
+    """pd.factorize codes nulls as -1; unguarded negative indexing
+    would ray-cast the row against the LAST unique polygon. Null
+    geometry / null polygon id must contain nothing."""
+    import numpy as np
+
+    from workstealing_spatial_join_spark.functions import wkt as W
+    from workstealing_spatial_join_spark.functions.predicates import (
+        make_contains_xy_broadcast,
+        st_contains_xy,
+    )
+
+    sq = W.to_wkb(
+        W.POLYGON,
+        [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)],
+    )
+    # point (1,1) is inside the square — a wrapped null row would
+    # false-positive exactly here
+    df = spark.createDataFrame(
+        [(0, bytearray(sq), 1.0, 1.0), (1, None, 1.0, 1.0)],
+        "rid long, geom_wkb binary, x double, y double",
+    )
+    hits = {r.rid: r.hit for r in df.select(
+        "rid",
+        st_contains_xy(F.col("geom_wkb"), F.col("x"), F.col("y")).alias("hit"),
+    ).collect()}
+    assert hits == {0: True, 1: False}
+
+    contains_bc = make_contains_xy_broadcast(spark, [7], [sq])
+    df2 = spark.createDataFrame(
+        [(0, 7, 1.0, 1.0), (1, None, 1.0, 1.0)],
+        "rid long, poly_id long, x double, y double",
+    )
+    hits2 = {r.rid: r.hit for r in df2.select(
+        "rid",
+        contains_bc(F.col("poly_id"), F.col("x"), F.col("y")).alias("hit"),
+    ).collect()}
+    assert hits2 == {0: True, 1: False}
+
+
+def test_is_valid_rejects_zero_area_and_spike_rings():
+    import numpy as np
+
+    from workstealing_spatial_join_spark.functions import geom as G
+    from workstealing_spatial_join_spark.functions import wkt as W
+
+    flat = np.array([[0, 0], [1, 0], [2, 0], [0, 0]], dtype=float)
+    assert not G.is_valid_geom(W.POLYGON, [flat])
+    spike = np.array(
+        [[0, 0], [2, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float
+    )
+    assert not G.is_valid_geom(W.POLYGON, [spike])
+    # collinear adjacent edges that do NOT double back stay valid
+    collinear_ok = np.array(
+        [[0, 0], [1, 0], [2, 0], [2, 1], [0, 1], [0, 0]], dtype=float
+    )
+    assert G.is_valid_geom(W.POLYGON, [collinear_ok])
+
+
+def test_cogroup_join_rejects_unimplemented_dedup(spark):
+    import pytest as _pytest
+
+    from workstealing_spatial_join_spark.operators.cogroup_join import (
+        polygon_join_cogrouped,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b""), 0.0, 0.0, 1.0, 1.0)],
+        "l_id long, geom_wkb binary, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    with _pytest.raises(ValueError, match="dedup"):
+        polygon_join_cogrouped(df, df.withColumnRenamed("l_id", "r_id"),
+                               dedup="parity")

@@ -299,6 +299,18 @@ def ring_is_simple(ring: np.ndarray) -> bool:
     # the adjacency mask below would otherwise hide them
     if ((a0 == a1).all(axis=1)).any():
         return False
+    # degenerate flat rings (zero signed area) and spikes — adjacent
+    # collinear edges that double back — are self-overlapping, but the
+    # adjacency mask below exempts adjacent pairs from the grid test
+    if _ring_area2(p) == 0.0:
+        return False
+    a2 = np.roll(p, -2, axis=0)
+    e1 = a1 - a0
+    e2 = a2 - a1
+    cross12 = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    dot12 = e1[:, 0] * e2[:, 0] + e1[:, 1] * e2[:, 1]
+    if ((cross12 == 0) & (dot12 < 0)).any():
+        return False
     A0 = a0[:, None, :]
     A1 = a1[:, None, :]
     B0 = a0[None, :, :]

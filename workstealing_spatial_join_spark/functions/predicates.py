@@ -160,7 +160,13 @@ def st_contains_xy(poly_wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series
     xs = x.to_numpy(dtype=np.float64)
     ys = y.to_numpy(dtype=np.float64)
     codes, uniques = pd.factorize(poly_wkb)
-    return pd.Series(_contains_xy_core(codes, uniques, xs, ys))
+    # factorize codes nulls as -1, which would WRAP to the last unique
+    # via negative indexing — null geometry contains nothing
+    out = np.zeros(len(codes), dtype=bool)
+    ok = codes >= 0
+    if ok.any():
+        out[ok] = _contains_xy_core(codes[ok], uniques, xs[ok], ys[ok])
+    return pd.Series(out)
 
 
 def make_contains_xy_broadcast(spark, poly_ids, poly_wkbs):
@@ -182,7 +188,11 @@ def make_contains_xy_broadcast(spark, poly_ids, poly_wkbs):
         ys = y.to_numpy(dtype=np.float64)
         codes, uniq_ids = pd.factorize(poly_id)
         uniques = [table_[pid] for pid in uniq_ids]
-        return pd.Series(_contains_xy_core(codes, uniques, xs, ys))
+        out = np.zeros(len(codes), dtype=bool)  # null id contains nothing
+        ok = codes >= 0
+        if ok.any():
+            out[ok] = _contains_xy_core(codes[ok], uniques, xs[ok], ys[ok])
+        return pd.Series(out)
 
     return contains_bc
 

@@ -161,6 +161,14 @@ def polygon_join_cogrouped(
         "intersects", "intersection_numpoints", "union_numpoints"
     ):
         raise ValueError(f"unknown predicate {predicate!r}")
+    if dedup != "refpoint":
+        # polygon_join's 'parity' mode keeps one row per covering cell
+        # with a cell_id column — not implemented here; accepting it
+        # silently would change the output contract
+        raise ValueError(
+            f"unsupported dedup {dedup!r}: polygon_join_cogrouped "
+            "implements only 'refpoint'"
+        )
     numpoints = predicate != "intersects"
     lt = tessellate_bbox(
         left.select(
