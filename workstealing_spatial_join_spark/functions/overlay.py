@@ -89,21 +89,123 @@ def _point_in(ring_open: np.ndarray, x: float, y: float) -> bool:
     )
 
 
+_DENSE_PAIR_LIMIT = 4096  # below this the dense grid is cheaper
+
+
+def edge_bbox_candidates(
+    a0: np.ndarray, a1: np.ndarray, b0: np.ndarray, b1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Indices (i, j) of a-edge × b-edge pairs whose bounding boxes
+    overlap. Memory is O(#candidates), never O(Ea×Eb): edges are
+    binned into x-strips over the layers' common x-extent; only pairs
+    sharing a strip are tested (then y-filtered). For boundary curves
+    the per-strip population is ~O(sqrt(E)), so candidates stay near
+    linear in E — two 10k-vertex rings no longer allocate dense
+    (10k, 10k) float64 matrices (a round-2 scale killer)."""
+    na, nb = len(a0), len(b0)
+    if na * nb <= _DENSE_PAIR_LIMIT:
+        ii, jj = np.meshgrid(np.arange(na), np.arange(nb), indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+    else:
+        aminx = np.minimum(a0[:, 0], a1[:, 0])
+        amaxx = np.maximum(a0[:, 0], a1[:, 0])
+        bminx = np.minimum(b0[:, 0], b1[:, 0])
+        bmaxx = np.maximum(b0[:, 0], b1[:, 0])
+        lo = max(aminx.min(), bminx.min())
+        hi = min(amaxx.max(), bmaxx.max())
+        if hi < lo:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy()
+        n_strips = int(np.clip(2 * np.sqrt(na + nb), 8, 4096))
+        w = (hi - lo) / n_strips
+        if w <= 0 or not np.isfinite(w):
+            n_strips, w = 1, max(hi - lo, 1.0)
+
+        def strip_range(mn, mx):
+            s0 = np.clip(np.floor((mn - lo) / w), 0, n_strips - 1)
+            s1 = np.clip(np.floor((mx - lo) / w), 0, n_strips - 1)
+            keep = (mx >= lo) & (mn <= hi)
+            return s0.astype(np.int64), s1.astype(np.int64), keep
+
+        sa0, sa1, ka = strip_range(aminx, amaxx)
+        sb0, sb1, kb = strip_range(bminx, bmaxx)
+
+        def expand(s0, s1, keep):
+            idx = np.nonzero(keep)[0]
+            reps = (s1[idx] - s0[idx] + 1)
+            edge = np.repeat(idx, reps)
+            offs = np.arange(reps.sum()) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            return np.repeat(s0[idx], reps) + offs, edge
+
+        stripa, ea = expand(sa0, sa1, ka)
+        stripb, eb = expand(sb0, sb1, kb)
+        orda = np.argsort(stripa, kind="stable")
+        ordb = np.argsort(stripb, kind="stable")
+        stripa, ea = stripa[orda], ea[orda]
+        stripb, eb = stripb[ordb], eb[ordb]
+        bounds_a = np.searchsorted(stripa, np.arange(n_strips + 1))
+        bounds_b = np.searchsorted(stripb, np.arange(n_strips + 1))
+        chunks_i, chunks_j = [], []
+        for s in range(n_strips):
+            ia = ea[bounds_a[s]:bounds_a[s + 1]]
+            ib = eb[bounds_b[s]:bounds_b[s + 1]]
+            if len(ia) == 0 or len(ib) == 0:
+                continue
+            gi, gj = np.meshgrid(ia, ib, indexing="ij")
+            chunks_i.append(gi.ravel())
+            chunks_j.append(gj.ravel())
+        if not chunks_i:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy()
+        ii = np.concatenate(chunks_i)
+        jj = np.concatenate(chunks_j)
+        # dedup pairs that met in several strips
+        key = ii * nb + jj
+        key, first = np.unique(key, return_index=True)
+        ii, jj = ii[first], jj[first]
+    # exact bbox overlap filter (x needed for the dense path; the
+    # strip grid is conservative on x too)
+    ox = (
+        np.minimum(np.maximum(a0[ii, 0], a1[ii, 0]),
+                   np.maximum(b0[jj, 0], b1[jj, 0]))
+        >= np.maximum(np.minimum(a0[ii, 0], a1[ii, 0]),
+                      np.minimum(b0[jj, 0], b1[jj, 0]))
+    )
+    oy = (
+        np.minimum(np.maximum(a0[ii, 1], a1[ii, 1]),
+                   np.maximum(b0[jj, 1], b1[jj, 1]))
+        >= np.maximum(np.minimum(a0[ii, 1], a1[ii, 1]),
+                      np.minimum(b0[jj, 1], b1[jj, 1]))
+    )
+    keep = ox & oy
+    return ii[keep], jj[keep]
+
+
 def _proper_crossings(a: np.ndarray, b: np.ndarray):
     """All proper boundary crossings between open rings a and b.
     Returns (i, j, t, u, px, py) arrays: a-edge index, b-edge index,
     params strictly inside (0,1), crossing coordinates. Raises
-    DegenerateGeometry on any non-proper contact."""
+    DegenerateGeometry on any non-proper contact. Edge pairs are
+    bbox-prefiltered (strip grid) so memory stays O(#candidates)."""
     a0 = a
     a1 = np.roll(a, -1, axis=0)
     b0 = b
     b1 = np.roll(b, -1, axis=0)
-    r = (a1 - a0)[:, None, :]
-    s = (b1 - b0)[None, :, :]
-    qp = b0[None, :, :] - a0[:, None, :]
-    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
-    cross_qp_s = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
-    cross_qp_r = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    ci, cj = edge_bbox_candidates(a0, a1, b0, b1)
+    if len(ci) == 0:
+        z = np.empty(0, dtype=np.int64)
+        zf = np.empty(0, dtype=np.float64)
+        return z, z.copy(), zf, zf.copy(), zf.copy(), zf.copy()
+    pa0, pa1 = a0[ci], a1[ci]
+    pb0, pb1 = b0[cj], b1[cj]
+    r = pa1 - pa0
+    s = pb1 - pb0
+    qp = pb0 - pa0
+    denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    cross_qp_s = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+    cross_qp_r = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
 
     with np.errstate(divide="ignore", invalid="ignore"):
         t = cross_qp_s / denom
@@ -120,21 +222,17 @@ def _proper_crossings(a: np.ndarray, b: np.ndarray):
     if touch.any():
         raise DegenerateGeometry("vertex-on-boundary contact")
     # collinear overlapping edges: parallel + collinear + bbox overlap
+    # (candidates already bbox-overlap, so collinear parallel == overlap)
     par = ~nz & (cross_qp_s == 0)
     if par.any():
-        ii, jj = np.nonzero(par)
-        for i, j in zip(ii, jj):
-            amin = np.minimum(a0[i], a1[i])
-            amax = np.maximum(a0[i], a1[i])
-            bmin = np.minimum(b0[j], b1[j])
-            bmax = np.maximum(b0[j], b1[j])
-            if (amin <= bmax).all() and (bmin <= amax).all():
-                raise DegenerateGeometry("collinear overlapping edges")
-    ii, jj = np.nonzero(hit)
-    tt = t[ii, jj]
-    uu = u[ii, jj]
-    px = a0[ii, 0] + tt * (a1[ii, 0] - a0[ii, 0])
-    py = a0[ii, 1] + tt * (a1[ii, 1] - a0[ii, 1])
+        raise DegenerateGeometry("collinear overlapping edges")
+    sel = np.nonzero(hit)[0]
+    ii = ci[sel]
+    jj = cj[sel]
+    tt = t[sel]
+    uu = u[sel]
+    px = pa0[sel, 0] + tt * r[sel, 0]
+    py = pa0[sel, 1] + tt * r[sel, 1]
     return ii, jj, tt, uu, px, py
 
 
