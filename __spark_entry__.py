@@ -293,6 +293,61 @@ def q_concave_union_numpoints(spark, sf_dir):
     )
 
 
+_DEGEN_DIR = "/root/repo/bench_data/degenerate"
+_LINES_DIR = "/root/repo/bench_data/lines"
+
+
+def q_degenerate_intersection_numpoints(spark, sf_dir):
+    """DEGENERATE-position overlay (shared edges, vertex touches,
+    collinear overlaps, touching/interacting holes) — the reference's
+    GEOS refine handles these outright (src/thread_util.cpp:424-425);
+    round 2's fixture resampled them away. Expected values are
+    per-family CLOSED FORMS (scripts/gen_degenerate_fixture.py),
+    independent of both engine kernels; the engine routes these pairs
+    to the exact-Fraction arrangement (functions/overlay_exact.py)."""
+    a = spark.read.parquet(f"{_DEGEN_DIR}/layer_e.parquet")
+    b = spark.read.parquet(f"{_DEGEN_DIR}/layer_f.parquet")
+    return polygon_join(
+        a, b, "poly_id", "poly_id", predicate="intersection_numpoints",
+        mode="pairs", dedup="refpoint", cell_deg=CELL,
+    ).select(
+        F.col("lid").alias("a_id"), F.col("rid").alias("b_id"), "num_points"
+    )
+
+
+def q_degenerate_union_numpoints(spark, sf_dir):
+    """Degenerate-position union numPoints, including union WITH input
+    holes (donut families) — round 2 raised on these; the arrangement
+    kernel computes them (ST_UNION parity, thread_util.cpp:435-441)."""
+    a = spark.read.parquet(f"{_DEGEN_DIR}/layer_e.parquet")
+    b = spark.read.parquet(f"{_DEGEN_DIR}/layer_f.parquet")
+    return polygon_join(
+        a, b, "poly_id", "poly_id", predicate="union_numpoints",
+        mode="pairs", dedup="refpoint", cell_deg=CELL,
+    ).select(
+        F.col("lid").alias("a_id"), F.col("rid").alias("b_id"), "num_points"
+    )
+
+
+def q_lines_intersection_numpoints(spark, sf_dir):
+    """LINESTRING × POLYGON intersection numPoints — non-polygon parts
+    in the numPoints refine (the reference coerces type codes 1/2/3
+    and refines any pair, src/mpi_util.cpp:1080-1099). Oracle: exact
+    local-counting derivation (#crossings + #inside vertices) plus
+    closed-form degenerate families, structurally different from the
+    engine's span tracer."""
+    lines = spark.read.parquet(f"{_LINES_DIR}/layer_lines.parquet")
+    polys = spark.read.parquet(f"{_LINES_DIR}/layer_polys.parquet")
+    return polygon_join(
+        lines, polys, "line_id", "poly_id",
+        predicate="intersection_numpoints",
+        mode="pairs", dedup="refpoint", cell_deg=CELL,
+    ).select(
+        F.col("lid").alias("line_id"), F.col("rid").alias("poly_id"),
+        "num_points",
+    )
+
+
 def q_tile_rect_overlap_count(spark, sf_dir):
     """Raster-tile ↔ vector assignment (J7): full zoom-6 tile grid
     joined to supplier rects through the engine's cell-partitioned
@@ -628,6 +683,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_union_numpoints": q_rect_union_numpoints,
         "concave_intersection_numpoints": q_concave_intersection_numpoints,
         "concave_union_numpoints": q_concave_union_numpoints,
+        "degenerate_intersection_numpoints": (
+            q_degenerate_intersection_numpoints
+        ),
+        "degenerate_union_numpoints": q_degenerate_union_numpoints,
+        "lines_intersection_numpoints": q_lines_intersection_numpoints,
         "tile_rect_overlap_count": q_tile_rect_overlap_count,
         "knn_suppliers": q_knn_suppliers,
         "dwithin_pairs": q_dwithin_pairs,
@@ -855,6 +915,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a_id, b_id, CAST(expected AS BIGINT) AS num_points "
             "FROM read_parquet("
             f"'{_CONCAVE_DIR}/expected_union.parquet') WHERE expected > 0"
+        ),
+        "degenerate_intersection_numpoints": (
+            "SELECT a_id, b_id, CAST(expected_int AS BIGINT) AS num_points "
+            "FROM read_parquet("
+            f"'{_DEGEN_DIR}/expected_degen.parquet') WHERE expected_int > 0"
+        ),
+        "degenerate_union_numpoints": (
+            "SELECT a_id, b_id, CAST(expected_union AS BIGINT) "
+            "AS num_points FROM read_parquet("
+            f"'{_DEGEN_DIR}/expected_degen.parquet') "
+            "WHERE expected_union > 0"
+        ),
+        "lines_intersection_numpoints": (
+            "SELECT line_id, poly_id, CAST(expected_int AS BIGINT) "
+            "AS num_points FROM read_parquet("
+            f"'{_LINES_DIR}/expected_lines.parquet') WHERE expected_int > 0"
         ),
         "tile_rect_overlap_count": (
             "WITH grid AS (SELECT "

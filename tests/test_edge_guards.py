@@ -165,12 +165,15 @@ def test_interacting_holes_raise_not_miscount():
     h1 = closed([(4, 4), (4, 6), (6, 6), (6, 4)])[::-1]
     h2_overlap = closed([(5, 5), (5, 7), (7, 7), (7, 5)])[::-1]
     h2_nested = closed([(4.5, 4.5), (4.5, 5.5), (5.5, 5.5), (5.5, 4.5)])[::-1]
-    import pytest as _pytest
-
-    with _pytest.raises(OV.DegenerateGeometry):
-        OV.polygon_intersection_num_points([shell_a, h1], [shell_b, h2_overlap])
-    with _pytest.raises(OV.DegenerateGeometry):
-        OV.polygon_intersection_num_points([shell_a, h1], [shell_b, h2_nested])
+    # round 3: interacting holes no longer raise — the exact
+    # arrangement kernel computes the true GEOS value (shell 5 +
+    # union-of-holes ring 9 / nested holes collapse to h1: 5 + 5)
+    assert OV.polygon_intersection_num_points(
+        [shell_a, h1], [shell_b, h2_overlap]
+    ) == 14
+    assert OV.polygon_intersection_num_points(
+        [shell_a, h1], [shell_b, h2_nested]
+    ) == 10
     # disjoint holes in one component still count normally
     h2_far = closed([(1, 1), (1, 2), (2, 2), (2, 1)])[::-1]
     assert OV.polygon_intersection_num_points(

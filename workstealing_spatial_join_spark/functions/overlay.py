@@ -407,28 +407,32 @@ def polygon_intersection_num_points(
     rings_a: list[np.ndarray], rings_b: list[np.ndarray]
 ) -> int:
     """GEOS ``intersection(A, B).getNumPoints()`` for polygons with
-    optional holes. Shells overlay via GH; each input hole then either
-    lies strictly inside a result component (becomes an interior ring
-    of the result), strictly outside (ignored), or — unsupported —
-    crosses a result boundary (DegenerateGeometry propagates to the
-    caller's convex/0 fallback). Holes nested in holes and
-    hole-on-hole overlap are out of scope (ROADMAP)."""
+    optional holes, ANY position. Fast path: GH shells overlay plus
+    the contained-or-disjoint hole rule. Anything the float tracer
+    cannot classify (degenerate contacts, interacting holes,
+    hole-crossing results) routes to the exact-Fraction arrangement
+    kernel (functions/overlay_exact.py), which is position-free.
+
+    Round-2's convex Sutherland–Hodgman fallback is GONE: it was
+    measurably WRONG on touching convex pairs (a single shared vertex
+    produced LINESTRING-2 instead of GEOS's POINT-1; the union corner
+    count broke on any touch) — 13/520 intersection and 211/520 union
+    mismatches vs the exact kernel on random degenerate convex pairs.
+    """
     try:
-        shells = gh_clip(rings_a[0], rings_b[0], "intersection")
+        return _intersection_num_points_fast(rings_a, rings_b)
     except DegenerateGeometry:
-        # convex×convex touches are exact under closed-halfplane SH;
-        # a CONCAVE subject through SH can emit bridged multi-component
-        # chains whose deduped count is wrong, so the fallback requires
-        # BOTH rings convex (matching the union fallback) and concave
-        # degenerate contacts re-raise to the caller's 0-parity
-        if (
-            len(rings_a) == 1 and len(rings_b) == 1
-            and is_convex(rings_a[0]) and is_convex(rings_b[0])
-        ):
-            return G.classify_clip_num_points(
-                G.clip_convex_raw(rings_a[0], rings_b[0])
-            )
-        raise
+        from workstealing_spatial_join_spark.functions import (
+            overlay_exact as OX,
+        )
+
+        return OX.intersection_num_points_exact(rings_a, rings_b)
+
+
+def _intersection_num_points_fast(
+    rings_a: list[np.ndarray], rings_b: list[np.ndarray]
+) -> int:
+    shells = gh_clip(rings_a[0], rings_b[0], "intersection")
     if not shells:
         return 0
     holes = list(rings_a[1:]) + list(rings_b[1:])
@@ -477,16 +481,25 @@ def polygon_intersection_num_points(
 def polygon_union_num_points(
     rings_a: list[np.ndarray], rings_b: list[np.ndarray]
 ) -> int:
-    """GEOS ``union(A, B).getNumPoints()`` for HOLE-FREE polygons
-    (holes in union are out of scope — ROADMAP). The GH union returns
-    the outer boundary plus any enclosed hole rings the union creates
-    (two interlocking C-shapes); all rings count toward numPoints."""
+    """GEOS ``union(A, B).getNumPoints()`` for polygons with optional
+    holes, ANY position. Hole-free general-position pairs take the GH
+    union fast path (outer boundary plus any enclosed hole rings the
+    union creates — interlocking C-shapes); inputs WITH holes and all
+    degenerate contacts route to the exact arrangement kernel. The
+    round-2 convex corner-count fallback is gone (wrong on touches,
+    see polygon_intersection_num_points)."""
     if len(rings_a) > 1 or len(rings_b) > 1:
-        raise DegenerateGeometry("union with holes unsupported")
+        from workstealing_spatial_join_spark.functions import (
+            overlay_exact as OX,
+        )
+
+        return OX.union_num_points_exact(rings_a, rings_b)
     try:
         rings = gh_clip(rings_a[0], rings_b[0], "union")
     except DegenerateGeometry:
-        if is_convex(rings_a[0]) and is_convex(rings_b[0]):
-            return G.union_num_points_convex(rings_a, rings_b)
-        raise
+        from workstealing_spatial_join_spark.functions import (
+            overlay_exact as OX,
+        )
+
+        return OX.union_num_points_exact(rings_a, rings_b)
     return _ring_num_points(rings)

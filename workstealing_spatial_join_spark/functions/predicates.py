@@ -208,6 +208,27 @@ def _id_wkb_table(ids, wkbs) -> dict:
 
 # ------------------------------------------- pairwise refine core
 
+# The ONLY exceptions the refine loop maps to 0/False — the parity
+# for GEOS TopologyException on unclassifiable input (the reference
+# swallows those, src/thread_util.cpp:427-429). Everything else
+# (MemoryError, genuine kernel bugs) propagates: a silent 0 on an OOM
+# is a wrong answer, not parity. IndexError/ValueError cover malformed
+# decoded rings reaching the NumPy kernels.
+
+
+def _refine_swallow_types():
+    from workstealing_spatial_join_spark.functions.overlay import (
+        DegenerateGeometry,
+    )
+    from workstealing_spatial_join_spark.functions.overlay_exact import (
+        InvalidOverlay,
+    )
+
+    return (DegenerateGeometry, InvalidOverlay, IndexError, ValueError)
+
+
+_REFINE_SWALLOW = _refine_swallow_types()
+
 
 def _gather_rect_bounds(infos) -> np.ndarray:
     """(n_uniques, 4) bounds array; NaN rows for non-rect uniques."""
@@ -277,28 +298,84 @@ def _rect_generic_position(ba: np.ndarray, bb: np.ndarray) -> np.ndarray:
     return gx & gy
 
 
-def _pair_intersection_num_points(info_a: _GeomInfo, info_b: _GeomInfo) -> int:
-    """Per-pair fallback: sum of part-pair intersection numPoints.
-    Simple rings go through the general clipper (concave supported,
-    holes via the containment rule); see functions/overlay.py."""
+def _part_intersection_num_points(ta, ra, tb, rb) -> int:
+    """GEOS ``intersection(part_a, part_b).getNumPoints()`` for ANY
+    type pair — the reference refines mixed geometry too (type codes
+    1/2/3 coerced at src/mpi_util.cpp:1080-1099, refined at
+    src/thread_util.cpp:424-425). Polygons take the float GH fast
+    path with the exact-arrangement fallback; lines ride the exact
+    kernel; points are closed-containment tests."""
     from workstealing_spatial_join_spark.functions import overlay as OV
+    from workstealing_spatial_join_spark.functions import overlay_exact as OX
 
+    if ta > tb:  # normalize: point <= line <= polygon
+        ta, ra, tb, rb = tb, rb, ta, ra
+    if ta == W.POINT:
+        x, y = float(ra[0][0, 0]), float(ra[0][0, 1])
+        if tb == W.POINT:
+            return int(x == rb[0][0, 0] and y == rb[0][0, 1])
+        if tb == W.LINESTRING:
+            return int(bool(_point_on_path_one(rb[0], x, y)))
+        return int(bool(
+            G.polygon_contains_xy(rb, np.array([x]), np.array([y]))[0]
+        ))
+    if ta == W.LINESTRING:
+        if tb == W.LINESTRING:
+            return OX.line_line_intersection_num_points(ra[0], rb[0])
+        return OX.line_polygon_intersection_num_points(ra[0], rb)
+    return OV.polygon_intersection_num_points(ra, rb)
+
+
+def _part_union_num_points(ta, ra, tb, rb) -> int:
+    """GEOS ``union(part_a, part_b).getNumPoints()`` for any type
+    pair (src/thread_util.cpp:435-441): a covered point/line vanishes
+    into the other geometry; disjoint parts form a collection; lines
+    and rings are noded at their intersections (JTS retains nodes)."""
+    from workstealing_spatial_join_spark.functions import overlay as OV
+    from workstealing_spatial_join_spark.functions import overlay_exact as OX
+
+    if ta > tb:
+        ta, ra, tb, rb = tb, rb, ta, ra
+    if ta == W.POINT:
+        x, y = float(ra[0][0, 0]), float(ra[0][0, 1])
+        if tb == W.POINT:
+            return 1 if (x == rb[0][0, 0] and y == rb[0][0, 1]) else 2
+        if tb == W.LINESTRING:
+            covered = bool(_point_on_path_one(rb[0], x, y))
+            return int(len(rb[0])) + (0 if covered else 1)
+        covered = bool(
+            G.polygon_contains_xy(rb, np.array([x]), np.array([y]))[0]
+        )
+        return int(sum(len(r) for r in rb)) + (0 if covered else 1)
+    if ta == W.LINESTRING:
+        if tb == W.LINESTRING:
+            return OX.line_line_union_num_points(ra[0], rb[0])
+        return OX.line_polygon_union_num_points(ra[0], rb)
+    return OV.polygon_union_num_points(ra, rb)
+
+
+def _point_on_path_one(path: np.ndarray, x: float, y: float) -> bool:
+    from workstealing_spatial_join_spark.functions.geom import _point_on_path
+
+    return bool(_point_on_path(path, np.array([x]), np.array([y]))[0])
+
+
+def _pair_intersection_num_points(info_a: _GeomInfo, info_b: _GeomInfo) -> int:
+    """Per-pair fallback: sum of part-pair intersection numPoints
+    over ALL type combinations (multipart semantics: parts refined
+    pairwise and summed)."""
     n = 0
     for ta, ra in info_a.parts:
         for tb, rb in info_b.parts:
-            if ta == W.POLYGON and tb == W.POLYGON:
-                n += OV.polygon_intersection_num_points(ra, rb)
+            n += _part_intersection_num_points(ta, ra, tb, rb)
     return n
 
 
 def _pair_union_num_points(info_a: _GeomInfo, info_b: _GeomInfo) -> int:
-    from workstealing_spatial_join_spark.functions import overlay as OV
-
     n = 0
     for ta, ra in info_a.parts:
         for tb, rb in info_b.parts:
-            if ta == W.POLYGON and tb == W.POLYGON:
-                n += OV.polygon_union_num_points(ra, rb)
+            n += _part_union_num_points(ta, ra, tb, rb)
     return n
 
 
@@ -352,8 +429,11 @@ def refine_pairs_core(
                 out[i] = _pair_intersection_num_points(
                     infos_a[codes_a[i]], infos_b[codes_b[i]]
                 )
-            except Exception:
-                out[i] = 0  # exception-swallowing parity, thread_util.cpp:427-429
+            except _REFINE_SWALLOW:
+                # GEOS-TopologyException parity ONLY (invalid input →
+                # 0, thread_util.cpp:427-429); MemoryError and real
+                # bugs must propagate, never silently contribute 0
+                out[i] = 0
         return out
 
     if predicate == "union_numpoints":
@@ -375,7 +455,7 @@ def refine_pairs_core(
                 out[i] = _pair_union_num_points(
                     infos_a[codes_a[i]], infos_b[codes_b[i]]
                 )
-            except Exception:
+            except _REFINE_SWALLOW:
                 out[i] = 0
         return out
 
@@ -408,7 +488,7 @@ def _intersects_general(codes_a, infos_a, codes_b, infos_b) -> np.ndarray:
                 for pa in infos_a[codes_a[i]].parts
                 for pb in infos_b[codes_b[i]].parts
             )
-        except Exception:
+        except _REFINE_SWALLOW:
             out[i] = False
     return out
 
