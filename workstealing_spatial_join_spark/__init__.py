@@ -20,6 +20,7 @@ No per-row Python anywhere; DataFrames everywhere; no RDDs.
 
 from workstealing_spatial_join_spark.session import get_spark
 from workstealing_spatial_join_spark.operators.spatial_join import (
+    PreparedGeometryLayer,
     PreparedPolygonLayer,
     point_in_polygon_join,
     polygon_join,
@@ -60,6 +61,7 @@ __version__ = "0.2.0"
 
 __all__ = [
     "get_spark",
+    "PreparedGeometryLayer",
     "PreparedPolygonLayer",
     "point_in_polygon_join",
     "polygon_join",

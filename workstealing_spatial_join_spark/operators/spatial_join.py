@@ -142,6 +142,59 @@ class PreparedPolygonLayer:
             )
 
 
+class PreparedGeometryLayer:
+    """A geometry layer prepared once for REPEATED ``polygon_join``
+    calls (round-2 verdict #7: every non-prepared join re-collected up
+    to 500k rows/side and re-decoded them on the driver). Caches, per
+    layer:
+
+    * the collected broadcast-dictionary rows (one limited collect),
+    * the per-row "geometry == declared MBR" verification (driver-side
+      WKB decode — the expensive part of the rect fast path), and
+    * the exploded cell tessellation as a cached DataFrame (with and
+      without the WKB column, built lazily).
+
+    ``polygon_join`` accepts this for either side; a second join
+    against the same prepared layer issues NO new collect and NO new
+    decode."""
+
+    def __init__(
+        self,
+        layer: DataFrame,
+        id_col: str,
+        cell_deg: float = GRID.DEFAULT_CELL_DEG,
+        broadcast_dict_rows: int = 500_000,
+    ):
+        self.df = layer
+        self.id_col = id_col
+        self.cell_deg = cell_deg
+        self.rows = _collect_geom_dict(layer, id_col, broadcast_dict_rows)
+        self.unique_ids = (
+            self.rows is not None
+            and len({r[0] for r in self.rows}) == len(self.rows)
+        )
+        self.all_rects = (
+            self.rows is not None and _all_rects_matching_bounds(self.rows)
+        )
+        self._exploded: dict[bool, DataFrame] = {}
+
+    def exploded(self, with_wkb: bool) -> DataFrame:
+        """Cell tessellation with the id aliased to ``gid``; cached
+        (Spark .cache()) per wkb-variant so repeated joins reuse the
+        shuffle-free scan."""
+        if with_wkb not in self._exploded:
+            cols = [
+                F.col(self.id_col).alias("gid"),
+                "minx", "miny", "maxx", "maxy",
+            ]
+            if with_wkb:
+                cols.insert(1, F.col("geom_wkb").alias("g_wkb"))
+            self._exploded[with_wkb] = tessellate_bbox(
+                self.df.select(*cols), self.cell_deg
+            ).cache()
+        return self._exploded[with_wkb]
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame | PreparedPolygonLayer,
@@ -334,63 +387,96 @@ def polygon_join(
     """
     if predicate not in PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
+
+    def _side(layer, id_col):
+        """Normalize a side to (rows, all_rects, unique_ids,
+        tessellate_fn, original_df). Prepared layers answer from their
+        cache — no new collect, no new driver-side decode."""
+        if isinstance(layer, PreparedGeometryLayer):
+            if layer.cell_deg != cell_deg:
+                raise ValueError(
+                    "PreparedGeometryLayer cell_deg "
+                    f"{layer.cell_deg} != join cell_deg {cell_deg}"
+                )
+            rows = layer.rows
+            if rows is None and refine_transport == "broadcast":
+                rows = _collect_geom_dict(layer.df, layer.id_col, None)
+            return rows, layer.all_rects, layer.unique_ids, layer.exploded, layer.df
+        rows = None
+        if refine_transport in ("auto", "broadcast"):
+            # one pass: the size probe and the dictionary collection
+            # are the same limited collect (a separate count() would
+            # re-run the whole ingest pipeline)
+            rows = _collect_geom_dict(
+                layer, id_col,
+                None if refine_transport == "broadcast"
+                else broadcast_dict_rows,
+            )
+        all_rects = rows is not None and _all_rects_matching_bounds(rows)
+        unique = rows is not None and len({r[0] for r in rows}) == len(rows)
+
+        def tess(with_wkb: bool) -> DataFrame:
+            cols = [F.col(id_col).alias("gid"), "minx", "miny", "maxx", "maxy"]
+            if with_wkb:
+                cols.insert(1, F.col("geom_wkb").alias("g_wkb"))
+            return tessellate_bbox(layer.select(*cols), cell_deg)
+
+        return rows, all_rects, unique, tess, layer
+
+    lrows, l_rects, l_unique, l_tess, l_df = _side(left, left_id)
+    if lrows is not None or isinstance(right, PreparedGeometryLayer):
+        rrows, r_rects, r_unique, r_tess, r_df = _side(right, right_id)
+    else:
+        # left side exceeded the dict cap — skip the right collect
+        # entirely (WKB transport is already decided)
+        saved = refine_transport
+        refine_transport = "wkb"
+        rrows, r_rects, r_unique, r_tess, r_df = _side(right, right_id)
+        refine_transport = saved
+
     refine_bc = None
     catalyst_rect = False
-    lrows = rrows = None
-    if refine_transport in ("auto", "broadcast"):
-        # one pass per side: the size probe and the dictionary
-        # collection are the same limited collect (a separate count()
-        # would re-run the whole ingest pipeline)
-        lrows = _collect_geom_dict(
-            left, left_id,
-            None if refine_transport == "broadcast" else broadcast_dict_rows,
-        )
-        if lrows is not None:
-            rrows = _collect_geom_dict(
-                right, right_id,
-                None if refine_transport == "broadcast" else broadcast_dict_rows,
+    if lrows is not None and rrows is not None:
+        # zero-Python fast path: every geometry IS its MBR →
+        # the Catalyst bounds predicate is the exact predicate
+        # (verified per row, never assumed) and numPoints is a
+        # closed-form CASE over the pair bounds. This path is
+        # per-ROW and id-free, so repeated (multipart) ids are
+        # fine — identical semantics to the WKB path.
+        if (
+            predicate in ("intersects", "intersection_numpoints")
+            and l_rects and r_rects
+        ):
+            catalyst_rect = True
+        # the id-keyed dict transport needs one geometry per id —
+        # repeated ids (multipart parts exploded at ingest) keep
+        # the WKB column so each PART row refines against its own
+        # part (reference semantics: parts are separate
+        # geometries, src/reader.cpp:44)
+        elif l_unique and r_unique:
+            from workstealing_spatial_join_spark.functions.predicates import (
+                make_pair_refine_broadcast,
             )
-        if lrows is not None and rrows is not None:
-            # zero-Python fast path: every geometry IS its MBR →
-            # the Catalyst bounds predicate is the exact predicate
-            # (verified per row, never assumed) and numPoints is a
-            # closed-form CASE over the pair bounds. This path is
-            # per-ROW and id-free, so repeated (multipart) ids are
-            # fine — identical semantics to the WKB path.
-            if (
-                predicate in ("intersects", "intersection_numpoints")
-                and _all_rects_matching_bounds(lrows)
-                and _all_rects_matching_bounds(rrows)
-            ):
-                catalyst_rect = True
-            # the id-keyed dict transport needs one geometry per id —
-            # repeated ids (multipart parts exploded at ingest) keep
-            # the WKB column so each PART row refines against its own
-            # part (reference semantics: parts are separate
-            # geometries, src/reader.cpp:44)
-            elif (
-                len({r[0] for r in lrows}) == len(lrows)
-                and len({r[0] for r in rrows}) == len(rrows)
-            ):
-                from workstealing_spatial_join_spark.functions.predicates import (
-                    make_pair_refine_broadcast,
-                )
 
-                refine_bc = make_pair_refine_broadcast(
-                    left.sparkSession,
-                    [r[0] for r in lrows], [r[1] for r in lrows],
-                    [r[0] for r in rrows], [r[1] for r in rrows],
-                    predicate,
-                )
+            refine_bc = make_pair_refine_broadcast(
+                l_df.sparkSession,
+                [r[0] for r in lrows], [r[1] for r in lrows],
+                [r[0] for r in rrows], [r[1] for r in rrows],
+                predicate,
+            )
 
-    l_cols = [F.col(left_id).alias("lid"), "minx", "miny", "maxx", "maxy"]
-    r_cols = [F.col(right_id).alias("rid"), "minx", "miny", "maxx", "maxy"]
-    if refine_bc is None and not catalyst_rect:
-        l_cols.insert(1, F.col("geom_wkb").alias("l_wkb"))
-        r_cols.insert(1, F.col("geom_wkb").alias("r_wkb"))
-    lt = tessellate_bbox(left.select(*l_cols), cell_deg).alias("l")
-    rt = tessellate_bbox(right.select(*r_cols), cell_deg).alias("r")
-    rt = _maybe_broadcast(rt, right, broadcast)
+    with_wkb = refine_bc is None and not catalyst_rect
+    lt = (
+        l_tess(with_wkb)
+        .withColumnsRenamed({"gid": "lid", "g_wkb": "l_wkb"})
+        .alias("l")
+    )
+    rt = (
+        r_tess(with_wkb)
+        .withColumnsRenamed({"gid": "rid", "g_wkb": "r_wkb"})
+        .alias("r")
+    )
+    rt = _maybe_broadcast(rt, r_df, broadcast)
 
     join_cond = F.col("l.cell_id") == F.col("r.cell_id")
     if salt:
