@@ -99,3 +99,61 @@ def test_lineage_detects_tampering(assignments, tmp_path):
     spark = assignments.sparkSession
     bad = verify_lineage(spark, path, columns=["image_id", "payload"]).collect()
     assert any(r.pval == "3" for r in bad)
+
+
+def test_coarse_blocks_bound_directory_count(spark, tmp_path):
+    """2000 distinct packed cell_ids with target_partitions=32 →
+    far fewer than 2000 directories, resume still idempotent at
+    block granularity, and every original cell_id survives in the
+    data files (verdict r2 #10)."""
+    import glob
+
+    path = str(tmp_path / "tc")
+    df = spark.range(2000).select(
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        # packed cell id: cx in 0..49, cy in 0..39
+        (
+            F.pmod(F.col("id"), F.lit(50)) * F.lit(4294967296).cast("long")
+            + F.pmod(F.col("id"), F.lit(40))
+        ).alias("cell_id"),
+    )
+    assert df.select("cell_id").distinct().count() == 200
+    s1 = write_resumable(df, path, "cell_id", job_id="j1",
+                         target_partitions=32)
+    dirs = glob.glob(f"{path}/data/cell_id_block=*")
+    assert 0 < len(dirs) <= 34  # 1.05 headroom over the target
+    assert s1["written_partitions"] == len(dirs)
+    assert s1["rows"] == 2000
+    # resume: nothing new — and the SAME bits are reused from _meta
+    s2 = write_resumable(df, path, "cell_id", job_id="j2",
+                         target_partitions=4096)
+    assert s2["written_partitions"] == 0
+    assert s2["skipped_partitions"] == len(dirs)
+    data = read_table(spark, path)
+    assert data.count() == 2000
+    # the raw cell_id column survives inside the files
+    assert data.select("cell_id").distinct().count() == 200
+    assert verify_lineage(spark, path).count() == 0
+    assert verify_lineage(spark, path, columns=["image_id", "cell_id"]).count() == 0
+
+
+def test_coarse_blocks_partial_resume(spark, tmp_path):
+    """Half the blocks committed, crash, resume writes only the rest."""
+    path = str(tmp_path / "tp")
+    df = spark.range(1000).select(
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        (
+            F.pmod(F.col("id"), F.lit(16)) * F.lit(4294967296).cast("long")
+            + F.pmod(F.col("id"), F.lit(16))
+        ).alias("cell_id"),
+    )
+    first = df.where(F.pmod(F.col("id"), F.lit(16)) < 8)
+    s1 = write_resumable(first, path, "cell_id", job_id="j1",
+                         coarsen_bits=2)
+    s2 = write_resumable(df, path, "cell_id", job_id="j2")
+    assert s1["written_partitions"] == 2  # blocks 0,1 (cells 0-7 >> 2)
+    assert s2["written_partitions"] == 2  # blocks 2,3
+    assert s2["skipped_partitions"] == 2
+    data = read_table(spark, path)
+    assert data.count() == 1000
+    assert data.select("image_id").distinct().count() == 1000

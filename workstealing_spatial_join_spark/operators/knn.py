@@ -79,9 +79,18 @@ def _auto_ring_cells(c: DataFrame, k: int, cell_deg: float,
                      max_ring: int) -> int:
     """First-ring size in cells from candidate BOUNDING-BOX density
     (occupied-cell density over-estimates sparse layers — most ring
-    cells are empty). A ring r covers (2r+1)^2 cells; aim for ~4k
-    expected candidates so round 1 settles most queries. Shared by
-    the planar and great-circle kNN joins. One cheap aggregate."""
+    cells are empty). Shared by the planar and great-circle kNN
+    joins. One cheap aggregate.
+
+    Sizing rule: a query SETTLES at ring r only when its k-th
+    neighbor lies strictly inside the guaranteed radius r·cell_deg —
+    the circle INSCRIBED in the (2r+1)² ring box, not the box itself
+    (round 2 targeted ~4k candidates in the box; at the bench density
+    that picked r=1, whose inscribed circle holds barely k expected
+    points, so half the queries paid ~4 extra doubling rounds — the
+    knn_images 7.2→8.5 s regression). Target E[points within r·cd] =
+    density·π·r² ≥ 3k: P(Poisson(3k) < k) < 1e-3 for every k ≥ 1, so
+    round 1 settles all but genuinely sparse-region queries."""
     import math
 
     stats = c.agg(
@@ -96,10 +105,10 @@ def _auto_ring_cells(c: DataFrame, k: int, cell_deg: float,
         ((stats["x1"] - stats["x0"]) / cell_deg + 1)
         * ((stats["y1"] - stats["y0"]) / cell_deg + 1),
     )
-    density = stats["n"] / cells
+    density = stats["n"] / cells  # points per cell == per cell_deg²
     return max(1, min(
         max_ring,
-        math.ceil((math.sqrt(4.0 * k / max(density, 1e-12)) - 1) / 2),
+        math.ceil(math.sqrt(3.0 * k / (math.pi * max(density, 1e-12)))),
     ))
 
 
@@ -302,13 +311,29 @@ def dwithin_join(
     r_lat: str = "lat",
     cell_deg: float = GRID.DEFAULT_CELL_DEG,
     exclude_self: bool = False,
+    metric: str = "planar",  # planar | haversine
 ) -> DataFrame:
     """Fixed-radius range join (the `dwithin` predicate of the
     registry, SURVEY.md §2.5): all (left, right) pairs with planar
     euclidean distance ≤ radius. Filter phase = ring-cell equi-join
     covering the radius (pure Catalyst); refine = the distance
-    comparison itself (also Catalyst — zero Python end to end)."""
+    comparison itself (also Catalyst — zero Python end to end).
+
+    ``metric='planar'`` is euclidean on raw lon/lat degrees with NO
+    longitude wrap (antimeridian pairs are ~360° apart, matching the
+    planar oracle). ``metric='haversine'`` routes to
+    ``dwithin_haversine_join`` — ``radius`` is then km and the cover
+    wraps ±180° and the poles."""
     import math
+
+    if metric == "haversine":
+        return dwithin_haversine_join(
+            left, right, radius, left_id=left_id, right_id=right_id,
+            l_lon=l_lon, l_lat=l_lat, r_lon=r_lon, r_lat=r_lat,
+            cell_deg=cell_deg, exclude_self=exclude_self,
+        )
+    if metric != "planar":
+        raise ValueError(f"unknown metric {metric!r}")
 
     r_cells = max(1, math.ceil(radius / cell_deg))
     q = left.select(
@@ -346,6 +371,8 @@ def knn_join(
     initial_ring: int | str = "auto",
     max_ring: int | None = None,
     exclude_self: bool = False,
+    stats: dict | None = None,
+    metric: str = "planar",  # planar | haversine
 ) -> DataFrame:
     """k nearest candidates per query point. Returns
     ``(query_id, neighbor_id, rank, dist)``; ties broken by
@@ -354,7 +381,21 @@ def knn_join(
     ``initial_ring='auto'`` sizes the first ring from candidate
     density (one cheap aggregate over the candidate layer) so the
     first round settles the bulk of queries without per-query tuning.
-    """
+
+    ``metric``: 'planar' treats lon/lat as plain x/y — euclidean
+    degrees, NO longitude wrap (two points across the antimeridian
+    are ~360° apart, exactly as the planar oracle computes them).
+    For geographic semantics near ±180° or the poles pass
+    ``metric='haversine'``, which routes to ``knn_haversine_join``
+    (wrapping spherical cover; ``dist`` is then great-circle km)."""
+    if metric == "haversine":
+        return knn_haversine_join(
+            queries, candidates, k=k, query_id=query_id, cand_id=cand_id,
+            q_lon=q_lon, q_lat=q_lat, c_lon=c_lon, c_lat=c_lat,
+            cell_deg=cell_deg, exclude_self=exclude_self,
+        )
+    if metric != "planar":
+        raise ValueError(f"unknown metric {metric!r}")
     nx, ny = GRID.grid_dims(cell_deg)
     max_ring = max_ring or max(nx, ny)
     q = queries.select(
@@ -370,6 +411,9 @@ def knn_join(
 
     if initial_ring == "auto":
         initial_ring = _auto_ring_cells(c, k, cell_deg, max_ring)
+    if stats is not None:
+        stats["initial_ring"] = initial_ring
+        stats["rounds"] = 0
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     settled_parts: list[DataFrame] = []
@@ -379,6 +423,8 @@ def knn_join(
     remaining = q.localCheckpoint(eager=True)
     r = initial_ring
     while True:
+        if stats is not None:
+            stats["rounds"] += 1
         ringed = _ring_cells(remaining, r, cell_deg)
         cand = ringed.join(c, on="cell_id")
         if exclude_self:

@@ -47,20 +47,101 @@ def _manifest_partitions(spark: SparkSession, table_path: str) -> DataFrame | No
         return None  # first run — no manifest yet
 
 
+def _coarsen_cell_expr(col, bits: int):
+    """Block id for a packed cell_id (cx·2³² + cy): shift BOTH axes
+    right by ``bits`` — a (2^bits)² cell block per directory. A plain
+    ``cell_id >> k`` would coarsen only the y axis."""
+    cx = F.shiftright(col, 32)
+    cy = col.bitwiseAND(F.lit(4294967295))
+    return (
+        F.shiftright(cx, bits) * F.lit(4294967296).cast("long")
+        + F.shiftright(cy, bits)
+    )
+
+
+def _auto_coarsen_bits(
+    df: DataFrame, partition_col: str, target_partitions: int
+) -> int:
+    """Smallest per-axis shift whose block count fits the target —
+    measured, not assumed (skewed layers don't shrink 4× per bit).
+    ONE approx-distinct aggregate evaluates every candidate shift."""
+    col = F.col(partition_col).cast("long")
+    ests = df.agg(
+        *[
+            F.approx_count_distinct(
+                _coarsen_cell_expr(col, b) if b else col
+            ).alias(f"b{b}")
+            for b in range(0, 17, 2)
+        ]
+    ).collect()[0]
+    for b in range(0, 17, 2):
+        # approx_count_distinct err ~2%: 1.05 headroom keeps the
+        # guarantee honest without overshooting a whole block level
+        if ests[f"b{b}"] <= target_partitions * 1.05:
+            return b
+    return 16
+
+
 def write_resumable(
     df: DataFrame,
     table_path: str,
     partition_col: str = "cell_id",
     job_id: str | None = None,
+    coarsen_bits: int | str = "auto",
+    target_partitions: int = 4096,
 ) -> dict:
     """Write ``df`` partitioned by ``partition_col`` with resume +
     lineage. Returns stats {written_partitions, skipped_partitions,
     rows}. Safe to re-run after a partial failure: already-committed
     partitions are skipped; a partition is committed only after its
     data files land (manifest row written last).
-    """
+
+    File-count control (round-2 verdict #10): partitioning raw
+    ``cell_id`` writes one directory per occupied cell — thousands of
+    near-empty dirs at small scale, metadata pressure at any scale.
+    ``coarsen_bits`` groups (2^bits)² cells into one COARSE BLOCK
+    directory: 'auto' (default) picks the smallest shift whose block
+    count stays ≤ ``target_partitions`` (one cheap approx-distinct
+    pass; 0 when the raw cells already fit). The partition column in
+    the layout is then ``<partition_col>_block``, the original column
+    stays in the data files, and resume/manifest/lineage are keyed on
+    the block (idempotency granularity = block)."""
     spark = df.sparkSession
     job_id = job_id or uuid.uuid4().hex[:12]
+    # a table's block size is part of its layout: the bits recorded on
+    # first write are authoritative (a resume or a later batch using
+    # different bits would alias block ids across layouts)
+    try:
+        recorded = int(
+            spark.read.parquet(f"{table_path}/_meta")
+            .select("coarsen_bits").first()[0]
+        )
+    except Exception:
+        recorded = None
+    if recorded is not None:
+        if coarsen_bits != "auto" and int(coarsen_bits) != recorded:
+            raise ValueError(
+                f"table {table_path} was written with coarsen_bits="
+                f"{recorded}; got {coarsen_bits}"
+            )
+        coarsen_bits = recorded
+    else:
+        if coarsen_bits == "auto":
+            coarsen_bits = _auto_coarsen_bits(
+                df, partition_col, target_partitions
+            )
+        spark.createDataFrame(
+            [(int(coarsen_bits),)], "coarsen_bits int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{table_path}/_meta")
+    if coarsen_bits:
+        block_col = f"{partition_col}_block"
+        df = df.withColumn(
+            block_col,
+            _coarsen_cell_expr(
+                F.col(partition_col).cast("long"), int(coarsen_bits)
+            ),
+        )
+        partition_col = block_col
     done = _manifest_partitions(spark, table_path)
     pending = df
     n_skipped = 0
@@ -168,7 +249,9 @@ def verify_lineage(
     files and diff against lineage — returns mismatching partitions
     (empty = intact)."""
     data = read_table(spark, table_path)
-    pcol = [c for c in data.columns if c in ("cell_id", "pval")]
+    pcol = [c for c in data.columns if c.endswith("_block")] or [
+        c for c in data.columns if c in ("cell_id", "pval")
+    ]
     part = pcol[0] if pcol else data.columns[-1]
     lineage = read_lineage(spark, table_path)
     aggs = [F.count(F.lit(1)).alias("n_rows_actual")]
