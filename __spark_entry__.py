@@ -348,6 +348,27 @@ def q_lines_intersection_numpoints(spark, sf_dir):
     )
 
 
+def q_lines_union_numpoints(spark, sf_dir):
+    """LINESTRING × POLYGON union numPoints, general-position subset
+    (line_id 7000-7059; degenerate line families have no hand-derived
+    union closed forms — the fixture stores NULL there). Oracle: the
+    convention-free local identity V_out + 2C + R + 1 computed by the
+    generator with exact Fractions, independent of the engine's span
+    tracer."""
+    lines = spark.read.parquet(f"{_LINES_DIR}/layer_lines.parquet").where(
+        F.col("line_id") <= 7059
+    )
+    polys = spark.read.parquet(f"{_LINES_DIR}/layer_polys.parquet")
+    return polygon_join(
+        lines, polys, "line_id", "poly_id",
+        predicate="union_numpoints",
+        mode="pairs", dedup="refpoint", cell_deg=CELL,
+    ).select(
+        F.col("lid").alias("line_id"), F.col("rid").alias("poly_id"),
+        "num_points",
+    )
+
+
 def q_tile_rect_overlap_count(spark, sf_dir):
     """Raster-tile ↔ vector assignment (J7): full zoom-6 tile grid
     joined to supplier rects through the engine's cell-partitioned
@@ -688,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "degenerate_union_numpoints": q_degenerate_union_numpoints,
         "lines_intersection_numpoints": q_lines_intersection_numpoints,
+        "lines_union_numpoints": q_lines_union_numpoints,
         "tile_rect_overlap_count": q_tile_rect_overlap_count,
         "knn_suppliers": q_knn_suppliers,
         "dwithin_pairs": q_dwithin_pairs,
@@ -931,6 +953,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT line_id, poly_id, CAST(expected_int AS BIGINT) "
             "AS num_points FROM read_parquet("
             f"'{_LINES_DIR}/expected_lines.parquet') WHERE expected_int > 0"
+        ),
+        "lines_union_numpoints": (
+            # engine emits every MBR-overlapping same-cell pair (union
+            # numPoints is never 0), so the oracle replays the MBR
+            # candidate condition over the layer tables
+            "SELECT e.line_id, e.poly_id, "
+            "CAST(e.expected_union AS BIGINT) AS num_points "
+            f"FROM read_parquet('{_LINES_DIR}/expected_lines.parquet') e "
+            f"JOIN read_parquet('{_LINES_DIR}/layer_lines.parquet') l "
+            "ON e.line_id = l.line_id "
+            f"JOIN read_parquet('{_LINES_DIR}/layer_polys.parquet') p "
+            "ON e.poly_id = p.poly_id "
+            "WHERE e.family = 'general' "
+            "AND l.minx <= p.maxx AND p.minx <= l.maxx "
+            "AND l.miny <= p.maxy AND p.miny <= l.maxy"
         ),
         "tile_rect_overlap_count": (
             "WITH grid AS (SELECT "

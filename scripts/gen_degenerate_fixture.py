@@ -300,11 +300,10 @@ def _pip_exact(ring, pt):
     return inside
 
 
-def line_int_numpoints_general(line_f, ring_f) -> int:
-    """Exact oracle via local counting (NO span assembly): proper
-    crossings + strictly-inside line vertices. Raises LineDegenerate
-    on any non-general-position contact (those cases come from the
-    constructed families below instead)."""
+def line_counts_general(line_f, ring_f) -> tuple[int, int, int]:
+    """Exact local counts for a general-position line×ring pair:
+    (proper crossings, strictly-inside vertices, strictly-outside
+    vertices). Raises LineDegenerate on any non-general contact."""
     crossings = 0
     for i in range(len(line_f) - 1):
         p, p2 = line_f[i], line_f[i + 1]
@@ -332,7 +331,30 @@ def line_int_numpoints_general(line_f, ring_f) -> int:
                     raise LineDegenerate("endpoint contact")
                 crossings += 1
     inside = sum(1 for v in line_f if _pip_exact(ring_f, v))
+    return crossings, inside, len(line_f) - inside
+
+
+def line_int_numpoints_general(line_f, ring_f) -> int:
+    """Exact intersection oracle via local counting (NO span
+    assembly): proper crossings + strictly-inside line vertices."""
+    crossings, inside, _ = line_counts_general(line_f, ring_f)
     return crossings + inside
+
+
+def line_union_numpoints_general(line_f, ring_f) -> int:
+    """Exact union oracle via local counting: V_out + 2C + R + 1.
+
+    Derivation (general position only): the union is the polygon with
+    its ring noded at the C crossings (R + C vertices + closure) plus
+    the line's OUTSIDE runs. Each outside run's endpoints are
+    crossings or outside line endpoints; summed over runs that is
+    exactly V_out + C points (2·runs = C + E_out and interior run
+    vertices = V_out − E_out). Outside runs contain no interior nodes
+    — crossings ARE the run boundaries — so JTS edge-splitting vs
+    span-merging conventions cannot change the count; the identity is
+    convention-free, unlike the engine's span-assembly tracer."""
+    crossings, _, outside = line_counts_general(line_f, ring_f)
+    return outside + 2 * crossings + len(ring_f) + 1
 
 
 def _frac(pts):
@@ -363,11 +385,13 @@ def gen_lines():
         ys = np.round(rng.uniform(-2.5, 2.5, nvert + 1) * 64) / 64
         line = np.stack([xs, ys], axis=1) + np.array([dx, dy])
         try:
-            exp = line_int_numpoints_general(
+            crossings, inside, outside = line_counts_general(
                 _frac(line), _frac(star[:-1])
             )
         except LineDegenerate:
             continue
+        exp = crossings + inside
+        exp_union = outside + 2 * crossings + len(star[:-1]) + 1
         if exp == 0 and rng.uniform() < 0.7:
             continue  # keep a few empty pairs, not a flood
         lid = 7000 + made
@@ -385,7 +409,7 @@ def gen_lines():
         polys.append(poly_row(pid, [star]))
         expected.append(
             {"line_id": lid, "poly_id": pid, "family": "general",
-             "expected_int": int(exp)}
+             "expected_int": int(exp), "expected_union": int(exp_union)}
         )
         made += 1
 
@@ -412,8 +436,12 @@ def gen_lines():
         )
         polys.append(poly_row(pid, rings))
         expected.append(
+            # union closed forms for degenerate line families are NOT
+            # hand-derived (touch-noding conventions differ subtly
+            # across JTS versions); only the convention-free general
+            # identity feeds the union oracle
             {"line_id": lid, "poly_id": pid, "family": name,
-             "expected_int": exp}
+             "expected_int": exp, "expected_union": None}
         )
 
     sq = rect(0, 0, 4, 4)
