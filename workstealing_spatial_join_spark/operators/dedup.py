@@ -52,6 +52,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster parallelism when the
+    input has fewer splits (small files serialize pandas-UDF stages on
+    one core; large scans already have enough splits — no-op)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if current < target else df
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -248,6 +260,11 @@ def minhash_dedup(
     full documents through two joins and re-shingled per pair)."""
     rows_per_band = num_perm // bands
     sig_sh_udf = minhash_sig_shingles_udf(num_perm, shingle_k)
+    # the signature pass is the CPU-heavy stage: make sure it runs at
+    # cluster parallelism. A small corpus arrives as one parquet split
+    # (observed: entire pass serialized on one core); a 100-TB scan
+    # already has many splits, so this round-robin is a no-op there.
+    docs = _ensure_parallel(docs)
     signed = docs.select(
         F.col(id_col).alias("doc_id"),
         sig_sh_udf(F.col(text_col)).alias("s"),
@@ -288,6 +305,11 @@ def minhash_dedup(
             F.col("b.doc_id").alias("doc_id_b"),
         )
         .distinct()
+        # AQE coalesces the (small-bytes) distinct output to ONE
+        # partition, which would serialize the per-pair set arithmetic
+        # below; a NUMBERED repartition is exempt from AQE coalescing
+        # and spreads the verify across the cluster
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     )
     sh_tbl = signed.select("doc_id", "sh")
     pairs = (
@@ -410,7 +432,9 @@ def hash_neardup(
     nchunks = max_hamming + 1
     width = bits // nchunks
     ca, cb = f"{out_prefix}_a", f"{out_prefix}_b"
-    hashed = df.select(F.col(id_col).alias("_id"), hash_col.alias("sh"))
+    hashed = _ensure_parallel(df).select(
+        F.col(id_col).alias("_id"), hash_col.alias("sh")
+    )
     mask = (1 << width) - 1
     chunked = hashed.select(
         "_id",
