@@ -17,7 +17,13 @@ has an exact DuckDB oracle — no rows-only entries:
                         / rect_union_numpoints (bounds-CASE oracles);
                         concave_intersection_numpoints /
                         concave_union_numpoints (Greiner–Hormann
-                        overlay vs exact-Fraction fixture oracles)
+                        overlay vs exact-Fraction fixture oracles);
+                        degenerate_{intersection,union}_numpoints
+                        (shared-edge/touch families, closed-form
+                        oracles, NO engine-conditioned resampling);
+                        lines_intersection_numpoints (line×polygon,
+                        local-counting oracle) / lines_union_numpoints
+                        (convention-free V_out+2C+R+1 identity)
   §3.2 parity ......... rect_join_percell_count (per-cell multiplicity)
   J6 kNN + dwithin .... knn_suppliers (auto-ring + window top-k),
                         dwithin_pairs (planar), dwithin_haversine

@@ -42,7 +42,19 @@ def main():
     rewrite_bench_md()
 
 
+EXTRA_MARKER = "<!-- extra-sections: preserved across rewrites -->"
+
+
 def rewrite_bench_md():
+    # everything below the marker (e.g. the crossover table) survives
+    # the scaling-table regeneration
+    extra = ""
+    try:
+        old = open(f"{REPO}/BENCH.md").read()
+        if EXTRA_MARKER in old:
+            extra = old.split(EXTRA_MARKER, 1)[1]
+    except FileNotFoundError:
+        pass
     runs = [json.loads(line) for line in open(LOG)]
     best = max(runs, key=lambda r: r["eff_median"])
     a, b = best["levels"]
@@ -103,7 +115,8 @@ Notes:
 - The host advertises 32 vCPUs but delivers ~16 effective cores
   (raw NumPy multiprocessing scales 8->32 procs only 1.46x), so the
   N/4N pair is {n}/{n4}, inside the linear region.
-""")
+
+{EXTRA_MARKER}{extra}""")
 
 
 if __name__ == "__main__":
