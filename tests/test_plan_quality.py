@@ -233,3 +233,34 @@ def test_driver_query_python_node_budgets(spark):
         n_arrow = audit["python_nodes"]["ArrowEvalPython"]
         assert n_arrow <= budget, (name, n_arrow, audit["python_nodes"])
         assert audit["python_nodes"]["BatchEvalPython"] == 0, name
+
+
+def test_plan_pip_join_dispatch_and_parity(spark):
+    """plan_pip_join measures, decides, and dispatches; result parity
+    with the direct strategies either way."""
+    from workstealing_spatial_join_spark.operators.ingest import ingest_geometry
+    from workstealing_spatial_join_spark.plans.planner import plan_pip_join
+    from workstealing_spatial_join_spark.sources import fixtures as FX
+
+    images = spark.createDataFrame(
+        FX.images_pdf(600, with_bytes=False)[["image_id", "lon", "lat"]]
+    )
+    polys = ingest_geometry(
+        spark.createDataFrame(FX.polygons_pdf(60)), "wkt", keep_cols=["polygon_id"]
+    )
+    out, plan = plan_pip_join(images, polys)
+    got = {(r.point_id, r.poly_id) for r in out.collect()}
+    want = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join(images, polys).collect()
+    }
+    assert got == want and len(want) > 0
+    assert plan.strategy in ("catalyst", "cogroup") and plan.reason
+
+    # force the density route: tiny threshold => cogroup dispatch,
+    # same result set
+    out2, plan2 = plan_pip_join(
+        images, polys, cogroup_density_threshold=1e-9
+    )
+    assert plan2.strategy == "cogroup"
+    assert {(r.point_id, r.poly_id) for r in out2.collect()} == want

@@ -89,6 +89,89 @@ def choose_pip_strategy(
     )
 
 
+def plan_pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "image_id",
+    poly_id: str = "polygon_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_deg: float | None = None,
+    mode: str = "pairs",
+    target_pairs_per_task: int = 100_000,
+    **strategy_kwargs,
+) -> tuple[DataFrame, JoinPlan]:
+    """Measure, decide, dispatch — the planner made executable.
+
+    ONE stats pass (the cell cost table both strategies would build
+    anyway, plus a 5-value aggregate over it) yields n_points,
+    n_polygon_cells, candidate density, and the hottest cell's share;
+    ``choose_pip_strategy`` picks the physical strategy from the
+    MEASURED crossover (jobs/crossover_runs.jsonl) and the join runs
+    it. Returns (result DataFrame, the JoinPlan with its reason) so
+    callers can log why the plan was chosen.
+
+    At 10^12 rows this stats pass is two map-side-combined aggregates
+    over (cell_id) — tiny vs the join it steers."""
+    from pyspark.sql import functions as F
+
+    from workstealing_spatial_join_spark.functions import grid as GRID
+    from workstealing_spatial_join_spark.operators.cogroup_join import (
+        point_in_polygon_join_cogrouped,
+    )
+    from workstealing_spatial_join_spark.operators.skew import cell_cost_table
+    from workstealing_spatial_join_spark.operators.spatial_join import (
+        point_in_polygon_join,
+        tessellate_bbox,
+        tessellate_points,
+    )
+
+    cell_deg = cell_deg or GRID.DEFAULT_CELL_DEG
+    pts = tessellate_points(
+        points.select(
+            F.col(point_id).alias("point_id"),
+            F.col(lon).alias("px"),
+            F.col(lat).alias("py"),
+        ),
+        lon="px", lat="py", cell_deg=cell_deg,
+    )
+    pls = tessellate_bbox(
+        polygons.select("minx", "miny", "maxx", "maxy"), cell_deg
+    )
+    cost = cell_cost_table(pts, pls, target_pairs=target_pairs_per_task)
+    stats = cost.agg(
+        F.sum("n_left").alias("np_in_joined_cells"),
+        F.sum("n_right").alias("n_poly_cells"),
+        F.sum("est_pairs").alias("est_candidates"),
+        F.max("n_left").alias("hottest_cell_points"),
+    ).collect()[0]
+    n_points = stats["np_in_joined_cells"] or 0
+    est_cand = stats["est_candidates"] or 0
+    plan = choose_pip_strategy(
+        n_points=int(n_points),
+        n_polygons=int(stats["n_poly_cells"] or 0),
+        max_cell_share=(
+            (stats["hottest_cell_points"] or 0) / n_points if n_points else 0.0
+        ),
+        est_candidates_per_point=(est_cand / n_points if n_points else 0.0),
+        **strategy_kwargs,
+    )
+    if plan.strategy == "cogroup":
+        out = point_in_polygon_join_cogrouped(
+            points, polygons, point_id=point_id, poly_id=poly_id,
+            lon=lon, lat=lat, cell_deg=cell_deg, mode=mode,
+            salt=plan.salt, target_pairs_per_task=target_pairs_per_task,
+        )
+    else:
+        out = point_in_polygon_join(
+            points, polygons, point_id=point_id, poly_id=poly_id,
+            lon=lon, lat=lat, cell_deg=cell_deg, mode=mode,
+            broadcast=plan.broadcast, salt=plan.salt,
+            target_pairs_per_task=target_pairs_per_task,
+        )
+    return out, plan
+
+
 # ------------------------------------------------------------- audit
 
 _PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
