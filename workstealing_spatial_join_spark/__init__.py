@@ -51,6 +51,7 @@ from workstealing_spatial_join_spark.operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
 )
+from workstealing_spatial_join_spark.plans.planner import plan_pip_join
 from workstealing_spatial_join_spark.sources.writer import write_resumable
 from workstealing_spatial_join_spark.sources.bucketed import (
     pip_join_bucketed,
@@ -81,6 +82,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
+    "plan_pip_join",
     "write_resumable",
     "save_bucketed_polygon_layer",
     "pip_join_bucketed",
