@@ -157,3 +157,19 @@ def test_coarse_blocks_partial_resume(spark, tmp_path):
     data = read_table(spark, path)
     assert data.count() == 1000
     assert data.select("image_id").distinct().count() == 1000
+
+
+def test_string_partition_col_skips_coarsening(spark, tmp_path):
+    """A non-integral partition column (tile_id strings) must never be
+    block-coarsened (cast->NULL would collapse the layout); 'auto'
+    degrades to raw partitioning, explicit bits raise."""
+    path = str(tmp_path / "ts")
+    df = spark.range(200).select(
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        F.concat(F.lit("z6/"), (F.col("id") % 10).cast("string")).alias("tile_id"),
+    )
+    s = write_resumable(df, path, "tile_id", job_id="j1")
+    assert s["written_partitions"] == 10
+    assert read_table(spark, path).count() == 200
+    with pytest.raises(ValueError, match="integral"):
+        write_resumable(df, str(tmp_path / "ts2"), "tile_id", coarsen_bits=2)

@@ -108,6 +108,20 @@ def write_resumable(
     the block (idempotency granularity = block)."""
     spark = df.sparkSession
     job_id = job_id or uuid.uuid4().hex[:12]
+    # block coarsening is cell-id arithmetic — only integral partition
+    # columns qualify (a string column like tile_id would cast to NULL
+    # and collapse every row into one NULL block)
+    integral = df.schema[partition_col].dataType.simpleString() in (
+        "bigint", "int", "smallint", "tinyint"
+    )
+    if not integral and coarsen_bits == "auto":
+        coarsen_bits = 0
+    if not integral and coarsen_bits:
+        raise ValueError(
+            f"coarsen_bits needs an integral partition column; "
+            f"{partition_col} is "
+            f"{df.schema[partition_col].dataType.simpleString()}"
+        )
     # a table's block size is part of its layout: the bits recorded on
     # first write are authoritative (a resume or a later batch using
     # different bits would alias block ids across layouts)
