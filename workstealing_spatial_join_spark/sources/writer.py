@@ -59,25 +59,38 @@ def _coarsen_cell_expr(col, bits: int):
     )
 
 
+ROWS_PER_PARTITION_TARGET = 50_000
+
+
 def _auto_coarsen_bits(
     df: DataFrame, partition_col: str, target_partitions: int
 ) -> int:
-    """Smallest per-axis shift whose block count fits the target —
-    measured, not assumed (skewed layers don't shrink 4× per bit).
-    ONE approx-distinct aggregate evaluates every candidate shift."""
+    """Smallest per-axis shift whose block count fits the effective
+    target — measured, not assumed (skewed layers don't shrink 4× per
+    bit). ONE approx-distinct aggregate evaluates every candidate
+    shift. The effective target scales with row count (≈1 block per
+    50k rows, floor 64 for parallel writes, capped by
+    ``target_partitions``): a 5k-row demo gets tens of directories, a
+    10^12-row table gets the full cap — resume granularity follows
+    (coarser blocks = coarser resume)."""
     col = F.col(partition_col).cast("long")
     ests = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         *[
             F.approx_count_distinct(
                 _coarsen_cell_expr(col, b) if b else col
             ).alias(f"b{b}")
             for b in range(0, 17, 2)
-        ]
+        ],
     ).collect()[0]
+    target = min(
+        target_partitions,
+        max(64, ests["n_rows"] // ROWS_PER_PARTITION_TARGET),
+    )
     for b in range(0, 17, 2):
         # approx_count_distinct err ~2%: 1.05 headroom keeps the
         # guarantee honest without overshooting a whole block level
-        if ests[f"b{b}"] <= target_partitions * 1.05:
+        if ests[f"b{b}"] <= target * 1.05:
             return b
     return 16
 
