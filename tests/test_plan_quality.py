@@ -220,6 +220,14 @@ def test_driver_query_python_node_budgets(spark):
         "ann_cosine_topk": 0,
         "ann_cosine_topk_ivf": 0,
         "doc_jaccard_adjacent": 0,
+        # minhash: ONE Arrow node (the signature+shingle pass) — the
+        # round-3 verify is pure Catalyst set arithmetic, no raw text
+        "minhash_neardup": 1,
+        # line/degenerate overlay queries pay exactly one pair refine
+        "lines_intersection_numpoints": 1,
+        "lines_union_numpoints": 1,
+        "degenerate_intersection_numpoints": 1,
+        "degenerate_union_numpoints": 1,
     }
     qs = E.queries()
     sf = "/root/testdata/sf0.001"
