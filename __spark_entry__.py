@@ -414,6 +414,34 @@ def q_knn_suppliers(spark, sf_dir):
     )
 
 
+def q_knn_haversine(spark, sf_dir):
+    """Great-circle kNN (radius-doubling over the wrapping spherical
+    cover) — the spherical twin of knn_suppliers. Oracle: BRUTE-FORCE
+    haversine top-k in SQL (cross join + window), fully independent of
+    the engine's cover/settle machinery. dist_km rounded to 3 decimals
+    (JVM vs DuckDB libm last-ulp); ranks computed from full precision
+    on both sides."""
+    from workstealing_spatial_join_spark.operators.knn import (
+        knn_haversine_join,
+    )
+
+    pts = TB.customer_points(spark, sf_dir).where(F.col("point_id") <= 100)
+    sup = TB.supplier_rects(spark, sf_dir).select(
+        "rect_id",
+        ((F.col("minx") + F.col("maxx")) / 2.0).alias("lon"),
+        ((F.col("miny") + F.col("maxy")) / 2.0).alias("lat"),
+    )
+    return knn_haversine_join(
+        pts, sup, k=5, query_id="point_id", cand_id="rect_id",
+        cell_deg=CELL,
+    ).select(
+        F.col("query_id").alias("c_custkey"),
+        F.col("neighbor_id").alias("s_suppkey"),
+        "rank",
+        F.round("dist_km", 3).alias("dist_km"),
+    )
+
+
 def q_dwithin_pairs(spark, sf_dir):
     """Fixed-radius range join: customer points within 2.5° of a
     supplier center — zero-Python engine path; plain theta-join oracle."""
@@ -718,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lines_union_numpoints": q_lines_union_numpoints,
         "tile_rect_overlap_count": q_tile_rect_overlap_count,
         "knn_suppliers": q_knn_suppliers,
+        "knn_haversine": q_knn_haversine,
         "dwithin_pairs": q_dwithin_pairs,
         "dwithin_haversine": q_dwithin_haversine,
         "q1_pricing": q_q1_pricing,
@@ -1026,6 +1055,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM q CROSS JOIN c) "
             "SELECT point_id AS c_custkey, rect_id AS s_suppkey, "
             "ROUND(d, 3) AS dist_km FROM s WHERE d <= 500.0"
+        ),
+        "knn_haversine": (
+            # brute-force great-circle top-k: cross join + window —
+            # zero shared machinery with the engine's spherical cover
+            f"WITH q AS (SELECT point_id, lon, lat FROM ({_PTS}) "
+            "WHERE point_id <= 100), "
+            "c AS (SELECT rect_id, (minx + maxx) / 2.0 AS cx, "
+            f"(miny + maxy) / 2.0 AS cy FROM ({_SUP})), "
+            "s AS (SELECT q.point_id, c.rect_id, "
+            "2.0 * 6371.0088 * asin(sqrt("
+            "sin((c.cy - q.lat) * 0.008726646259971648) "
+            "* sin((c.cy - q.lat) * 0.008726646259971648) "
+            "+ cos(q.lat * 0.017453292519943295) "
+            "* cos(c.cy * 0.017453292519943295) "
+            "* sin((c.cx - q.lon) * 0.008726646259971648) "
+            "* sin((c.cx - q.lon) * 0.008726646259971648))) AS d "
+            "FROM q CROSS JOIN c), "
+            "ranked AS (SELECT point_id, rect_id, d, "
+            "ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY d, rect_id) "
+            "AS rank FROM s) "
+            "SELECT point_id AS c_custkey, rect_id AS s_suppkey, "
+            "CAST(rank AS INT) AS rank, ROUND(d, 3) AS dist_km "
+            "FROM ranked WHERE rank <= 5"
         ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
