@@ -92,3 +92,47 @@ def test_prepared_layer_cell_deg_mismatch(layers):
     pa = PreparedGeometryLayer(da, "a_id", cell_deg=1.0)
     with pytest.raises(ValueError, match="cell_deg"):
         polygon_join(pa, db, "a_id", "b_id", cell_deg=0.5)
+
+
+def test_rect_union_split_plan_matches_udf_path(spark):
+    """union_numpoints on rect layers splits generic pairs onto the
+    Catalyst closed form and degenerate pairs onto the pair UDF; the
+    combined result must equal the full-UDF (WKB transport) path on a
+    layer mix that hits BOTH branches."""
+    import pandas as pd
+
+    from workstealing_spatial_join_spark.operators.ingest import ingest_geometry
+
+    def layer(rows, pref):
+        pdf = pd.DataFrame(
+            [
+                {"rid": f"{pref}{i}",
+                 "wkt": f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                        f"{x0} {y1}, {x0} {y0}))"}
+                for i, (x0, y0, x1, y1) in enumerate(rows)
+            ]
+        )
+        return ingest_geometry(spark.createDataFrame(pdf), "wkt", keep_cols=["rid"])
+
+    la = layer([(0, 0, 2, 2), (10, 10, 13, 12), (5, 5, 7, 7),
+                (20, 0, 22, 2)], "a")
+    lb = layer([(1, 1, 3, 3),          # generic overlap with a0
+                (12, 11, 14, 13.5),    # shared x=12? no: generic
+                (7, 5, 9, 7),          # shared edge with a2 (degenerate)
+                (22, 2, 24, 4),        # corner touch with a3 (degenerate)
+                (0.5, 0.5, 1.5, 1.5)], "b")
+    kw = dict(predicate="union_numpoints", mode="pairs", cell_deg=4.0)
+    split = {
+        (r.lid, r.rid, r.num_points)
+        for r in polygon_join(la, lb, "rid", "rid", **kw).collect()
+    }
+    full = {
+        (r.lid, r.rid, r.num_points)
+        for r in polygon_join(
+            la, lb, "rid", "rid", refine_transport="wkb", **kw
+        ).collect()
+    }
+    assert split == full and len(split) >= 4
+    # sanity: at least one degenerate pair (touch) actually present
+    assert any(p[0] == "a2" and p[1] == "b2" for p in split)
+    assert any(p[0] == "a3" and p[1] == "b3" for p in split)

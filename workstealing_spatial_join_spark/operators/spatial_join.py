@@ -448,6 +448,24 @@ def polygon_join(
             and l_rects and r_rects
         ):
             catalyst_rect = True
+        elif predicate == "union_numpoints" and l_rects and r_rects \
+                and l_unique and r_unique:
+            # union on rect layers SPLITS the plan: generic-position
+            # positive-overlap pairs take the closed-form 13-2(ca+cb)
+            # CASE (pure Catalyst, the common case); only degenerate
+            # contacts (shared coordinates / touches) pay the pair
+            # UDF. Needs the id-keyed dict for that residual branch.
+            from workstealing_spatial_join_spark.functions.predicates import (
+                make_pair_refine_broadcast,
+            )
+
+            catalyst_rect = True
+            refine_bc = make_pair_refine_broadcast(
+                l_df.sparkSession,
+                [r[0] for r in lrows], [r[1] for r in lrows],
+                [r[0] for r in rrows], [r[1] for r in rrows],
+                predicate,
+            )
         # the id-keyed dict transport needs one geometry per id —
         # repeated ids (multipart parts exploded at ingest) keep
         # the WKB column so each PART row refines against its own
@@ -522,6 +540,61 @@ def polygon_join(
         h = F.least(F.col("l.maxy"), F.col("r.maxy")) - F.greatest(
             F.col("l.miny"), F.col("r.miny")
         )
+        if predicate == "union_numpoints":
+            # generic position: no shared coordinate value on either
+            # axis AND positive-area overlap → every union ring vertex
+            # is an outside corner or a proper crossing, numPoints =
+            # 13 - 2*(cornersA-in-B + cornersB-in-A) (cross-checked
+            # against the exact arrangement kernel in
+            # tests/test_rect_closed_forms.py). Everything else
+            # (touches, shared edges, equal coords) refines through
+            # the pair UDF — the SPLIT keeps Python off the common
+            # case without changing semantics.
+            def corners_in(p, q):  # corners of rect p strictly in q
+                cx = [p + ".minx", p + ".minx", p + ".maxx", p + ".maxx"]
+                cy = [p + ".miny", p + ".maxy", p + ".miny", p + ".maxy"]
+                c = F.lit(0)
+                for x, y in zip(cx, cy):
+                    c = c + F.when(
+                        (F.col(x) > F.col(q + ".minx"))
+                        & (F.col(x) < F.col(q + ".maxx"))
+                        & (F.col(y) > F.col(q + ".miny"))
+                        & (F.col(y) < F.col(q + ".maxy")),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                return c
+
+            distinct_x = (
+                (F.col("l.minx") != F.col("r.minx"))
+                & (F.col("l.minx") != F.col("r.maxx"))
+                & (F.col("l.maxx") != F.col("r.minx"))
+                & (F.col("l.maxx") != F.col("r.maxx"))
+            )
+            distinct_y = (
+                (F.col("l.miny") != F.col("r.miny"))
+                & (F.col("l.miny") != F.col("r.maxy"))
+                & (F.col("l.maxy") != F.col("r.miny"))
+                & (F.col("l.maxy") != F.col("r.maxy"))
+            )
+            generic = distinct_x & distinct_y & (w > 0) & (h > 0)
+            gen_scored = cand.where(generic).withColumn(
+                "num_points",
+                (
+                    F.lit(13)
+                    - F.lit(2) * (corners_in("l", "r") + corners_in("r", "l"))
+                ).cast("long"),
+            )
+            deg_scored = cand.where(~generic).withColumn(
+                "num_points",
+                refine_bc.asNondeterministic()(F.col("lid"), F.col("rid")),
+            ).where(F.col("num_points") > 0)
+            sel = ["lid", "rid", "num_points"] + (
+                ["l.cell_id"] if dedup == "parity" else []
+            )
+            both = gen_scored.select(*sel).unionByName(deg_scored.select(*sel))
+            if mode == "count":
+                return both.agg(F.sum("num_points").alias("join_count"))
+            return both
         np_col = (
             F.when((w > 0) & (h > 0), F.lit(5))
             .when((w == 0) & (h == 0), F.lit(1))
