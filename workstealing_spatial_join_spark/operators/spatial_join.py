@@ -250,6 +250,7 @@ def point_in_polygon_join(
         return _pip_finish(
             pts, polys, polygons.contains_udf if refine else None,
             refine, mode, salt, target_pairs_per_task,
+            build_small=polygons.n_rows <= BROADCAST_ROW_THRESHOLD,
         )
 
     # Refine transport: per-candidate WKB column vs broadcast polygon
@@ -290,7 +291,8 @@ def point_in_polygon_join(
 
     polys = _maybe_broadcast(polys, polygons, broadcast)
     return _pip_finish(
-        pts, polys, contains_udf, refine, mode, salt, target_pairs_per_task
+        pts, polys, contains_udf, refine, mode, salt, target_pairs_per_task,
+        build_small=rows is not None,
     )
 
 
@@ -302,6 +304,7 @@ def _pip_finish(
     mode: str,
     salt: bool,
     target_pairs_per_task: int,
+    build_small: bool = False,
 ) -> DataFrame:
     if salt:
         # LB1 rebirth: cost-estimated salting of hot cells (see
@@ -318,6 +321,13 @@ def _pip_finish(
         ).where(F.col("n_salt") > 1)
         pts = salt_probe_side(pts, cost, ["point_id"])
         polys = salt_build_side(polys, cost)
+        if build_small:
+            # the salt explode wrecks AQE's size estimate for the
+            # build side (sequence-explode cardinality is unknown), so
+            # a known-small layer would fall back to a full shuffle
+            # join — re-assert the broadcast hint (measured: salted
+            # PIP 8.1s -> shuffle removed at bench scale)
+            polys = F.broadcast(polys)
         join_keys = ["cell_id", "salt"]
     else:
         join_keys = ["cell_id"]
