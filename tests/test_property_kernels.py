@@ -1,9 +1,19 @@
 """Property-based kernel tests (hypothesis) — SURVEY.md §5.6: random
 geometry with extreme skew, invariants vs brute-force definitions."""
 
+import os
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+# Deep sweep knob (ROADMAP test debt): PROP_SCALE=10 multiplies every
+# max_examples — run occasionally as a slow suite.
+_SCALE = float(os.environ.get("PROP_SCALE", "1"))
+
+
+def _ex(n: int) -> int:
+    return max(10, int(n * _SCALE))
 
 from workstealing_spatial_join_spark.functions import geom as G
 from workstealing_spatial_join_spark.functions import grid as GRID
@@ -20,7 +30,7 @@ def rect(x0, y0, w, h):
 
 
 @given(coord, coord, small, small, coord, coord)
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_ex(200), deadline=None)
 def test_rect_contains_matches_bounds(x0, y0, w, h, px, py):
     r = rect(x0, y0, w, h)
     got = bool(G.polygon_contains_xy([r], np.array([px]), np.array([py]))[0])
@@ -29,7 +39,7 @@ def test_rect_contains_matches_bounds(x0, y0, w, h, px, py):
 
 
 @given(coord, coord, small, small, coord, coord, small, small)
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_ex(150), deadline=None)
 def test_rect_intersects_matches_overlap(x0, y0, w, h, x1, y1, w2, h2):
     a, b = rect(x0, y0, w, h), rect(x1, y1, w2, h2)
     got = G.intersects((W.POLYGON, [a]), (W.POLYGON, [b]))
@@ -40,7 +50,7 @@ def test_rect_intersects_matches_overlap(x0, y0, w, h, x1, y1, w2, h2):
 
 
 @given(coord, coord, small, small, coord, coord, small, small)
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_ex(150), deadline=None)
 def test_clip_area_bounded(x0, y0, w, h, x1, y1, w2, h2):
     a, b = rect(x0, y0, w, h), rect(x1, y1, w2, h2)
     clipped = G.clip_convex(a, b)
@@ -51,7 +61,7 @@ def test_clip_area_bounded(x0, y0, w, h, x1, y1, w2, h2):
 
 
 @given(coord, st.floats(-85, 85, width=64), small, small)
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_ex(200), deadline=None)
 def test_covering_cells_cover_all_interior_points(x0, y0, w, h):
     cells = set(GRID.cells_covering_bbox(x0, y0, x0 + w, y0 + h).tolist())
     rng = np.random.default_rng(0)
@@ -62,7 +72,7 @@ def test_covering_cells_cover_all_interior_points(x0, y0, w, h):
 
 
 @given(st.lists(st.tuples(coord, st.floats(-85, 85, width=64)), min_size=3, max_size=20))
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_ex(100), deadline=None)
 def test_wkb_roundtrip_random_lines(pts):
     arr = np.asarray(pts, dtype=np.float64)
     wkb = W.to_wkb(W.LINESTRING, [arr])
