@@ -259,6 +259,7 @@ def point_in_polygon_join(
     # bandwidth), so when the polygon layer fits on the driver we ship
     # only (poly_id, x, y) and broadcast the geometry once per worker.
     contains_udf = None
+    rows = None
     if refine and refine_transport in ("auto", "broadcast"):
         rows = _collect_geom_dict(
             polygons, poly_id,
