@@ -272,3 +272,14 @@ def test_plan_pip_join_dispatch_and_parity(spark):
     )
     assert plan2.strategy == "cogroup"
     assert {(r.point_id, r.poly_id) for r in out2.collect()} == want
+
+
+def test_salted_pip_keeps_broadcast_build_side(layers):
+    """salt_build_side's explode wrecks AQE's size stats; a known-
+    small build side must still broadcast (round-3 fix: salted PIP
+    was falling back to a full shuffle join)."""
+    images, polys = layers
+    df = point_in_polygon_join(images, polys, mode="count", salt=True)
+    audit = audit_plan(df)
+    assert audit["broadcast_joins"] >= 1, audit["plan"][:2000]
+    assert audit["sortmerge_joins"] == 0
