@@ -48,3 +48,31 @@ def test_large_rings_bounded_memory():
         tracemalloc.stop()
     assert n_int > 5_000  # large overlap keeps thousands of vertices
     assert peak < 200 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
+def test_exact_kernel_large_quantized_rings_fast():
+    """The exact arrangement kernel must stay usable on large
+    QUANTIZED-coordinate rings (the OSM shape: decimals aligned to a
+    grid, so vertex-grazing ambiguity is the common case): float-first
+    midpoint classification + the banded exact ray replaced the
+    all-edges Fraction ray (30 s → ~1 s per 3k-vertex pair)."""
+    import time
+
+    from workstealing_spatial_join_spark.functions.overlay_exact import (
+        intersection_num_points_exact,
+        union_num_points_exact,
+    )
+
+    n = 3000
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    pts = np.stack(
+        [10.0 * np.round(np.cos(ang), 3), 10.0 * np.round(np.sin(ang), 3)],
+        axis=1,
+    )
+    a = np.vstack([pts, pts[:1]])
+    b = a + np.array([10.0, 0.0])
+    t0 = time.time()
+    vi = intersection_num_points_exact([a], [b])
+    vu = union_num_points_exact([a], [b])
+    assert vi == 2001 and vu == 4001  # values pinned pre-optimization
+    assert time.time() - t0 < 20.0  # was ~60 s combined

@@ -312,9 +312,109 @@ def _collect_segments(rings_a, rings_b):
     return list(segs.values()), ab_nodes
 
 
+class _FastPIP:
+    """Float-first point-in-polygon with exact fallback — the exact
+    per-midpoint ray cast made the kernel O(segments × edges) in
+    FRACTION ops (30 s/pair at 3k vertices). Double-precision parity
+    is trusted only when provably unambiguous: the query point is
+    farther than ``tol`` from every edge AND its +x ray clears every
+    vertex's y by ``tol`` (both checked vectorized); anything closer
+    returns None and the caller reruns the exact Fraction cast.
+    Coordinates are exact doubles (ingest parses floats), midpoint
+    rounding error is ~1e-16·scale ≪ tol = 1e-9·scale, and a crossing
+    whose computed x-intercept lies within float error of x implies a
+    point-to-edge distance below tol — so a trusted verdict cannot
+    differ from the exact one."""
+
+    def __init__(self, rings):
+        self._rings = []
+        self._frac = rings
+        hi = 1.0
+        for ring in rings:
+            a = np.array([[float(x), float(y)] for x, y in ring])
+            b = np.roll(a, -1, axis=0)
+            self._rings.append((a, b, b - a))
+            hi = max(hi, float(np.abs(a).max()))
+        self.tol = 1e-9 * hi
+
+    def _ring_parity(self, k, x, y):
+        a, b, d = self._rings[k]
+        ax, ay = a[:, 0], a[:, 1]
+        by = b[:, 1]
+        dy = d[:, 1]
+        if float(np.abs(ay - y).min()) < self.tol:
+            return None  # ray grazes a vertex
+        dx0 = x - a[:, 0]
+        dy0 = y - ay
+        l2 = np.maximum(d[:, 0] * d[:, 0] + dy * dy, 1e-300)
+        t = np.clip((dx0 * d[:, 0] + dy0 * dy) / l2, 0.0, 1.0)
+        ex = dx0 - t * d[:, 0]
+        ey = dy0 - t * dy
+        if float((ex * ex + ey * ey).min()) < self.tol * self.tol:
+            return None  # too close to the boundary
+        cross = (ay > y) != (by > y)
+        if not cross.any():
+            return False
+        safe_dy = np.where(cross, dy, 1.0)
+        xc = ax + (y - ay) * d[:, 0] / safe_dy
+        return bool(int((cross & (x < xc)).sum()) & 1)
+
+    def __call__(self, m):
+        x, y = float(m[0]), float(m[1])
+        shell = self._ring_parity(0, x, y)
+        if shell is None:
+            return None
+        if not shell:
+            return False
+        for k in range(1, len(self._rings)):
+            hole = self._ring_parity(k, x, y)
+            if hole is None:
+                return None
+            if hole:
+                return False
+        return True
+
+    def _ray_banded(self, k, m):
+        """EXACT crossing parity, but only edges whose float y-range
+        touches the query's y-band (± tol, conservative — float
+        vertex ys are exact doubles, the query rounding error is
+        ~1e-16·scale ≪ tol) pay Fraction arithmetic. Quantized
+        coordinates make vertex-grazing the common ambiguity, and the
+        full exact ray over every edge was the dominant cost."""
+        a, b, _d = self._rings[k]
+        yf = float(m[1])
+        ay, by = a[:, 1], b[:, 1]
+        band = (np.minimum(ay, by) <= yf + self.tol) & (
+            np.maximum(ay, by) >= yf - self.tol
+        )
+        ring = self._frac[k]
+        n = len(ring)
+        x, y = m
+        inside = False
+        for i in np.nonzero(band)[0].tolist():
+            axf, ayf = ring[i]
+            bxf, byf = ring[(i + 1) % n]
+            if (ayf > y) != (byf > y):
+                xc = axf + (y - ayf) * (bxf - axf) / (byf - ayf)
+                if x < xc:
+                    inside = not inside
+        return inside
+
+    def exact(self, m):
+        """Exact _pip twin using the banded exact ray per ring."""
+        if not self._ray_banded(0, m):
+            return False
+        for k in range(1, len(self._frac)):
+            if self._ray_banded(k, m):
+                return False
+        return True
+
+
 def _classify(segs, rings_a, rings_b):
     """Attach 4 side booleans per segment: (aL, aR, bL, bR) — locally
     interior to A/B on the left/right of the canonical direction."""
+    fast_a = _FastPIP(rings_a)
+    fast_b = _FastPIP(rings_b)
     out = []
     for seg in segs:
         mx = (seg.s[0] + seg.e[0]) / 2
@@ -322,12 +422,16 @@ def _classify(segs, rings_a, rings_b):
         if seg.a_left is not None:
             aL, aR = seg.a_left, not seg.a_left
         else:
-            in_a = _pip(rings_a, (mx, my))
+            in_a = fast_a((mx, my))
+            if in_a is None:
+                in_a = fast_a.exact((mx, my))
             aL = aR = in_a
         if seg.b_left is not None:
             bL, bR = seg.b_left, not seg.b_left
         else:
-            in_b = _pip(rings_b, (mx, my))
+            in_b = fast_b((mx, my))
+            if in_b is None:
+                in_b = fast_b.exact((mx, my))
             bL = bR = in_b
         out.append((seg, aL, aR, bL, bR))
     return out
