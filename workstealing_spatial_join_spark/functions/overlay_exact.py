@@ -409,6 +409,31 @@ class _FastPIP:
                 return False
         return True
 
+    def _on_banded(self, m) -> bool:
+        """Exact on-any-ring check; an edge containing m must span
+        m's y (inclusive), so the float y-band is a safe prefilter."""
+        yf = float(m[1])
+        for k, ring in enumerate(self._frac):
+            a, b, _d = self._rings[k]
+            ay, by = a[:, 1], b[:, 1]
+            band = (np.minimum(ay, by) <= yf + self.tol) & (
+                np.maximum(ay, by) >= yf - self.tol
+            )
+            n = len(ring)
+            for i in np.nonzero(band)[0].tolist():
+                if _on_seg(ring[i], ring[(i + 1) % n], m):
+                    return True
+        return False
+
+    def covered(self, m) -> bool:
+        """Exact ``on-any-ring OR strictly-inside`` (the line-kernel
+        classification) — float verdicts far from the boundary (where
+        on-boundary is impossible), banded exact otherwise."""
+        r = self(m)
+        if r is not None:
+            return r
+        return self._on_banded(m) or self.exact(m)
+
 
 def _classify(segs, rings_a, rings_b):
     """Attach 4 side booleans per segment: (aL, aR, bL, bR) — locally
@@ -646,10 +671,11 @@ def line_polygon_intersection_num_points(
         for i in range(len(ring))
     ]
     subs, nodes, _ = _line_subsegments(lf, poly_edges)
+    fp = _FastPIP(pf)
     keeps = []
     for s, e in subs:
         m = ((s[0] + e[0]) / 2, (s[1] + e[1]) / 2)
-        keeps.append(_on_any_ring(pf, m) or _pip(pf, m))
+        keeps.append(fp.covered(m))
     total, used = _span_points(subs, keeps, nodes)
     total += sum(1 for v in nodes if v not in used)
     return total
@@ -670,10 +696,11 @@ def line_polygon_union_num_points(
         ring_edge_lists.append((ring, edges))
         poly_edges.extend(edges)
     subs, nodes, splits_o = _line_subsegments(lf, poly_edges)
+    fp = _FastPIP(pf)
     keeps = []
     for s, e in subs:
         m = ((s[0] + e[0]) / 2, (s[1] + e[1]) / 2)
-        keeps.append(not (_on_any_ring(pf, m) or _pip(pf, m)))
+        keeps.append(not fp.covered(m))
     total, _used = _span_points(subs, keeps, nodes)
     # noded polygon rings: original vertices + interior split points
     off = 0
