@@ -264,6 +264,21 @@ def q_rect_union_numpoints(spark, sf_dir):
     )
 
 
+def _ensure_fixture(path: str, script: str) -> str:
+    """Overlay fixtures are committed to git; regenerate (deterministic
+    seeded generators) if a checkout ever lacks them."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    if not os.path.isdir(path):
+        subprocess.run(
+            [_sys.executable, f"/root/repo/scripts/{script}"],
+            check=True, capture_output=True,
+        )
+    return path
+
+
 _CONCAVE_DIR = "/root/repo/bench_data/concave"
 
 
@@ -301,6 +316,13 @@ def q_concave_union_numpoints(spark, sf_dir):
 
 _DEGEN_DIR = "/root/repo/bench_data/degenerate"
 _LINES_DIR = "/root/repo/bench_data/lines"
+
+
+def _ensure_all_fixtures():
+    _ensure_fixture(_CONCAVE_DIR, "gen_concave_fixture.py")
+    # gen_degenerate_fixture writes BOTH the degenerate and lines dirs
+    _ensure_fixture(_DEGEN_DIR, "gen_degenerate_fixture.py")
+    _ensure_fixture(_LINES_DIR, "gen_degenerate_fixture.py")
 
 
 def q_degenerate_intersection_numpoints(spark, sf_dir):
@@ -723,6 +745,7 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_all_fixtures()
     return {
         "pip_count": q_pip_count,
         "pip_count_salted": q_pip_count_salted,
@@ -883,6 +906,7 @@ def _sql_cells_range(prefix: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_all_fixtures()
     tile_x, tile_y = sql_tile_xy("lon", "lat", ZOOM)
     cellid = GRID.sql_cell_id("lon", "lat", CELL)
     markers_sql = []
