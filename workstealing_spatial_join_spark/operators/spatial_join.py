@@ -364,7 +364,7 @@ def polygon_join(
     right_id: str = "r_id",
     predicate: str = "intersects",
     cell_deg: float = GRID.DEFAULT_CELL_DEG,
-    mode: str = "pairs",  # pairs | count | agg
+    mode: str = "pairs",  # pairs | count
     dedup: str = "refpoint",  # refpoint | parity
     broadcast: str | bool = "auto",
     salt: bool = False,
