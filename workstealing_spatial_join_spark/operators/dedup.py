@@ -432,9 +432,12 @@ def hash_neardup(
     nchunks = max_hamming + 1
     width = bits // nchunks
     ca, cb = f"{out_prefix}_a", f"{out_prefix}_b"
+    # persist: BOTH sides of the self-join (and the hamming verify)
+    # read the hash column — without it the signature UDF runs once
+    # per side (measured 2× the whole stage cost at sf0.1)
     hashed = _ensure_parallel(df).select(
         F.col(id_col).alias("_id"), hash_col.alias("sh")
-    )
+    ).persist()
     mask = (1 << width) - 1
     chunked = hashed.select(
         "_id",
