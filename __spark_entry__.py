@@ -272,10 +272,15 @@ def _ensure_fixture(path: str, script: str) -> str:
     import sys as _sys
 
     if not os.path.isdir(path):
-        subprocess.run(
+        proc = subprocess.run(
             [_sys.executable, f"/root/repo/scripts/{script}"],
-            check=True, capture_output=True,
+            capture_output=True, text=True,
         )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"fixture generator {script} failed "
+                f"(rc={proc.returncode}):\n{proc.stderr[-4000:]}"
+            )
     return path
 
 

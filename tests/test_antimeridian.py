@@ -86,3 +86,20 @@ def test_unknown_metric_raises(antimeridian_points):
         knn_join(pts, pts, metric="euclid3d")
     with pytest.raises(ValueError, match="metric"):
         dwithin_join(pts, pts, radius=1.0, metric="euclid3d")
+
+
+def test_haversine_metric_rejects_planar_ring_args(antimeridian_points):
+    """Round-3 review: explicit planar-grid knobs must not be silently
+    dropped when routing to the spherical variant."""
+    pts = antimeridian_points
+    with pytest.raises(ValueError, match="planar-grid"):
+        knn_join(pts, pts, metric="haversine", max_ring=2)
+    with pytest.raises(ValueError, match="planar-grid"):
+        knn_join(pts, pts, metric="haversine", initial_ring=4)
+    # stats now flows through to the spherical join
+    st = {}
+    knn_join(
+        pts.where("pid='q0'"), pts, k=2, query_id="pid", cand_id="pid",
+        metric="haversine", exclude_self=True, stats=st,
+    ).collect()
+    assert st["rounds"] >= 1 and "initial_radius_km" in st

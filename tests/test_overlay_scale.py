@@ -76,3 +76,30 @@ def test_exact_kernel_large_quantized_rings_fast():
     vu = union_num_points_exact([a], [b])
     assert vi == 2001 and vu == 4001  # values pinned pre-optimization
     assert time.time() - t0 < 20.0  # was ~60 s combined
+
+
+def test_comb_shaped_rings_bounded_candidates():
+    """Round-3 review: 1-D x-strips degenerated on comb shapes (every
+    axis-spanning edge met in every strip — O(strips·Ea·Eb) memory).
+    The 2-D grid + per-cell chunked filter must survive 12k x 12k
+    axis-spanning edges quickly and exactly."""
+    import time
+
+    from workstealing_spatial_join_spark.functions.overlay import (
+        edge_bbox_candidates,
+    )
+
+    n = 12000
+    ys_a = np.linspace(0, 100, n)
+    ys_b = ys_a + 0.004  # disjoint bboxes: zero true candidates
+    a0 = np.stack([np.zeros(n), ys_a], 1)
+    a1 = np.stack([np.full(n, 100.0), ys_a], 1)
+    b0 = np.stack([np.zeros(n), ys_b], 1)
+    b1 = np.stack([np.full(n, 100.0), ys_b], 1)
+    t0 = time.time()
+    ii, jj = edge_bbox_candidates(a0, a1, b0, b1)
+    assert len(ii) == 0
+    assert time.time() - t0 < 30.0
+    # same combs at IDENTICAL ys: every edge pairs exactly with its twin
+    ii, jj = edge_bbox_candidates(a0, a1, a0.copy(), a1.copy())
+    assert len(ii) == n and (ii == jj).all()

@@ -173,3 +173,30 @@ def test_string_partition_col_skips_coarsening(spark, tmp_path):
     assert read_table(spark, path).count() == 200
     with pytest.raises(ValueError, match="integral"):
         write_resumable(df, str(tmp_path / "ts2"), "tile_id", coarsen_bits=2)
+
+
+def test_legacy_table_resume_never_coarsens(spark, tmp_path):
+    """Round-3 review: a table written before _meta existed (manifest
+    present, raw-cell layout) must resume with coarsen_bits=0 — auto-
+    coarsening would anti-join block ids against raw-id pvals (silent
+    skips on collisions) and fork the directory layout."""
+    import glob
+    import shutil
+
+    path = str(tmp_path / "tl")
+    df = spark.range(1000).select(
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        F.pmod(F.col("id"), F.lit(10)).alias("cell_id"),
+    )
+    write_resumable(df.where(F.col("cell_id") < 4), path, "cell_id", "j1",
+                    coarsen_bits=0)
+    shutil.rmtree(f"{path}/_meta")  # simulate a pre-coarsening table
+    s = write_resumable(df, path, "cell_id", job_id="j2")
+    assert s["written_partitions"] == 6
+    assert s["skipped_partitions"] == 4
+    data = read_table(spark, path)
+    assert data.count() == 1000
+    assert data.select("image_id").distinct().count() == 1000
+    # single layout: raw cell_id dirs only
+    assert len(glob.glob(f"{path}/data/cell_id=*")) == 10
+    assert glob.glob(f"{path}/data/cell_id_block=*") == []

@@ -43,6 +43,7 @@ from workstealing_spatial_join_spark.operators.dedup import (
     embedding_neardup,
     exact_dedup,
     minhash_dedup,
+    release_dedup_caches,
     phash_neardup,
     simhash_dedup,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "tile_cell_assignment",
     "exact_dedup",
     "minhash_dedup",
+    "release_dedup_caches",
     "simhash_dedup",
     "phash_neardup",
     "embedding_neardup",

@@ -97,11 +97,14 @@ def edge_bbox_candidates(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Indices (i, j) of a-edge × b-edge pairs whose bounding boxes
     overlap. Memory is O(#candidates), never O(Ea×Eb): edges are
-    binned into x-strips over the layers' common x-extent; only pairs
-    sharing a strip are tested (then y-filtered). For boundary curves
-    the per-strip population is ~O(sqrt(E)), so candidates stay near
-    linear in E — two 10k-vertex rings no longer allocate dense
-    (10k, 10k) float64 matrices (a round-2 scale killer)."""
+    binned into a 2-D grid over the layers' common bbox; only pairs
+    sharing a grid cell are tested, with the exact y/x overlap filter
+    applied per cell in bounded chunks. The round-3 review found the
+    1-D x-strip version degenerate on comb-shaped rings (edges that
+    span the shared x-extent met in EVERY strip: O(strips·Ea·Eb)
+    candidate memory); 2-D binning makes axis-spanning edges meet only
+    where their other axis also overlaps, and the per-cell chunking
+    caps peak memory regardless of input shape."""
     na, nb = len(a0), len(b0)
     if na * nb <= _DENSE_PAIR_LIMIT:
         ii, jj = np.meshgrid(np.arange(na), np.arange(nb), indexing="ij")
@@ -111,57 +114,84 @@ def edge_bbox_candidates(
         amaxx = np.maximum(a0[:, 0], a1[:, 0])
         bminx = np.minimum(b0[:, 0], b1[:, 0])
         bmaxx = np.maximum(b0[:, 0], b1[:, 0])
-        lo = max(aminx.min(), bminx.min())
-        hi = min(amaxx.max(), bmaxx.max())
-        if hi < lo:
+        aminy = np.minimum(a0[:, 1], a1[:, 1])
+        amaxy = np.maximum(a0[:, 1], a1[:, 1])
+        bminy = np.minimum(b0[:, 1], b1[:, 1])
+        bmaxy = np.maximum(b0[:, 1], b1[:, 1])
+        lox = max(aminx.min(), bminx.min())
+        hix = min(amaxx.max(), bmaxx.max())
+        loy = max(aminy.min(), bminy.min())
+        hiy = min(amaxy.max(), bmaxy.max())
+        if hix < lox or hiy < loy:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy()
-        n_strips = int(np.clip(2 * np.sqrt(na + nb), 8, 4096))
-        w = (hi - lo) / n_strips
-        if w <= 0 or not np.isfinite(w):
-            n_strips, w = 1, max(hi - lo, 1.0)
+        ns = int(np.clip(np.sqrt(2 * np.sqrt(na + nb)) * 4, 4, 128))
+        wx = (hix - lox) / ns
+        wy = (hiy - loy) / ns
+        if wx <= 0 or not np.isfinite(wx):
+            wx = 1.0
+        if wy <= 0 or not np.isfinite(wy):
+            wy = 1.0
 
-        def strip_range(mn, mx):
-            s0 = np.clip(np.floor((mn - lo) / w), 0, n_strips - 1)
-            s1 = np.clip(np.floor((mx - lo) / w), 0, n_strips - 1)
-            keep = (mx >= lo) & (mn <= hi)
-            return s0.astype(np.int64), s1.astype(np.int64), keep
+        def cell_ranges(mnx, mxx, mny, mxy):
+            keep = (mxx >= lox) & (mnx <= hix) & (mxy >= loy) & (mny <= hiy)
+            sx0 = np.clip(np.floor((mnx - lox) / wx), 0, ns - 1).astype(np.int64)
+            sx1 = np.clip(np.floor((mxx - lox) / wx), 0, ns - 1).astype(np.int64)
+            sy0 = np.clip(np.floor((mny - loy) / wy), 0, ns - 1).astype(np.int64)
+            sy1 = np.clip(np.floor((mxy - loy) / wy), 0, ns - 1).astype(np.int64)
+            return sx0, sx1, sy0, sy1, keep
 
-        sa0, sa1, ka = strip_range(aminx, amaxx)
-        sb0, sb1, kb = strip_range(bminx, bmaxx)
-
-        def expand(s0, s1, keep):
+        def expand(sx0, sx1, sy0, sy1, keep):
             idx = np.nonzero(keep)[0]
-            reps = (s1[idx] - s0[idx] + 1)
-            edge = np.repeat(idx, reps)
-            offs = np.arange(reps.sum()) - np.repeat(
-                np.cumsum(reps) - reps, reps
-            )
-            return np.repeat(s0[idx], reps) + offs, edge
+            cells_list, edges_list = [], []
+            for i in idx.tolist():
+                xs = np.arange(sx0[i], sx1[i] + 1)
+                ys = np.arange(sy0[i], sy1[i] + 1)
+                cs = (xs[:, None] * ns + ys[None, :]).ravel()
+                cells_list.append(cs)
+                edges_list.append(np.full(len(cs), i, dtype=np.int64))
+            if not cells_list:
+                z = np.empty(0, dtype=np.int64)
+                return z, z.copy()
+            return np.concatenate(cells_list), np.concatenate(edges_list)
 
-        stripa, ea = expand(sa0, sa1, ka)
-        stripb, eb = expand(sb0, sb1, kb)
-        orda = np.argsort(stripa, kind="stable")
-        ordb = np.argsort(stripb, kind="stable")
-        stripa, ea = stripa[orda], ea[orda]
-        stripb, eb = stripb[ordb], eb[ordb]
-        bounds_a = np.searchsorted(stripa, np.arange(n_strips + 1))
-        bounds_b = np.searchsorted(stripb, np.arange(n_strips + 1))
+        cella, ea = expand(*cell_ranges(aminx, amaxx, aminy, amaxy))
+        cellb, eb = expand(*cell_ranges(bminx, bmaxx, bminy, bmaxy))
+        orda = np.argsort(cella, kind="stable")
+        ordb = np.argsort(cellb, kind="stable")
+        cella, ea = cella[orda], ea[orda]
+        cellb, eb = cellb[ordb], eb[ordb]
+        grid = np.arange(ns * ns + 1)
+        bounds_a = np.searchsorted(cella, grid)
+        bounds_b = np.searchsorted(cellb, grid)
+        chunk_cap = 1 << 21  # ≤2M pair slots materialized at once
         chunks_i, chunks_j = [], []
-        for s in range(n_strips):
+        for s in range(ns * ns):
             ia = ea[bounds_a[s]:bounds_a[s + 1]]
             ib = eb[bounds_b[s]:bounds_b[s + 1]]
             if len(ia) == 0 or len(ib) == 0:
                 continue
-            gi, gj = np.meshgrid(ia, ib, indexing="ij")
-            chunks_i.append(gi.ravel())
-            chunks_j.append(gj.ravel())
+            step = max(1, chunk_cap // max(len(ib), 1))
+            for c0 in range(0, len(ia), step):
+                sub = ia[c0:c0 + step]
+                # exact bbox overlap INSIDE the cell loop: survivors
+                # only — false positives never accumulate
+                ov = (
+                    (aminx[sub][:, None] <= bmaxx[ib][None, :])
+                    & (bminx[ib][None, :] <= amaxx[sub][:, None])
+                    & (aminy[sub][:, None] <= bmaxy[ib][None, :])
+                    & (bminy[ib][None, :] <= amaxy[sub][:, None])
+                )
+                gi, gj = np.nonzero(ov)
+                if len(gi):
+                    chunks_i.append(sub[gi])
+                    chunks_j.append(ib[gj])
         if not chunks_i:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy()
         ii = np.concatenate(chunks_i)
         jj = np.concatenate(chunks_j)
-        # dedup pairs that met in several strips
+        # dedup pairs that met in several cells
         key = ii * nb + jj
         key, first = np.unique(key, return_index=True)
         ii, jj = ii[first], jj[first]

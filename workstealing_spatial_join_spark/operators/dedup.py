@@ -52,6 +52,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_PERSISTED: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() + registry: dedup pipelines persist their signature
+    frames (both join sides and the verify read them); long-lived
+    sessions running many corpora can release them all with
+    ``release_dedup_caches()`` instead of leaking until LRU eviction
+    thrash."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every signature/hash frame cached by minhash_dedup /
+    hash_neardup in this session; returns how many were released."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _PERSISTED.clear()
+    return n
+
+
 def _ensure_parallel(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster parallelism when the
     input has fewer splits (small files serialize pandas-UDF stages on
@@ -265,12 +293,14 @@ def minhash_dedup(
     # (observed: entire pass serialized on one core); a 100-TB scan
     # already has many splits, so this round-robin is a no-op there.
     docs = _ensure_parallel(docs)
-    signed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        sig_sh_udf(F.col(text_col)).alias("s"),
-    ).select(
-        "doc_id", F.col("s.sig").alias("sig"), F.col("s.sh").alias("sh")
-    ).persist()
+    signed = _persist_tracked(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            sig_sh_udf(F.col(text_col)).alias("s"),
+        ).select(
+            "doc_id", F.col("s.sig").alias("sig"), F.col("s.sh").alias("sh")
+        )
+    )
     banded = signed.select(
         "doc_id",
         F.size("sh").alias("n_sh"),
@@ -435,9 +465,11 @@ def hash_neardup(
     # persist: BOTH sides of the self-join (and the hamming verify)
     # read the hash column — without it the signature UDF runs once
     # per side (measured 2× the whole stage cost at sf0.1)
-    hashed = _ensure_parallel(df).select(
-        F.col(id_col).alias("_id"), hash_col.alias("sh")
-    ).persist()
+    hashed = _persist_tracked(
+        _ensure_parallel(df).select(
+            F.col(id_col).alias("_id"), hash_col.alias("sh")
+        )
+    )
     mask = (1 << width) - 1
     chunked = hashed.select(
         "_id",

@@ -89,7 +89,9 @@ def _auto_ring_cells(c: DataFrame, k: int, cell_deg: float,
     that picked r=1, whose inscribed circle holds barely k expected
     points, so half the queries paid ~4 extra doubling rounds — the
     knn_images 7.2→8.5 s regression). Target E[points within r·cd] =
-    density·π·r² ≥ 3k: P(Poisson(3k) < k) < 1e-3 for every k ≥ 1, so
+    density·π·r² ≥ 3k+7: the +7 keeps the Poisson tail small at SMALL
+    k too (P(Poisson(3k)<k) is only ~5% at k=1 — e⁻³ — and ~2% at
+    k=2-3; with λ=3k+7, P(Poisson(λ)<k) < 1e-4 for every k ≥ 1), so
     round 1 settles all but genuinely sparse-region queries."""
     import math
 
@@ -108,7 +110,9 @@ def _auto_ring_cells(c: DataFrame, k: int, cell_deg: float,
     density = stats["n"] / cells  # points per cell == per cell_deg²
     return max(1, min(
         max_ring,
-        math.ceil(math.sqrt(3.0 * k / (math.pi * max(density, 1e-12)))),
+        math.ceil(
+            math.sqrt((3.0 * k + 7.0) / (math.pi * max(density, 1e-12)))
+        ),
     ))
 
 
@@ -230,6 +234,7 @@ def knn_haversine_join(
     cell_deg: float = GRID.DEFAULT_CELL_DEG,
     initial_radius_km: float | str = "auto",
     exclude_self: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Great-circle kNN: radius-doubling rounds over the spherical
     cell cover (pole-safe, antimeridian-wrapping — the same cover as
@@ -257,10 +262,15 @@ def knn_haversine_join(
         initial_radius_km = r0 * cell_deg * _KM_PER_DEG
 
     w = Window.partitionBy("query_id").orderBy("dist_km", "neighbor_id")
+    if stats is not None:
+        stats["initial_radius_km"] = float(initial_radius_km)
+        stats["rounds"] = 0
     settled_parts: list[DataFrame] = []
     remaining = q.localCheckpoint(eager=True)
     radius = float(initial_radius_km)
     while True:
+        if stats is not None:
+            stats["rounds"] += 1
         ringed = _haversine_ring_cover(remaining, radius, cell_deg)
         cand = ringed.join(c, on="cell_id")
         if exclude_self:
@@ -389,10 +399,17 @@ def knn_join(
     ``metric='haversine'``, which routes to ``knn_haversine_join``
     (wrapping spherical cover; ``dist`` is then great-circle km)."""
     if metric == "haversine":
+        # ring/radius knobs are metric-specific: reject explicit
+        # planar-cell arguments instead of silently dropping them
+        if initial_ring != "auto" or max_ring is not None:
+            raise ValueError(
+                "initial_ring/max_ring are planar-grid knobs; use "
+                "knn_haversine_join(initial_radius_km=...) directly"
+            )
         return knn_haversine_join(
             queries, candidates, k=k, query_id=query_id, cand_id=cand_id,
             q_lon=q_lon, q_lat=q_lat, c_lon=c_lon, c_lat=c_lat,
-            cell_deg=cell_deg, exclude_self=exclude_self,
+            cell_deg=cell_deg, exclude_self=exclude_self, stats=stats,
         )
     if metric != "planar":
         raise ValueError(f"unknown metric {metric!r}")

@@ -409,6 +409,10 @@ def polygon_join(
                     "PreparedGeometryLayer cell_deg "
                     f"{layer.cell_deg} != join cell_deg {cell_deg}"
                 )
+            if refine_transport == "wkb":
+                # explicit WKB transport overrides the cached dict —
+                # same escape hatch the DataFrame path honors
+                return None, False, False, layer.exploded, layer.df
             rows = layer.rows
             if rows is None and refine_transport == "broadcast":
                 rows = _collect_geom_dict(layer.df, layer.id_col, None)

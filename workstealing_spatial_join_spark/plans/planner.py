@@ -44,6 +44,11 @@ def choose_pip_strategy(
     ``max_cell_share``: fraction of points in the densest cell (from a
     stats pass or prior cost table; 0 = unknown/uniform).
 
+    ``n_polygons`` is measured in the unit that actually gets
+    replicated — EXPLODED polygon-cell rows (a polygon covering c
+    cells counts c times), matching
+    operators.spatial_join.BROADCAST_ROW_THRESHOLD.
+
     ``est_candidates_per_point``: expected MBR-candidate polygons per
     point (from the cell cost table: Σ est_pairs / n_points; 0 =
     unknown/sparse). MEASURED crossover (jobs/run_crossover.py, 2M
@@ -141,15 +146,18 @@ def plan_pip_join(
     cost = cell_cost_table(pts, pls, target_pairs=target_pairs_per_task)
     stats = cost.agg(
         F.sum("n_left").alias("np_in_joined_cells"),
-        F.sum("n_right").alias("n_poly_cells"),
         F.sum("est_pairs").alias("est_candidates"),
         F.max("n_left").alias("hottest_cell_points"),
     ).collect()[0]
+    # the broadcast cap is defined in EXPLODED CELL ROWS (what the
+    # engine actually replicates — BROADCAST_ROW_THRESHOLD), counted
+    # over the WHOLE layer, not just cells that also contain points
+    n_poly_cells = pls.count()
     n_points = stats["np_in_joined_cells"] or 0
     est_cand = stats["est_candidates"] or 0
     plan = choose_pip_strategy(
         n_points=int(n_points),
-        n_polygons=int(stats["n_poly_cells"] or 0),
+        n_polygons=int(n_poly_cells),
         max_cell_share=(
             (stats["hottest_cell_points"] or 0) / n_points if n_points else 0.0
         ),

@@ -145,6 +145,12 @@ def write_resumable(
         )
     except Exception:
         recorded = None
+    if recorded is None and _manifest_partitions(spark, table_path) is not None:
+        # legacy table: manifest exists but predates _meta — its pvals
+        # are RAW partition values. Auto-coarsening here would anti-join
+        # block ids against raw ids (silent skips where they collide)
+        # and split the layout across two directory schemes.
+        recorded = 0
     if recorded is not None:
         if coarsen_bits != "auto" and int(coarsen_bits) != recorded:
             raise ValueError(
