@@ -561,6 +561,18 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token count (GPT-2-style pretokenizer restricted
+    to the Java/RE2-identical subset) — the brief's second tokenizer
+    next to whitespace counting. Oracle: DuckDB regexp_extract_all
+    with the literal same pattern."""
+    docs = TB.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.bpe_token_count_col(F.col("text")).alias("token_count_bpe"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     docs = TB.load(spark, sf_dir, "documents")
     return docs.select(
@@ -781,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue": q_q6_revenue,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1135,6 +1148,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE "
             r"CAST(LENGTH(regexp_split_to_array(TRIM(text), '\s+')) AS INT) END "
             "AS token_count FROM documents"
+        ),
+        "token_count_bpe": (
+            # literal same ordered-alternation pattern; Java (engine)
+            # and RE2 (oracle) are both leftmost-first on this subset
+            "SELECT doc_id, CAST(LENGTH(regexp_extract_all(text, "
+            r"'''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s+')) "
+            "AS INT) AS token_count_bpe FROM documents"
         ),
         "text_quality": (
             "WITH t AS (SELECT doc_id, text, LENGTH(text) AS n, "

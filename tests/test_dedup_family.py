@@ -224,3 +224,37 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, recall
+
+
+def test_bpe_token_count_semantics(spark):
+    """GPT-2-style pretokenizer counts: contractions split, digits and
+    punctuation runs counted separately, whitespace-only rows count
+    their whitespace run."""
+    from workstealing_spatial_join_spark.operators.textops import (
+        bpe_token_count_col,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "it's 2024, isn't it?!", 8),
+        # it + 's + ' 2024' + ',' + ' isn' + 't... wait verify below
+        ("b", "hello world", 2),
+        ("c", "", 0),
+        ("d", "   ", 1),
+        ("e", "abc123", 2),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "id string, text string"
+    )
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", bpe_token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    import re
+
+    pat = re.compile(r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+")
+    for rid, text, _ in rows:
+        assert got[rid] == len(pat.findall(text)), (rid, text, got[rid])
+    assert got["b"] == 2 and got["c"] == 0 and got["e"] == 2

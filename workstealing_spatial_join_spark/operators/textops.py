@@ -35,6 +35,23 @@ def token_count_col(text: Column) -> Column:
     )
 
 
+# GPT-2-style pretokenizer, restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) treat IDENTICALLY: ordered alternation of
+# ASCII contractions, space-prefixed letter runs, digit runs,
+# punctuation runs, then residual whitespace. (The original's
+# lookahead \s+(?!\S) is not RE2-expressible; whitespace between
+# tokens is absorbed by the leading ' ?' of the following token, so
+# only trailing/blank whitespace matches the last branch.)
+BPE_TOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-style
+    pretokenizer regex (the unit a byte-pair encoder would split
+    further). Pure Catalyst (regexp_count, JVM codegen)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
 def lang_score_col(text: Column, lang: str) -> Column:
     """Occurrences of the language's marker words (padded match)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
