@@ -38,7 +38,8 @@ has an exact DuckDB oracle — no rows-only entries:
   similarity .......... ann_cosine_topk (exact), ann_cosine_topk_lsh
                         (multi-probe LSH), ann_cosine_topk_ivf
                         (inverted-list probe) — oracles replay buckets
-  text analysis ....... token_count / text_quality / lang_id /
+  text analysis ....... token_count / token_count_bpe (GPT-2-ish
+                        pretokenizer) / text_quality / lang_id /
                         doc_fingerprint (HUGEINT rolling-hash oracle) /
                         doc_jaccard_adjacent
   streaming analog .... events_hourly (windowed agg), events_sessionize
