@@ -835,9 +835,16 @@ _SIMHASH_CTES = (
 )
 
 
-def _minhash_ctes(num_perm: int = 64, bands: int = 16) -> str:
+def _minhash_ctes(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    from workstealing_spatial_join_spark.operators.dedup import (
+        minhash_slot_cutoff,
+    )
+
     a, b = perm_params(num_perm)
     rows_per_band = num_perm // bands
+    slot_cutoff = minhash_slot_cutoff(num_perm, threshold)
     vals = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
     )
@@ -867,10 +874,17 @@ def _minhash_ctes(num_perm: int = 64, bands: int = 16) -> str:
         "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db "
         "FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket "
         "AND a.doc_id < b.doc_id), "
+        # signature-slot-agreement prefilter — replays the engine's
+        # minhash_slot_cutoff gate exactly (deterministic function of
+        # the recomputed signatures)
+        "surv AS (SELECT da, db FROM cand "
+        "JOIN sigl ga ON ga.doc_id = da JOIN sigl gb ON gb.doc_id = db "
+        f"WHERE len([i FOR i IN generate_series(1, {num_perm}) "
+        f"IF ga.sig[i] = gb.sig[i]]) >= {slot_cutoff}), "
         "ver AS (SELECT da, db, "
         "CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / "
         "(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) "
-        "AS jaccard FROM cand "
+        "AS jaccard FROM surv "
         "JOIN shs sa ON sa.doc_id = da JOIN shs sb ON sb.doc_id = db)"
     )
 

@@ -55,14 +55,27 @@ from pyspark.sql import types as T
 _PERSISTED: list = []
 
 
-def _persist_tracked(df: DataFrame) -> DataFrame:
+def _persist_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
     """persist() + registry: dedup pipelines persist their signature
     frames (both join sides and the verify read them); long-lived
     sessions running many corpora can release them all with
     ``release_dedup_caches()`` instead of leaking until LRU eviction
-    thrash."""
+    thrash.
+
+    ``eager`` materializes the cache NOW (one cheap count job). This
+    is a measured 4-5× on the whole pipeline, not a nicety: a lazily
+    persisted signature frame is INLINED at every reference in the
+    first action's plan (self-join sides + verify = 3-4 copies), so
+    one task pipelines 3-4 concurrent ArrowEvalPython operators and
+    the stage demands 3-4× the resident Python workers — every task
+    pays 2-3 s of worker spawn+init instead of reusing the warm pool
+    (observed: 1.3 CPU-minutes of spawn for a 0.4 s signature pass).
+    Materializing first means the big job reads the cache and runs
+    ZERO Python."""
     df = df.persist()
     _PERSISTED.append(df)
+    if eager:
+        df.count()
     return df
 
 
@@ -78,6 +91,18 @@ def release_dedup_caches() -> int:
             pass
     _PERSISTED.clear()
     return n
+
+
+def _verify_partitions(df: DataFrame) -> int:
+    """Partition count for post-distinct verify stages: at least one
+    per core AND at least the session's shuffle-partition setting
+    (a huge candidate set on a large cluster needs more splits than
+    one per core — ADVICE r3)."""
+    spark = df.sparkSession
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
 
 
 def _ensure_parallel(df: DataFrame) -> DataFrame:
@@ -261,6 +286,60 @@ def band_bucket_col(sig, band: int, rows_per_band: int):
     )
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = SHINGLE_K,
+    seed: int = 42,
+    persist: bool = True,
+) -> DataFrame:
+    """The signature TABLE: ``(doc_id, sig array<long>, sh
+    array<long>)`` — MinHash signature plus the unique shingle codes
+    it was computed from. This is the caller-owned 100-TB shape: a
+    pipeline materializes signatures ONCE (e.g. writes this frame to
+    a table) and every consumer — banding, slot-agreement prefilter,
+    exact verify, incremental dedup against yesterday's corpus —
+    reads it instead of re-shingling text.
+
+    ``persist=True`` (default) caches AND materializes the frame
+    eagerly; pass ``persist=False`` when you will write it out
+    yourself (the cache registry is then not involved — lifecycle is
+    fully caller-owned)."""
+    sig_sh_udf = minhash_sig_shingles_udf(num_perm, shingle_k, seed)
+    # the signature pass is the CPU-heavy stage: make sure it runs at
+    # cluster parallelism. A small corpus arrives as one parquet split
+    # (observed: entire pass serialized on one core); a 100-TB scan
+    # already has many splits, so this round-robin is a no-op there.
+    out = _ensure_parallel(docs).select(
+        F.col(id_col).alias("doc_id"),
+        sig_sh_udf(F.col(text_col)).alias("s"),
+    ).select(
+        "doc_id", F.col("s.sig").alias("sig"), F.col("s.sh").alias("sh")
+    )
+    return _persist_tracked(out) if persist else out
+
+
+def minhash_slot_cutoff(
+    num_perm: int, threshold: float, margin_sd: float = 3.0
+) -> int:
+    """Signature-slot agreement cutoff for the candidate prefilter.
+
+    For a pair with true Jaccard s, matching slots M ~ Binomial(n, s)
+    (full-range universal permutations → P[slot match] = s,
+    independent across slots). The cutoff n·t − margin·σ(t) keeps a
+    genuinely-qualifying pair (s ≥ t) with probability ≥ the normal
+    tail at ``margin_sd`` sigmas (≈99.87% at 3σ for s = t exactly;
+    higher s is safer still) while discarding the band-collision noise
+    floor, whose agreement concentrates near n·s for its (much lower)
+    true similarity."""
+    import math
+
+    sigma = math.sqrt(num_perm * threshold * (1.0 - threshold))
+    return max(0, math.ceil(num_perm * threshold - margin_sd * sigma))
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -269,40 +348,50 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = SHINGLE_K,
     threshold: float = 0.8,
+    signatures: DataFrame | None = None,
+    slot_margin_sd: float = 3.0,
 ) -> DataFrame:
-    """Near-duplicate pairs by MinHash + banded LSH + exact Jaccard
-    verify. Returns ``(doc_id_a, doc_id_b, jaccard)`` with a < b,
-    jaccard ≥ threshold, restricted to BAND-COLLIDING pairs (the LSH
-    recall contract — see module docstring; b=16 bands × r=4 rows
-    puts the S-curve knee near s≈0.5).
+    """Near-duplicate pairs by MinHash + banded LSH + slot-agreement
+    prefilter + exact Jaccard verify. Returns ``(doc_id_a, doc_id_b,
+    jaccard)`` with a < b, jaccard ≥ threshold, restricted to pairs
+    that (1) collide in at least one LSH band AND (2) agree on at
+    least ``minhash_slot_cutoff(num_perm, threshold, slot_margin_sd)``
+    signature slots. Both gates are part of the recall contract (see
+    module docstring): the band gate follows the LSH S-curve, the slot
+    gate keeps a truly-qualifying pair with P ≥ Φ(slot_margin_sd)
+    (≈99.87% at the default 3σ, for s exactly at the threshold —
+    higher similarity is exponentially safer). Both are DETERMINISTIC
+    functions of the signatures, so the SQL oracle reproduces the
+    exact output set.
 
     Plan: one UDF pass → struct(signature, shingle codes), persisted
-    (the 100-TB shape materializes signatures as a table — they are
-    reused across every band and the verify) → explode band buckets →
-    self equi-join on (band, bucket) with the shingle-COUNT ratio
-    bound ``min(n_a,n_b)/max(n_a,n_b) ≥ threshold`` applied in the
-    join (Jaccard ≤ min/max, so this prunes candidates exactly, before
-    the distinct shuffle) → exact Jaccard on the shingle-code arrays
-    via array_intersect/array_union — pure Catalyst, ZERO Python and
-    ZERO raw text after the signature pass (round-2 verify shipped
-    full documents through two joins and re-shingled per pair)."""
+    and MATERIALIZED (the 100-TB shape materializes signatures as a
+    table — see ``minhash_signatures``; pass ``signatures=`` to reuse
+    one) → explode band buckets, CARRYING the signature (num_perm
+    longs, ~0.5 KB — two orders of magnitude lighter than the shingle
+    arrays at ~8 bytes per text character) → self equi-join on (band,
+    bucket) with THREE pair prunes evaluated inside the join, before
+    the distinct shuffle: the shingle-COUNT ratio bound
+    ``min(n_a,n_b)/max(n_a,n_b) ≥ threshold`` (Jaccard ≤ min/max —
+    exact, loses nothing), the slot-agreement gate (the recall-
+    contract prune), and the id order → distinct → fetch shingle
+    arrays for SURVIVORS only → exact Jaccard via
+    array_intersect/array_union — pure Catalyst, ZERO Python and ZERO
+    raw text after the signature pass. At the bench corpus the slot
+    gate cuts the shingle-array join volume ~45× (114k band-colliding
+    candidates → ~2.5k survivors)."""
     rows_per_band = num_perm // bands
-    sig_sh_udf = minhash_sig_shingles_udf(num_perm, shingle_k)
-    # the signature pass is the CPU-heavy stage: make sure it runs at
-    # cluster parallelism. A small corpus arrives as one parquet split
-    # (observed: entire pass serialized on one core); a 100-TB scan
-    # already has many splits, so this round-robin is a no-op there.
-    docs = _ensure_parallel(docs)
-    signed = _persist_tracked(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            sig_sh_udf(F.col(text_col)).alias("s"),
-        ).select(
-            "doc_id", F.col("s.sig").alias("sig"), F.col("s.sh").alias("sh")
-        )
+    signed = signatures if signatures is not None else minhash_signatures(
+        docs, id_col=id_col, text_col=text_col,
+        num_perm=num_perm, shingle_k=shingle_k,
     )
+    # the banded frame CARRIES the signature (num_perm longs, ~0.5 KB
+    # per row): the slot-agreement gate then runs inside the band join
+    # itself — on the raw colliding pairs, BEFORE the distinct — so no
+    # extra join against a signature table and a much smaller distinct
     banded = signed.select(
         "doc_id",
+        "sig",
         F.size("sh").alias("n_sh"),
         F.posexplode(
             F.array(
@@ -311,9 +400,18 @@ def minhash_dedup(
             )
         ).alias("band", "bucket"),
     )
+    cutoff = minhash_slot_cutoff(num_perm, threshold, slot_margin_sd)
+    slots_eq = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     left = banded.alias("a")
     right = banded.alias("b")
-    cand = (
+    survivors = (
         left.join(
             right,
             on=[
@@ -328,6 +426,11 @@ def minhash_dedup(
                 F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
                 / F.greatest(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
                 >= F.lit(float(threshold)),
+                # slot-agreement prefilter (the recall-contract gate):
+                # cheap integer compare over the already-present
+                # signatures, killing the noise floor before the
+                # distinct shuffle and the shingle-array fetch
+                slots_eq >= F.lit(int(cutoff)),
             ],
         )
         .select(
@@ -338,12 +441,15 @@ def minhash_dedup(
         # AQE coalesces the (small-bytes) distinct output to ONE
         # partition, which would serialize the per-pair set arithmetic
         # below; a NUMBERED repartition is exempt from AQE coalescing
-        # and spreads the verify across the cluster
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        # and spreads the verify across the cluster. Scale with the
+        # session's shuffle-partition setting, not just core count —
+        # a huge candidate set on a large cluster needs more splits
+        # than one per core (ADVICE r3).
+        .repartition(_verify_partitions(signed))
     )
     sh_tbl = signed.select("doc_id", "sh")
     pairs = (
-        cand.join(
+        survivors.join(
             sh_tbl.withColumnsRenamed({"doc_id": "doc_id_a", "sh": "sh_a"}),
             "doc_id_a",
         )
@@ -549,18 +655,37 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_planes, dim)).astype(np.float64)
 
 
-def hyperplane_bucket_udf(planes: np.ndarray):
+def hyperplane_bucket_udf(
+    planes: np.ndarray | None = None,
+    n_planes: int | None = None,
+    seed: int = 42,
+):
     """bucket(v) = Σ 2^r [round(v·plane_r, 6) > 0]. The rounding makes
     the sign decision robust to summation-order differences between
     NumPy and the SQL oracle's list_dot_product (a dot within 5e-7 of
-    zero would otherwise be engine-dependent; fixture dots are O(0.1))."""
-    n_planes = len(planes)
+    zero would otherwise be engine-dependent; fixture dots are O(0.1)).
+
+    Pass either literal ``planes`` (fixed dim known up front) or
+    ``n_planes``+``seed``: in the latter case each executor derives
+    the planes DETERMINISTICALLY from the first batch's vector width
+    (``hyperplanes(n_planes, dim, seed)`` is a pure function, so every
+    executor derives the identical matrix) — no driver-side
+    ``.first()`` action to sniff the dimension."""
+    if planes is None and n_planes is None:
+        raise ValueError("pass planes or n_planes")
+    nb = len(planes) if planes is not None else n_planes
+    state = {"planes": planes}
 
     @F.pandas_udf(T.LongType())
     def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.array([], dtype=np.int64))
+        p = state["planes"]
+        if p is None:
+            p = state["planes"] = hyperplanes(nb, len(v.iloc[0]), seed)
         mat = np.asarray(v.tolist(), dtype=np.float64)
-        signs = np.round(mat @ planes.T, 6) > 0
-        vals = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        signs = np.round(mat @ p.T, 6) > 0
+        vals = (signs * (1 << np.arange(nb))).sum(axis=1)
         return pd.Series(vals.astype(np.int64))
 
     return bucket
@@ -579,16 +704,27 @@ def embedding_neardup(
     exact cosine verify: ``(vec_id_a, vec_id_b, cosine)``. Output is
     DEFINED as same-bucket pairs with cosine ≥ threshold — a single
     hash table, so a qualifying pair split across buckets is missed
-    (P[same bucket] = (1 - θ/π)^n_planes; recall pinned in tests)."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplanes(n_planes, dim, seed)
-    bucket = hyperplane_bucket_udf(planes)
+    (P[same bucket] = (1 - θ/π)^n_planes; recall pinned in tests).
 
-    vecs = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+    ``dim`` is optional: when omitted the bucket UDF derives the
+    planes deterministically from the first Arrow batch's vector
+    width — no extra driver action sniffing the dimension.
+
+    The bucketed frame is persisted AND materialized (registry —
+    ``release_dedup_caches``): both self-join sides read it, and a
+    lazily-cached UDF frame would be inlined at each reference,
+    doubling Python work and worker demand (see _persist_tracked)."""
+    if dim is not None:
+        bucket = hyperplane_bucket_udf(hyperplanes(n_planes, dim, seed))
+    else:
+        bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
+
+    vecs = _persist_tracked(
+        _ensure_parallel(emb).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            bucket(F.col(vec_col)).alias("bucket"),
+        )
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     cand = a.join(

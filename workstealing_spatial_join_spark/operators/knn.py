@@ -287,21 +287,25 @@ def knn_haversine_join(
         if radius >= global_cover_km:
             settled_parts.append(topk)
             break
-        topk = topk.localCheckpoint(eager=True)
-        per_q = topk.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n"), F.max("dist_km").alias("kth")
-        )
-        settled_ids = per_q.where(
-            (F.col("n") >= k) & (F.col("kth") < F.lit(radius))
-        ).select("query_id")
-        settled_parts.append(
-            topk.join(settled_ids, on="query_id", how="left_semi")
-        )
-        remaining = remaining.join(
-            settled_ids, on="query_id", how="left_anti"
+        # ONE job per round: the settled test rides the same window
+        # partitioning as the top-k (count/max over partitionBy
+        # query_id reuse the row_number exchange), so top-k + settle
+        # classification materialize in a single checkpoint instead of
+        # a checkpoint + groupBy + two derived jobs (round-3 shape).
+        wq = Window.partitionBy("query_id")
+        flagged = topk.withColumn(
+            "settled",
+            (F.count(F.lit(1)).over(wq) >= k)
+            & (F.max("dist_km").over(wq) < F.lit(radius)),
         ).localCheckpoint(eager=True)
+        settled_parts.append(
+            flagged.where("settled").drop("settled")
+        )
+        settled_ids = flagged.where("settled").select("query_id").distinct()
+        remaining = remaining.join(settled_ids, on="query_id", how="left_anti")
         if remaining.isEmpty():
             break
+        remaining = remaining.localCheckpoint(eager=True)
         radius *= 2
     out = settled_parts[0]
     for part in settled_parts[1:]:
@@ -459,25 +463,28 @@ def knn_join(
         if r >= max_ring:
             settled_parts.append(topk)
             break
-        topk = topk.localCheckpoint(eager=True)
         # settled: k found and k-th dist STRICTLY within the guaranteed
         # radius. Ring r only guarantees unseen candidates lie at
         # dist > r*cell_deg in exact arithmetic; after float rounding
         # an unseen candidate's dist can collapse to exactly r*cell_deg
         # and tie-break ahead of a kept one — strict '<' closes that
         # hole at the cost of one extra round for exact-boundary kth.
-        per_q = topk.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth")
-        )
-        settled_ids = per_q.where(
-            (F.col("n") >= k) & (F.col("kth") < F.lit(float(r) * cell_deg))
-        ).select("query_id")
-        settled_parts.append(topk.join(settled_ids, on="query_id", how="left_semi"))
-        remaining = remaining.join(
-            settled_ids, on="query_id", how="left_anti"
+        # The settle test rides the SAME window partitioning as the
+        # top-k (count/max over partitionBy query_id reuse the
+        # row_number exchange): ONE materializing job per round
+        # instead of round-3's checkpoint + groupBy + derived jobs.
+        wq = Window.partitionBy("query_id")
+        flagged = topk.withColumn(
+            "settled",
+            (F.count(F.lit(1)).over(wq) >= k)
+            & (F.max("dist").over(wq) < F.lit(float(r) * cell_deg)),
         ).localCheckpoint(eager=True)
+        settled_parts.append(flagged.where("settled").drop("settled"))
+        settled_ids = flagged.where("settled").select("query_id").distinct()
+        remaining = remaining.join(settled_ids, on="query_id", how="left_anti")
         if remaining.isEmpty():
             break
+        remaining = remaining.localCheckpoint(eager=True)
         r *= 2
     out = settled_parts[0]
     for part in settled_parts[1:]:

@@ -170,10 +170,12 @@ def cosine_topk_lsh(
         hyperplanes,
     )
 
-    if dim is None:
-        dim = len(corpus.select(c_vec).first()[0])
-    planes = hyperplanes(n_planes, dim, seed)
-    bucket = hyperplane_bucket_udf(planes)
+    if dim is not None:
+        bucket = hyperplane_bucket_udf(hyperplanes(n_planes, dim, seed))
+    else:
+        # planes derived deterministically executor-side from the
+        # first batch's vector width — no driver .first() action
+        bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
 
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"),
