@@ -383,15 +383,15 @@ def q_lines_intersection_numpoints(spark, sf_dir):
 
 
 def q_lines_union_numpoints(spark, sf_dir):
-    """LINESTRING × POLYGON union numPoints, general-position subset
-    (line_id 7000-7059; degenerate line families have no hand-derived
-    union closed forms — the fixture stores NULL there). Oracle: the
-    convention-free local identity V_out + 2C + R + 1 computed by the
-    generator with exact Fractions, independent of the engine's span
-    tracer."""
-    lines = spark.read.parquet(f"{_LINES_DIR}/layer_lines.parquet").where(
-        F.col("line_id") <= 7059
-    )
+    """LINESTRING × POLYGON union numPoints over the FULL lines layer
+    (round 4 lifted the r3 general-position-only filter). Oracle: for
+    general-position pairs, the convention-free local identity
+    V_out + 2C + R + 1 computed by the generator with exact Fractions;
+    for the degenerate families, per-family closed forms hand-derived
+    from the contact inventory (shell noding + outside spans —
+    scripts/gen_degenerate_fixture.py) — both independent of the
+    engine's span tracer."""
+    lines = spark.read.parquet(f"{_LINES_DIR}/layer_lines.parquet")
     polys = spark.read.parquet(f"{_LINES_DIR}/layer_polys.parquet")
     return polygon_join(
         lines, polys, "line_id", "poly_id",
@@ -1057,8 +1057,7 @@ def oracle_sql() -> dict[str, str]:
             "ON e.line_id = l.line_id "
             f"JOIN read_parquet('{_LINES_DIR}/layer_polys.parquet') p "
             "ON e.poly_id = p.poly_id "
-            "WHERE e.family = 'general' "
-            "AND l.minx <= p.maxx AND p.minx <= l.maxx "
+            "WHERE l.minx <= p.maxx AND p.minx <= l.maxx "
             "AND l.miny <= p.maxy AND p.miny <= l.maxy"
         ),
         "tile_rect_overlap_count": (

@@ -91,7 +91,27 @@ def _load_context():
             "load_15m": round(la[2], 2), "nproc": os.cpu_count()}
 
 
+def _wait_for_idle(threshold: float = 2.0, max_wait_s: float = 120.0):
+    """Let residual load drain before timing (e.g. a just-finished
+    pytest run's executors): the bench measures the engine, not the
+    neighbors. Bounded wait; the attempt log records the load that
+    was actually present either way. Disable with BENCH_NO_WAIT=1."""
+    if os.environ.get("BENCH_NO_WAIT"):
+        return
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        try:
+            if os.getloadavg()[0] < threshold:
+                return
+        except OSError:
+            return
+        print("[bench] waiting for load to settle...", file=sys.stderr,
+              flush=True)
+        time.sleep(5)
+
+
 def main():
+    _wait_for_idle()
     load_before = _load_context()
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     images, polygons = ensure_fixtures(spark)
@@ -150,7 +170,7 @@ def main():
         )
 
         n = 0
-        for q in ("minhash_neardup", "ann_cosine_topk", "knn_suppliers"):
+        for q in ("minhash_neardup",):
             try:
                 n += qs[q](spark, warm_dir).count()
             except Exception:

@@ -414,7 +414,7 @@ def gen_lines():
         made += 1
 
     # --- constructed degenerate line families (closed forms) ---
-    def add_case(name, line, rings, exp):
+    def add_case(name, line, rings, exp, exp_union):
         nonlocal slot
         dx = float((slot % 16) * 6 - 48)
         dy = float((slot // 16) * 6 - 48)
@@ -436,42 +436,65 @@ def gen_lines():
         )
         polys.append(poly_row(pid, rings))
         expected.append(
-            # union closed forms for degenerate line families are NOT
-            # hand-derived (touch-noding conventions differ subtly
-            # across JTS versions); only the convention-free general
-            # identity feeds the union oracle
             {"line_id": lid, "poly_id": pid, "family": name,
-             "expected_int": exp, "expected_union": None}
+             "expected_int": exp, "expected_union": exp_union}
         )
 
+    # Union closed forms (hand-derived per family, round 4 — closing
+    # the r3 gap where degenerate families stored NULL): JTS OverlayOp
+    # union(LINESTRING, POLYGON) = the polygon with its shell NODED at
+    # every line∩ring contact (R original vertices + interior-of-edge
+    # split points + closing vertex) PLUS the line spans strictly
+    # outside the closed polygon, split at every node (2 points per
+    # span here — no degenerate-family span carries an interior
+    # original vertex). Contacts at EXISTING ring corners add no split
+    # point. These counts are derived from the contact inventory of
+    # each family alone (local counting, no span assembly, no engine
+    # code), and are invariant under the slot translation + 0.25
+    # scale.
     sq = rect(0, 0, 4, 4)
     for k in range(6):
         # on-boundary segment strictly inside the bottom edge: the
-        # collapsed span is a LINESTRING of its 2 endpoints
+        # collapsed span is a LINESTRING of its 2 endpoints.
+        # Union: no outside span; shell noded at the 2 segment
+        # endpoints (interior of the bottom edge) -> 4 + 2 + 1 = 7
         x0 = 0.5 + 0.25 * k
         add_case("on_boundary",
-                 [(x0, 0.0), (x0 + 1.0, 0.0)], [sq], 2)
+                 [(x0, 0.0), (x0 + 1.0, 0.0)], [sq], 2, 7)
         # line along the bottom edge overshooting both ends: kept span
-        # is exactly the noded edge (0,0)-(4,0) -> 2 points
+        # is exactly the noded edge (0,0)-(4,0) -> 2 points.
+        # Union: contacts are the two CORNERS (no interior splits,
+        # shell = 4 + 0 + 1 = 5) + two outside overshoot spans
+        # (2 + 2) -> 9
         add_case("collinear_overshoot",
-                 [(-1.0 - 0.25 * k, 0.0), (5.0, 0.0)], [sq], 2)
+                 [(-1.0 - 0.25 * k, 0.0), (5.0, 0.0)], [sq], 2, 9)
         # V-shaped polyline whose apex touches the interior of the top
-        # edge from outside: intersection = POINT -> 1
+        # edge from outside: intersection = POINT -> 1.
+        # Union: shell noded at the touch (4 + 1 + 1 = 6); the line is
+        # outside except the touch node, which splits it into two
+        # 2-point spans (2 + 2) -> 10
         add_case("tangent_touch",
                  [(-2.0, 6.0 + 0.25 * k), (2.0, 4.0), (6.0, 6.0)],
-                 [sq], 1)
-        # endpoint lands exactly on a corner, rest outside: POINT -> 1
+                 [sq], 1, 10)
+        # endpoint lands exactly on a corner, rest outside: POINT -> 1.
+        # Union: corner contact adds no split (shell 4 + 0 + 1 = 5);
+        # one outside span of 2 points -> 7
         add_case("corner_endpoint",
-                 [(-2.0, 8.0 + 0.25 * k), (0.0, 4.0)], [sq], 1)
+                 [(-2.0, 8.0 + 0.25 * k), (0.0, 4.0)], [sq], 1, 7)
         # enters through one corner, exits through the other on the
-        # same diagonal: the kept span is the chord between corners
+        # same diagonal: the kept span is the chord between corners.
+        # Union: both contacts at corners (shell 5); the inside chord
+        # dissolves; two outside tails (2 + 2) -> 9
         add_case("corner_to_corner",
-                 [(-1.0, 5.0), (5.0, -1.0)], [sq], 2)
+                 [(-1.0, 5.0), (5.0, -1.0)], [sq], 2, 9)
         # inside span with an interior vertex: crossings at x=0 and
-        # x=4 plus the strictly-inside vertex -> 3
+        # x=4 plus the strictly-inside vertex -> 3.
+        # Union: entry/exit nodes on edge interiors (shell
+        # 4 + 2 + 1 = 7); inside span dissolves from the line part;
+        # two outside tails (2 + 2) -> 11
         add_case("interior_vertex",
                  [(-1.0, 2.0), (2.0, 2.0 + 0.25 * k), (5.0, 2.0)],
-                 [sq], 3)
+                 [sq], 3, 11)
     return polys, lines, expected
 
 

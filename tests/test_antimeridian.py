@@ -103,3 +103,19 @@ def test_haversine_metric_rejects_planar_ring_args(antimeridian_points):
         metric="haversine", exclude_self=True, stats=st,
     ).collect()
     assert st["rounds"] >= 1 and "initial_radius_km" in st
+
+
+def test_planar_mode_warning_documented():
+    """The planar default clamps at ±180° by design; the API contract
+    requires a loud docstring warning steering global-extent data to
+    metric='haversine' (VERDICT r3 #9)."""
+    from workstealing_spatial_join_spark.operators.knn import (
+        dwithin_join,
+        knn_join,
+    )
+
+    for fn in (knn_join, dwithin_join):
+        doc = fn.__doc__ or ""
+        assert "WARNING" in doc and "haversine" in doc and (
+            "antimeridian" in doc
+        ), f"{fn.__name__} docstring lost its planar-mode warning"

@@ -125,67 +125,110 @@ def edge_bbox_candidates(
         if hix < lox or hiy < loy:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy()
-        ns = int(np.clip(np.sqrt(2 * np.sqrt(na + nb)) * 4, 4, 128))
-        wx = (hix - lox) / ns
-        wy = (hiy - loy) / ns
-        if wx <= 0 or not np.isfinite(wx):
-            wx = 1.0
-        if wy <= 0 or not np.isfinite(wy):
-            wy = 1.0
+        # per-axis bin width ≈ the typical (median positive) edge span
+        # on that axis: an isotropic ns×ns grid degenerates whenever
+        # cell shape mismatches edge shape (zigzag boundaries: cells
+        # 75×0.16 units vs 1×1 edges → ~30 edges per cell → millions
+        # of candidate pairs). A couple of axis-spanning edges (e.g. a
+        # polygon's long base) landing in every bin of one axis is
+        # fine — it's O(edges · bins_crossed) entries, not O(n²).
+        def _axis_bins(lo_ax, hi_ax, spans):
+            ext = hi_ax - lo_ax
+            if ext <= 0 or not np.isfinite(ext):
+                return 1, 1.0
+            pos = spans[spans > 0]
+            med = float(np.median(pos)) if len(pos) else ext / 64.0
+            w = max(2.0 * med, ext / 4096.0)
+            if w <= 0 or not np.isfinite(w):
+                return 1, ext
+            n = int(np.clip(np.ceil(ext / w), 1, 4096))
+            return n, ext / n
+
+        nsx, wx = _axis_bins(
+            lox, hix, np.concatenate([amaxx - aminx, bmaxx - bminx])
+        )
+        nsy, wy = _axis_bins(
+            loy, hiy, np.concatenate([amaxy - aminy, bmaxy - bminy])
+        )
+        while nsx * nsy > (1 << 21):
+            if nsx >= nsy:
+                nsx = max(1, nsx // 2)
+                wx *= 2
+            else:
+                nsy = max(1, nsy // 2)
+                wy *= 2
 
         def cell_ranges(mnx, mxx, mny, mxy):
             keep = (mxx >= lox) & (mnx <= hix) & (mxy >= loy) & (mny <= hiy)
-            sx0 = np.clip(np.floor((mnx - lox) / wx), 0, ns - 1).astype(np.int64)
-            sx1 = np.clip(np.floor((mxx - lox) / wx), 0, ns - 1).astype(np.int64)
-            sy0 = np.clip(np.floor((mny - loy) / wy), 0, ns - 1).astype(np.int64)
-            sy1 = np.clip(np.floor((mxy - loy) / wy), 0, ns - 1).astype(np.int64)
+            sx0 = np.clip(np.floor((mnx - lox) / wx), 0, nsx - 1).astype(np.int64)
+            sx1 = np.clip(np.floor((mxx - lox) / wx), 0, nsx - 1).astype(np.int64)
+            sy0 = np.clip(np.floor((mny - loy) / wy), 0, nsy - 1).astype(np.int64)
+            sy1 = np.clip(np.floor((mxy - loy) / wy), 0, nsy - 1).astype(np.int64)
             return sx0, sx1, sy0, sy1, keep
 
         def expand(sx0, sx1, sy0, sy1, keep):
+            # vectorized (edge, cell) expansion: edge i contributes
+            # every cell in its [sx0..sx1]×[sy0..sy1] block — no
+            # per-edge Python loop
             idx = np.nonzero(keep)[0]
-            cells_list, edges_list = [], []
-            for i in idx.tolist():
-                xs = np.arange(sx0[i], sx1[i] + 1)
-                ys = np.arange(sy0[i], sy1[i] + 1)
-                cs = (xs[:, None] * ns + ys[None, :]).ravel()
-                cells_list.append(cs)
-                edges_list.append(np.full(len(cs), i, dtype=np.int64))
-            if not cells_list:
+            if len(idx) == 0:
                 z = np.empty(0, dtype=np.int64)
                 return z, z.copy()
-            return np.concatenate(cells_list), np.concatenate(edges_list)
+            nxs = sx1[idx] - sx0[idx] + 1
+            nys = sy1[idx] - sy0[idx] + 1
+            span = nxs * nys
+            tot = int(span.sum())
+            eidx = np.repeat(idx, span)
+            local = np.arange(tot) - np.repeat(
+                np.cumsum(span) - span, span
+            )
+            ny_rep = np.repeat(nys, span)
+            cells = (
+                (np.repeat(sx0[idx], span) + local // ny_rep) * nsy
+                + np.repeat(sy0[idx], span) + local % ny_rep
+            )
+            return cells, eidx
 
         cella, ea = expand(*cell_ranges(aminx, amaxx, aminy, amaxy))
         cellb, eb = expand(*cell_ranges(bminx, bmaxx, bminy, bmaxy))
-        orda = np.argsort(cella, kind="stable")
         ordb = np.argsort(cellb, kind="stable")
-        cella, ea = cella[orda], ea[orda]
         cellb, eb = cellb[ordb], eb[ordb]
-        grid = np.arange(ns * ns + 1)
-        bounds_a = np.searchsorted(cella, grid)
-        bounds_b = np.searchsorted(cellb, grid)
-        chunk_cap = 1 << 21  # ≤2M pair slots materialized at once
+        # vectorized cell equi-join: every A (edge, cell) entry joins
+        # the B entries of the same cell via one searchsorted pair;
+        # chunked over A entries so peak pair memory stays bounded
+        starts = np.searchsorted(cellb, cella, side="left")
+        ends = np.searchsorted(cellb, cella, side="right")
+        cnt = ends - starts
+        chunk_cap = 1 << 22
         chunks_i, chunks_j = [], []
-        for s in range(ns * ns):
-            ia = ea[bounds_a[s]:bounds_a[s + 1]]
-            ib = eb[bounds_b[s]:bounds_b[s + 1]]
-            if len(ia) == 0 or len(ib) == 0:
-                continue
-            step = max(1, chunk_cap // max(len(ib), 1))
-            for c0 in range(0, len(ia), step):
-                sub = ia[c0:c0 + step]
-                # exact bbox overlap INSIDE the cell loop: survivors
-                # only — false positives never accumulate
+        n_entries = len(cella)
+        # chunk boundaries from the pair-count cumsum (one searchsorted
+        # per chunk — the entry-by-entry Python scan dominated runtime)
+        cum = np.cumsum(cnt)
+        bounds = [0]
+        while bounds[-1] < n_entries:
+            prev = bounds[-1]
+            base = int(cum[prev - 1]) if prev else 0
+            nxt = int(np.searchsorted(cum, base + chunk_cap, side="right"))
+            bounds.append(min(max(nxt, prev + 1), n_entries))
+        for pos, hi in zip(bounds[:-1], bounds[1:]):
+            c = cnt[pos:hi]
+            tot = int(c.sum())
+            if tot:
+                ii_c = np.repeat(ea[pos:hi], c)
+                off = np.arange(tot) - np.repeat(np.cumsum(c) - c, c)
+                jj_c = eb[np.repeat(starts[pos:hi], c) + off]
+                # exact bbox overlap: survivors only — false positives
+                # from the conservative grid never accumulate
                 ov = (
-                    (aminx[sub][:, None] <= bmaxx[ib][None, :])
-                    & (bminx[ib][None, :] <= amaxx[sub][:, None])
-                    & (aminy[sub][:, None] <= bmaxy[ib][None, :])
-                    & (bminy[ib][None, :] <= amaxy[sub][:, None])
+                    (aminx[ii_c] <= bmaxx[jj_c])
+                    & (bminx[jj_c] <= amaxx[ii_c])
+                    & (aminy[ii_c] <= bmaxy[jj_c])
+                    & (bminy[jj_c] <= amaxy[ii_c])
                 )
-                gi, gj = np.nonzero(ov)
-                if len(gi):
-                    chunks_i.append(sub[gi])
-                    chunks_j.append(ib[gj])
+                if ov.any():
+                    chunks_i.append(ii_c[ov])
+                    chunks_j.append(jj_c[ov])
         if not chunks_i:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy()

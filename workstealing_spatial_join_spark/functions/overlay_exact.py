@@ -8,9 +8,25 @@ on ANY geometry pair, including polygons that share edges or vertices
 and line/point parts riding the wire with type codes
 (src/mpi_util.cpp:1080-1099 coerces types 1/2/3;
 src/thread_util.cpp:424-441 refines them). This module closes both
-gaps with exact rational arithmetic (float inputs are dyadic
-rationals, so ``Fraction`` noding is EXACT — no epsilon, no
-perturbation, no wrong side-of-line decision ever).
+gaps with EXACT INTEGER arithmetic:
+
+Every IEEE-754 double is a dyadic rational m/2^e, so scaling all
+coordinates of a pair by their common power of two maps the inputs
+LOSSLESSLY onto the integers (no snapping, no quantization error —
+``_common_scale``/``_scale_val`` use ``float.as_integer_ratio``).
+Orientation, on-segment, crossing, and ray-parity predicates are then
+integer cross-products (Python ints are arbitrary precision — a
+coordinate needing f fractional bits yields products of ~2(f+9) bits,
+still single-digit-count machine words for real-world data). The ONLY
+non-integer values are proper-crossing node coordinates, which are
+rationals constructed as ``Fraction`` with one gcd normalization at
+creation; all further arithmetic on them (midpoints, sorting,
+cross-products) goes through Python's exact mixed int/Fraction
+numerics. Round 3 ran the ENTIRE kernel in Fraction arithmetic — a
+gcd per elementary operation — which made quantized adjacent-polygon
+workloads (shared edges are the COMMON case on real cadastral data,
+e.g. the reference's cemeteries/parks datasets,
+job_script_for_HPC:29-32) ~50-100× slower than this integer form.
 
 Algorithm (arrangement overlay — standard computational-geometry
 construction, cf. de Berg et al., "Computational Geometry", ch. 2):
@@ -19,6 +35,9 @@ construction, cf. de Berg et al., "Computational Geometry", ch. 2):
    sibling rings of the same polygon, so hole-touches-shell contacts
    are honored). Proper crossings, endpoint touches, and collinear
    overlap intervals all become exact nodes; edges are split at them.
+   Collinear-overlap endpoints are always endpoints of one of the two
+   segments, so they stay INTEGER points; only interior proper
+   crossings create Fractions.
 2. Merge sub-segments into canonical undirected segments carrying
    per-side boundary labels: for a segment on ∂A, which side is A's
    interior (shells normalized CCW / holes CW ⇒ interior is LEFT of
@@ -41,12 +60,15 @@ line output is split at every node (one LineString per noded span,
 interior original vertices kept); each closed ring counts its
 repeated closing vertex.
 
-Performance: this kernel runs per pair in Python ``Fraction``
-arithmetic — it is the DEGENERATE TAIL of refine batches only.
-General-position polygon pairs take the vectorized float GH path;
-rectangles never reach either (closed-form bounds math). Candidate
-edge pairs are bbox-prefiltered (strip grid, functions/overlay.py) so
-noding cost is near-linear in boundary size.
+Performance: midpoint point-in-polygon classification is float-first
+(trusted only when provably unambiguous — see ``_FastPIP``) with
+edge candidates drawn from a single-axis bin index (ray direction
+chosen per polygon so that edges have SMALL extent along the binning
+axis), so both the float and the exact fallback ray casts touch
+O(candidates), not O(edges). The exact kernel is the refine path for
+degenerate-position pairs; general-position polygon pairs take the
+vectorized float GH path, and rectangles never reach either
+(closed-form bounds math).
 """
 
 from __future__ import annotations
@@ -67,15 +89,52 @@ class InvalidOverlay(Exception):
     (src/thread_util.cpp:427-429)."""
 
 
-# ---------------------------------------------------------- primitives
+# ------------------------------------------------- dyadic integerization
 
 
-def _to_frac_ring(ring: np.ndarray) -> list[tuple[Fr, Fr]]:
-    """Closed float ring → open exact ring, consecutive dups dropped."""
-    pts: list[tuple[Fr, Fr]] = []
+def _frac_bits(x: float) -> int:
+    """Fractional bits of a double: x = n / 2^k exactly."""
+    return float(x).as_integer_ratio()[1].bit_length() - 1
+
+
+def _common_scale(arrays) -> int:
+    """Smallest k such that every coordinate times 2^k is an integer
+    (exists for every finite double — doubles are dyadic rationals).
+    Integral arrays short-circuit vectorized (k = 0)."""
+    k = 0
+    for arr in arrays:
+        a = np.asarray(arr, dtype=np.float64)
+        if np.array_equal(np.floor(a), a):
+            continue
+        for v in a.ravel().tolist():
+            fb = _frac_bits(v)
+            if fb > k:
+                k = fb
+    return k
+
+
+def _scale_val(x: float, k: int) -> int:
+    n, d = float(x).as_integer_ratio()
+    return n << (k - (d.bit_length() - 1))
+
+
+def _scaled_points(arr: np.ndarray, k: int) -> list[tuple]:
+    """Float (n,2) array → exact scaled integer point tuples. k == 0
+    (already-integral coordinates within int64 range) converts
+    vectorized; otherwise per-element via as_integer_ratio."""
+    if k == 0 and float(np.abs(arr).max(initial=0.0)) < 2 ** 62:
+        ints = arr.astype(np.int64)
+        if np.array_equal(ints.astype(np.float64), arr):
+            return list(zip(ints[:, 0].tolist(), ints[:, 1].tolist()))
+    return [(_scale_val(x, k), _scale_val(y, k)) for x, y in arr]
+
+
+def _to_int_ring(ring: np.ndarray, k: int) -> list[tuple]:
+    """Closed float ring → open exact integer ring (scaled by 2^k),
+    consecutive dups dropped."""
+    pts: list[tuple] = []
     arr = np.asarray(ring, dtype=np.float64)
-    for x, y in arr:
-        p = (Fr(float(x)), Fr(float(y)))
+    for p in _scaled_points(arr, k):
         if not pts or pts[-1] != p:
             pts.append(p)
     if len(pts) > 1 and pts[0] == pts[-1]:
@@ -85,10 +144,10 @@ def _to_frac_ring(ring: np.ndarray) -> list[tuple[Fr, Fr]]:
     return pts
 
 
-def _to_frac_path(path: np.ndarray) -> list[tuple[Fr, Fr]]:
-    pts: list[tuple[Fr, Fr]] = []
+def _to_int_path(path: np.ndarray, k: int) -> list[tuple]:
+    pts: list[tuple] = []
     for x, y in np.asarray(path, dtype=np.float64):
-        p = (Fr(float(x)), Fr(float(y)))
+        p = (_scale_val(x, k), _scale_val(y, k))
         if not pts or pts[-1] != p:
             pts.append(p)
     if len(pts) < 2:
@@ -96,8 +155,16 @@ def _to_frac_path(path: np.ndarray) -> list[tuple[Fr, Fr]]:
     return pts
 
 
-def _area2(ring: list[tuple[Fr, Fr]]) -> Fr:
-    s = Fr(0)
+def _half(v):
+    """Exact v/2 for int or Fraction (int/int would produce a float)."""
+    return Fr(v, 2) if type(v) is int else v / 2
+
+
+# ---------------------------------------------------------- primitives
+
+
+def _area2(ring: list[tuple]) -> int:
+    s = 0
     n = len(ring)
     for i in range(n):
         x0, y0 = ring[i]
@@ -106,24 +173,26 @@ def _area2(ring: list[tuple[Fr, Fr]]) -> Fr:
     return s
 
 
-def _norm_polygon(rings: list[np.ndarray]) -> list[list[tuple[Fr, Fr]]]:
+def _norm_polygon(rings: list[np.ndarray], k: int) -> list[list[tuple]]:
     """Shell CCW, holes CW — polygon interior is on the LEFT of every
-    directed edge."""
+    directed edge. Coordinates exact ints at scale 2^k."""
     out = []
-    for k, r in enumerate(rings):
-        fr = _to_frac_ring(r)
-        a2 = _area2(fr)
+    for idx, r in enumerate(rings):
+        ir = _to_int_ring(r, k)
+        a2 = _area2(ir)
         if a2 == 0:
             raise InvalidOverlay("zero-area ring")
-        want_ccw = k == 0
+        want_ccw = idx == 0
         if (a2 > 0) != want_ccw:
-            fr = fr[::-1]
-        out.append(fr)
+            ir = ir[::-1]
+        out.append(ir)
     return out
 
 
-def _ray(ring: list[tuple[Fr, Fr]], m: tuple[Fr, Fr]) -> bool:
-    """Exact crossing-parity; caller guarantees m is not on the ring."""
+def _ray(ring: list[tuple], m: tuple) -> bool:
+    """Exact crossing-parity via sign tests (no division); caller
+    guarantees m is not on the ring. Coordinates may mix int and
+    Fraction — Python numerics keep it exact."""
     x, y = m
     inside = False
     n = len(ring)
@@ -131,13 +200,15 @@ def _ray(ring: list[tuple[Fr, Fr]], m: tuple[Fr, Fr]) -> bool:
         ax, ay = ring[i]
         bx, by = ring[(i + 1) % n]
         if (ay > y) != (by > y):
-            xc = ax + (y - ay) * (bx - ax) / (by - ay)
-            if x < xc:
+            # x < x_cross ⇔ num/den > 0 with
+            # num = (ax-x)(by-ay) + (y-ay)(bx-ax), den = by-ay ≠ 0
+            num = (ax - x) * (by - ay) + (y - ay) * (bx - ax)
+            if num != 0 and (num > 0) == (by > ay):
                 inside = not inside
     return inside
 
 
-def _pip(rings: list[list[tuple[Fr, Fr]]], m: tuple[Fr, Fr]) -> bool:
+def _pip(rings: list[list[tuple]], m: tuple) -> bool:
     """Strict interior of polygon-with-holes (winding-insensitive)."""
     if not _ray(rings[0], m):
         return False
@@ -147,48 +218,71 @@ def _pip(rings: list[list[tuple[Fr, Fr]]], m: tuple[Fr, Fr]) -> bool:
     return True
 
 
-def _seg_points(p, p2, q, q2) -> list[tuple[Fr, Fr]]:
-    """Exact intersection point set of two closed segments: one point
-    for a crossing/touch, the two overlap-interval endpoints for a
-    collinear overlap (possibly equal), [] when disjoint."""
+def _seg_points(p, p2, q, q2) -> list[tuple]:
+    """Exact intersection point set of two closed INTEGER segments:
+    one point for a crossing/touch, the two overlap-interval endpoints
+    for a collinear overlap (possibly equal), [] when disjoint.
+    Endpoint touches and collinear-overlap endpoints return the
+    original integer points; only interior proper crossings construct
+    Fractions (one gcd each at creation)."""
     rx, ry = p2[0] - p[0], p2[1] - p[1]
     sx, sy = q2[0] - q[0], q2[1] - q[1]
     denom = rx * sy - ry * sx
     qpx, qpy = q[0] - p[0], q[1] - p[1]
     cqs = qpx * sy - qpy * sx
     if denom != 0:
-        t = cqs / denom
-        u = (qpx * ry - qpy * rx) / denom
-        if 0 <= t <= 1 and 0 <= u <= 1:
-            return [(p[0] + t * rx, p[1] + t * ry)]
+        tn = cqs
+        un = qpx * ry - qpy * rx
+        if denom < 0:
+            tn, un, dpos = -tn, -un, -denom
+        else:
+            dpos = denom
+        if 0 <= tn <= dpos and 0 <= un <= dpos:
+            if tn == 0:
+                return [p]
+            if tn == dpos:
+                return [p2]
+            if un == 0:
+                return [q]
+            if un == dpos:
+                return [q2]
+            return [
+                (Fr(p[0] * dpos + tn * rx, dpos),
+                 Fr(p[1] * dpos + tn * ry, dpos))
+            ]
         return []
     if cqs != 0:
         return []
-    # collinear: overlap interval in p-edge params
+    # collinear: overlap interval in p-edge param numerators over rr
     rr = rx * rx + ry * ry
     if rr == 0:
         raise InvalidOverlay("zero-length edge")
-    t0 = (qpx * rx + qpy * ry) / rr
-    t1 = ((q2[0] - p[0]) * rx + (q2[1] - p[1]) * ry) / rr
-    lo, hi = (t0, t1) if t0 <= t1 else (t1, t0)
-    lo = max(lo, Fr(0))
-    hi = min(hi, Fr(1))
-    if lo > hi:
+    t0n = qpx * rx + qpy * ry
+    t1n = (q2[0] - p[0]) * rx + (q2[1] - p[1]) * ry
+    if t0n <= t1n:
+        lo_n, lo_pt, hi_n, hi_pt = t0n, q, t1n, q2
+    else:
+        lo_n, lo_pt, hi_n, hi_pt = t1n, q2, t0n, q
+    if lo_n < 0:
+        lo_n, lo_pt = 0, p
+    if hi_n > rr:
+        hi_n, hi_pt = rr, p2
+    if lo_n > hi_n:
         return []
-    pts = [(p[0] + lo * rx, p[1] + lo * ry)]
-    if hi != lo:
-        pts.append((p[0] + hi * rx, p[1] + hi * ry))
-    return pts
-
-
-def _edge_param(p, q, v) -> Fr:
-    """Param of collinear point v along edge p→q (dominant axis)."""
-    if q[0] != p[0]:
-        return (v[0] - p[0]) / (q[0] - p[0])
-    return (v[1] - p[1]) / (q[1] - p[1])
+    if lo_n == hi_n:
+        return [lo_pt]
+    return [lo_pt, hi_pt]
 
 
 def _float_edge_arrays(edges):
+    try:
+        # direct C-level conversion of int-tuple lists; raises on
+        # Fractions or ints ≥ 2^63 → per-element fallback below
+        s = np.array([p for p, _q in edges], dtype=np.float64)
+        e = np.array([q for _p, q in edges], dtype=np.float64)
+        return s, e
+    except (OverflowError, TypeError):
+        pass
     s = np.array([[float(p[0]), float(p[1])] for p, _q in edges])
     e = np.array([[float(q[0]), float(q[1])] for _p, q in edges])
     return s, e
@@ -205,6 +299,14 @@ def _node_edge_sets(edges_a, edges_b, splits_a, splits_b, nodes=None):
     for i, j in zip(ii.tolist(), jj.tolist()):
         p, p2 = edges_a[i]
         q, q2 = edges_b[j]
+        # identical (or reversed) edge pair — the COMMON case on
+        # shared boundaries: contact points are exactly the shared
+        # endpoints; skip the general intersection math
+        if (p == q and p2 == q2) or (p == q2 and p2 == q):
+            if nodes is not None:
+                nodes.add(p)
+                nodes.add(p2)
+            continue
         for v in _seg_points(p, p2, q, q2):
             splits_a.setdefault(i, set()).add(v)
             splits_b.setdefault(j, set()).add(v)
@@ -214,22 +316,27 @@ def _node_edge_sets(edges_a, edges_b, splits_a, splits_b, nodes=None):
 
 def _split_edges(edges, splits):
     """Directed edge list → list of (sub_start, sub_end) after
-    inserting the recorded split points (endpoints excluded)."""
+    inserting the recorded split points (endpoints excluded). Cut
+    points are sorted along the edge by the dominant-axis coordinate
+    (exact mixed int/Fraction comparisons — a straight segment is
+    strictly monotone along any axis with nonzero extent)."""
     out = []
     for idx, (p, q) in enumerate(edges):
         cuts = splits.get(idx)
         if not cuts:
             out.append((p, q))
             continue
-        params = sorted(
-            {_edge_param(p, q, v) for v in cuts if v != p and v != q}
-        )
+        inner = [v for v in cuts if v != p and v != q]
+        if not inner:
+            # the COMMON shared-boundary case: every recorded contact
+            # is an endpoint — nothing to split
+            out.append((p, q))
+            continue
+        if len(inner) > 1:
+            axis = 0 if abs(q[0] - p[0]) >= abs(q[1] - p[1]) else 1
+            inner.sort(key=lambda v: v[axis], reverse=q[axis] < p[axis])
         prev = p
-        rx, ry = q[0] - p[0], q[1] - p[1]
-        for t in params:
-            if t <= 0 or t >= 1:
-                continue
-            v = (p[0] + t * rx, p[1] + t * ry)
+        for v in inner:
             if v != prev:
                 out.append((prev, v))
                 prev = v
@@ -313,54 +420,208 @@ def _collect_segments(rings_a, rings_b):
 
 
 class _FastPIP:
-    """Float-first point-in-polygon with exact fallback — the exact
-    per-midpoint ray cast made the kernel O(segments × edges) in
-    FRACTION ops (30 s/pair at 3k vertices). Double-precision parity
-    is trusted only when provably unambiguous: the query point is
-    farther than ``tol`` from every edge AND its +x ray clears every
-    vertex's y by ``tol`` (both checked vectorized); anything closer
-    returns None and the caller reruns the exact Fraction cast.
-    Coordinates are exact doubles (ingest parses floats), midpoint
-    rounding error is ~1e-16·scale ≪ tol = 1e-9·scale, and a crossing
-    whose computed x-intercept lies within float error of x implies a
-    point-to-edge distance below tol — so a trusted verdict cannot
-    differ from the exact one."""
+    """Float-first point-in-polygon with exact integer fallback.
+
+    Double-precision parity is trusted only when provably unambiguous:
+    the query point is farther than ``tol`` from every nearby edge AND
+    its ray clears every nearby vertex by ``tol`` (both checked
+    vectorized); anything closer returns None and the caller reruns
+    the exact integer ray cast. Scaled-int coordinates convert to
+    floats with relative error ≤ 2⁻⁵³ ≪ tol/scale, and a crossing
+    whose computed intercept lies within float error of the query
+    implies a point-to-edge distance below tol — so a trusted verdict
+    cannot differ from the exact one.
+
+    Candidate edges come from a SINGLE-AXIS BIN INDEX per ring: the
+    ray is cast along the axis where edges are (in total) longer, so
+    spans along the binning axis are small and each query touches
+    O(occupancy) edges instead of O(n) — the difference between a
+    quadratic and a near-linear classification pass on comb-shaped
+    rings. Bins are built with a ±tol margin, so any edge within tol
+    of the query (the ambiguity condition) is guaranteed to be among
+    the candidates — restricting the trust checks to candidates is
+    sound."""
 
     def __init__(self, rings):
+        self._exact = rings
         self._rings = []
-        self._frac = rings
         hi = 1.0
         for ring in rings:
             a = np.array([[float(x), float(y)] for x, y in ring])
-            b = np.roll(a, -1, axis=0)
-            self._rings.append((a, b, b - a))
             hi = max(hi, float(np.abs(a).max()))
         self.tol = 1e-9 * hi
+        for ring in rings:
+            a = np.array([[float(x), float(y)] for x, y in ring])
+            b = np.roll(a, -1, axis=0)
+            d = b - a
+            n = len(a)
+            nbins = int(min(max(n // 4, 1), 4096))
+            # bin axis: whichever axis yields the SMALLER total bin
+            # occupancy (edges with long spans along the bin axis land
+            # in many bins — e.g. comb teeth span the full y-range, so
+            # y-binning degenerates to O(n) candidates per query while
+            # x-binning is O(1); the total-extent heuristic got this
+            # exactly backwards on combs)
+            occ = []
+            for ax in (0, 1):
+                lo_t = float(a[:, ax].min()) - self.tol
+                hi_t = float(a[:, ax].max()) + self.tol
+                w_t = max((hi_t - lo_t) / nbins, 1e-300)
+                span = (
+                    np.abs(d[:, ax]) + 2 * self.tol
+                ) / w_t
+                occ.append(float(span.sum()) + n)
+            bin_ax = 0 if occ[0] <= occ[1] else 1
+            ray_x = bin_ax == 1  # ray along the non-binned axis
+            lo = float(a[:, bin_ax].min()) - self.tol
+            hi_ax = float(a[:, bin_ax].max()) + self.tol
+            width = (hi_ax - lo) / nbins
+            if width <= 0 or not np.isfinite(width):
+                width = 1.0
+                nbins = 1
+            emin = np.minimum(a[:, bin_ax], b[:, bin_ax]) - self.tol
+            emax = np.maximum(a[:, bin_ax], b[:, bin_ax]) + self.tol
+            b0 = np.clip(((emin - lo) / width).astype(np.int64), 0, nbins - 1)
+            b1 = np.clip(((emax - lo) / width).astype(np.int64), 0, nbins - 1)
+            counts = np.zeros(nbins + 1, dtype=np.int64)
+            span = b1 - b0 + 1
+            for s, t in zip(b0.tolist(), (b1 + 1).tolist()):
+                counts[s] += 1
+                counts[t] -= 1
+            occ = np.cumsum(counts[:-1])
+            starts = np.zeros(nbins + 1, dtype=np.int64)
+            np.cumsum(occ, out=starts[1:])
+            fill = starts[:-1].copy()
+            idx = np.empty(int(span.sum()), dtype=np.int64)
+            for e_i, (s, t) in enumerate(zip(b0.tolist(), b1.tolist())):
+                for bn in range(s, t + 1):
+                    idx[fill[bn]] = e_i
+                    fill[bn] += 1
+            self._rings.append({
+                "a": a, "b": b, "d": d, "ray_x": ray_x,
+                "lo": lo, "width": width, "nbins": nbins,
+                "starts": starts, "idx": idx,
+            })
+
+    def _cands(self, k, cx, cy):
+        r = self._rings[k]
+        c = cy if r["ray_x"] else cx
+        bn = int((c - r["lo"]) / r["width"])
+        if bn < 0 or bn >= r["nbins"]:
+            return r, np.empty(0, dtype=np.int64)
+        return r, r["idx"][r["starts"][bn]:r["starts"][bn + 1]]
+
+    def _ring_parity_batch(self, k, xs, ys):
+        """Vectorized float parity for MANY query points at once:
+        (inside bool array, ambiguous bool array). One flat
+        (query, candidate-edge) pair sweep — per-call numpy overhead
+        was the dominant cost of per-midpoint classification."""
+        r = self._rings[k]
+        nq = len(xs)
+        cs = ys if r["ray_x"] else xs
+        bn = ((cs - r["lo"]) / r["width"]).astype(np.int64)
+        ok = (bn >= 0) & (bn < r["nbins"])
+        bn_c = np.clip(bn, 0, r["nbins"] - 1)
+        starts = r["starts"][bn_c]
+        cnt = np.where(ok, r["starts"][bn_c + 1] - starts, 0)
+        tot = int(cnt.sum())
+        inside = np.zeros(nq, dtype=bool)
+        ambig = np.zeros(nq, dtype=bool)
+        if tot == 0:
+            return inside, ambig
+        qi = np.repeat(np.arange(nq), cnt)
+        off = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ei = r["idx"][np.repeat(starts, cnt) + off]
+        a = r["a"][ei]
+        d = r["d"][ei]
+        qx = xs[qi]
+        qy = ys[qi]
+        if r["ray_x"]:
+            pa, pd = a[:, 1], d[:, 1]
+            qa, qd = a[:, 0], d[:, 0]
+            pq, qq = qy, qx
+        else:
+            pa, pd = a[:, 0], d[:, 0]
+            qa, qd = a[:, 1], d[:, 1]
+            pq, qq = qx, qy
+        pb = pa + pd
+        # vertex-graze ambiguity on the perpendicular coordinate
+        graze = np.abs(pa - pq) < self.tol
+        # distance-to-edge ambiguity
+        dx0 = qx - a[:, 0]
+        dy0 = qy - a[:, 1]
+        l2 = np.maximum(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1], 1e-300)
+        t = np.clip((dx0 * d[:, 0] + dy0 * d[:, 1]) / l2, 0.0, 1.0)
+        ex = dx0 - t * d[:, 0]
+        ey = dy0 - t * d[:, 1]
+        close = (ex * ex + ey * ey) < self.tol * self.tol
+        np.logical_or.at(ambig, qi, graze | close)
+        cross = (pa > pq) != (pb > pq)
+        safe_pd = np.where(cross, pd, 1.0)
+        qc = qa + (pq - pa) * qd / safe_pd
+        hit = cross & (qq < qc)
+        counts = np.zeros(nq, dtype=np.int64)
+        np.add.at(counts, qi, hit.astype(np.int64))
+        inside = (counts & 1).astype(bool)
+        return inside, ambig
+
+    def batch(self, m2x, m2y):
+        """Tri-state verdicts for many DOUBLED points: float array of
+        +1 (inside), 0 (outside), -1 (ambiguous — caller reruns
+        exact2). Holes combined per the polygon-with-holes rule."""
+        xs = np.asarray(m2x, dtype=np.float64) * 0.5
+        ys = np.asarray(m2y, dtype=np.float64) * 0.5
+        inside, ambig = self._ring_parity_batch(0, xs, ys)
+        out = np.where(inside, 1, 0)
+        for k in range(1, len(self._rings)):
+            h_in, h_amb = self._ring_parity_batch(k, xs, ys)
+            ambig |= h_amb & inside
+            out = np.where(inside & h_in, 0, out)
+            inside &= ~h_in
+        out[ambig] = -1
+        return out
 
     def _ring_parity(self, k, x, y):
-        a, b, d = self._rings[k]
-        ax, ay = a[:, 0], a[:, 1]
-        by = b[:, 1]
-        dy = d[:, 1]
-        if float(np.abs(ay - y).min()) < self.tol:
-            return None  # ray grazes a vertex
-        dx0 = x - a[:, 0]
-        dy0 = y - ay
-        l2 = np.maximum(d[:, 0] * d[:, 0] + dy * dy, 1e-300)
-        t = np.clip((dx0 * d[:, 0] + dy0 * dy) / l2, 0.0, 1.0)
+        """Float parity restricted to bin candidates; None = ambiguous."""
+        r, cand = self._cands(k, x, y)
+        if len(cand) == 0:
+            return False
+        a = r["a"][cand]
+        b = r["b"][cand]
+        d = r["d"][cand]
+        if r["ray_x"]:
+            pa, pb, pd = a[:, 1], b[:, 1], d[:, 1]
+            qa, qd = a[:, 0], d[:, 0]
+            pq, qq = y, x
+        else:
+            pa, pb, pd = a[:, 0], b[:, 0], d[:, 0]
+            qa, qd = a[:, 1], d[:, 1]
+            pq, qq = x, y
+        # ray grazes a vertex on the perpendicular coordinate?
+        if float(np.abs(pa - pq).min()) < self.tol:
+            return None
+        # distance-to-edge trust check over candidates
+        dx0 = x - r["a"][cand][:, 0]
+        dy0 = y - r["a"][cand][:, 1]
+        l2 = np.maximum(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1], 1e-300)
+        t = np.clip((dx0 * d[:, 0] + dy0 * d[:, 1]) / l2, 0.0, 1.0)
         ex = dx0 - t * d[:, 0]
-        ey = dy0 - t * dy
+        ey = dy0 - t * d[:, 1]
         if float((ex * ex + ey * ey).min()) < self.tol * self.tol:
-            return None  # too close to the boundary
-        cross = (ay > y) != (by > y)
+            return None
+        cross = (pa > pq) != (pb > pq)
         if not cross.any():
             return False
-        safe_dy = np.where(cross, dy, 1.0)
-        xc = ax + (y - ay) * d[:, 0] / safe_dy
-        return bool(int((cross & (x < xc)).sum()) & 1)
+        safe_pd = np.where(cross, pd, 1.0)
+        qc = qa + (pq - pa) * qd / safe_pd
+        return bool(int((cross & (qq < qc)).sum()) & 1)
 
-    def __call__(self, m):
-        x, y = float(m[0]), float(m[1])
+    def __call__(self, m2):
+        """Float-trusted verdict for the point m2/2 (callers pass the
+        DOUBLED point — segment midpoints are then exact ints whenever
+        the endpoints are, so the exact fallback never touches
+        Fraction arithmetic on integer inputs). None = ambiguous."""
+        x, y = float(m2[0]) * 0.5, float(m2[1]) * 0.5
         shell = self._ring_parity(0, x, y)
         if shell is None:
             return None
@@ -374,90 +635,131 @@ class _FastPIP:
                 return False
         return True
 
-    def _ray_banded(self, k, m):
-        """EXACT crossing parity, but only edges whose float y-range
-        touches the query's y-band (± tol, conservative — float
-        vertex ys are exact doubles, the query rounding error is
-        ~1e-16·scale ≪ tol) pay Fraction arithmetic. Quantized
-        coordinates make vertex-grazing the common ambiguity, and the
-        full exact ray over every edge was the dominant cost."""
-        a, b, _d = self._rings[k]
-        yf = float(m[1])
-        ay, by = a[:, 1], b[:, 1]
-        band = (np.minimum(ay, by) <= yf + self.tol) & (
-            np.maximum(ay, by) >= yf - self.tol
+    def _ray_exact2(self, k, m2):
+        """EXACT crossing parity for the point m2/2 over the bin
+        candidates only (the bins are built with a ±tol margin over
+        float coordinates whose conversion error is ≪ tol, so every
+        edge that can cross the query's perpendicular line is among
+        the candidates). The predicates are evaluated HOMOGENEOUSLY at
+        2× scale — ring coordinates doubled against the already-
+        doubled query — so integer inputs stay integer."""
+        r, cand = self._cands(
+            k, float(m2[0]) * 0.5, float(m2[1]) * 0.5
         )
-        ring = self._frac[k]
+        if len(cand) == 0:
+            return False
+        ring = self._exact[k]
         n = len(ring)
-        x, y = m
+        x, y = m2
         inside = False
-        for i in np.nonzero(band)[0].tolist():
-            axf, ayf = ring[i]
-            bxf, byf = ring[(i + 1) % n]
-            if (ayf > y) != (byf > y):
-                xc = axf + (y - ayf) * (bxf - axf) / (byf - ayf)
-                if x < xc:
-                    inside = not inside
+        if r["ray_x"]:
+            for i in cand.tolist():
+                ay = 2 * ring[i][1]
+                by = 2 * ring[(i + 1) % n][1]
+                if (ay > y) != (by > y):
+                    ax = 2 * ring[i][0]
+                    bx = 2 * ring[(i + 1) % n][0]
+                    num = (ax - x) * (by - ay) + (y - ay) * (bx - ax)
+                    if num != 0 and (num > 0) == (by > ay):
+                        inside = not inside
+        else:
+            for i in cand.tolist():
+                ax = 2 * ring[i][0]
+                bx = 2 * ring[(i + 1) % n][0]
+                if (ax > x) != (bx > x):
+                    ay = 2 * ring[i][1]
+                    by = 2 * ring[(i + 1) % n][1]
+                    num = (ay - y) * (bx - ax) + (x - ax) * (by - ay)
+                    if num != 0 and (num > 0) == (bx > ax):
+                        inside = not inside
         return inside
 
-    def exact(self, m):
-        """Exact _pip twin using the banded exact ray per ring."""
-        if not self._ray_banded(0, m):
+    def exact2(self, m2):
+        """Exact _pip twin (for the point m2/2) using the
+        bin-candidate exact ray per ring."""
+        if not self._ray_exact2(0, m2):
             return False
-        for k in range(1, len(self._frac)):
-            if self._ray_banded(k, m):
+        for k in range(1, len(self._exact)):
+            if self._ray_exact2(k, m2):
                 return False
         return True
 
-    def _on_banded(self, m) -> bool:
-        """Exact on-any-ring check; an edge containing m must span
-        m's y (inclusive), so the float y-band is a safe prefilter."""
-        yf = float(m[1])
-        for k, ring in enumerate(self._frac):
-            a, b, _d = self._rings[k]
-            ay, by = a[:, 1], b[:, 1]
-            band = (np.minimum(ay, by) <= yf + self.tol) & (
-                np.maximum(ay, by) >= yf - self.tol
+    def _on_banded2(self, m2) -> bool:
+        """Exact on-any-ring check for m2/2; an edge containing the
+        point lies within 0 of it, so the ±tol bin candidates are a
+        safe superset. Homogeneous 2× evaluation."""
+        for k, ring in enumerate(self._exact):
+            _r, cand = self._cands(
+                k, float(m2[0]) * 0.5, float(m2[1]) * 0.5
             )
             n = len(ring)
-            for i in np.nonzero(band)[0].tolist():
-                if _on_seg(ring[i], ring[(i + 1) % n], m):
+            for i in cand.tolist():
+                p, q = ring[i], ring[(i + 1) % n]
+                if _on_seg(
+                    (2 * p[0], 2 * p[1]), (2 * q[0], 2 * q[1]), m2
+                ):
                     return True
         return False
 
-    def covered(self, m) -> bool:
-        """Exact ``on-any-ring OR strictly-inside`` (the line-kernel
-        classification) — float verdicts far from the boundary (where
-        on-boundary is impossible), banded exact otherwise."""
-        r = self(m)
+    def covered2(self, m2) -> bool:
+        """Exact ``on-any-ring OR strictly-inside`` for the point m2/2
+        (the line-kernel classification) — float verdicts far from the
+        boundary (where on-boundary is impossible), bin-candidate
+        exact otherwise."""
+        r = self(m2)
         if r is not None:
             return r
-        return self._on_banded(m) or self.exact(m)
+        return self._on_banded2(m2) or self.exact2(m2)
 
 
 def _classify(segs, rings_a, rings_b):
     """Attach 4 side booleans per segment: (aL, aR, bL, bR) — locally
-    interior to A/B on the left/right of the canonical direction."""
-    fast_a = _FastPIP(rings_a)
-    fast_b = _FastPIP(rings_b)
+    interior to A/B on the left/right of the canonical direction.
+    Midpoints are computed lazily: fully-shared segments (both
+    boundary labels known — the COMMON case on quantized adjacent
+    polygons) skip the point-in-polygon machinery entirely."""
+    need = [
+        i for i, seg in enumerate(segs)
+        if seg.a_left is None or seg.b_left is None
+    ]
+    in_a_map: dict[int, bool] = {}
+    in_b_map: dict[int, bool] = {}
+    if need:
+        # DOUBLED midpoints: exact ints whenever the endpoints are, so
+        # the exact PIP fallback needs no Fraction arithmetic on
+        # integer (i.e. non-crossing-node) segments
+        m2s = [
+            (segs[i].s[0] + segs[i].e[0], segs[i].s[1] + segs[i].e[1])
+            for i in need
+        ]
+        m2x = np.array([float(m[0]) for m in m2s])
+        m2y = np.array([float(m[1]) for m in m2s])
+        for which, fill in (("a", in_a_map), ("b", in_b_map)):
+            rows = [
+                j for j, i in enumerate(need)
+                if (segs[i].a_left if which == "a" else segs[i].b_left)
+                is None
+            ]
+            if not rows:
+                continue
+            fp = _FastPIP(rings_a if which == "a" else rings_b)
+            sel = np.array(rows)
+            verdicts = fp.batch(m2x[sel], m2y[sel])
+            for pos, j in enumerate(rows):
+                v = verdicts[pos]
+                if v < 0:
+                    v = fp.exact2(m2s[j])
+                fill[need[j]] = bool(v)
     out = []
-    for seg in segs:
-        mx = (seg.s[0] + seg.e[0]) / 2
-        my = (seg.s[1] + seg.e[1]) / 2
+    for i, seg in enumerate(segs):
         if seg.a_left is not None:
             aL, aR = seg.a_left, not seg.a_left
         else:
-            in_a = fast_a((mx, my))
-            if in_a is None:
-                in_a = fast_a.exact((mx, my))
-            aL = aR = in_a
+            aL = aR = in_a_map[i]
         if seg.b_left is not None:
             bL, bR = seg.b_left, not seg.b_left
         else:
-            in_b = fast_b((mx, my))
-            if in_b is None:
-                in_b = fast_b.exact((mx, my))
-            bL = bR = in_b
+            bL = bR = in_b_map[i]
         out.append((seg, aL, aR, bL, bR))
     return out
 
@@ -534,8 +836,9 @@ def _trace_ring_points(directed) -> int:
 def _polygon_overlay_num_points(
     rings_a: list[np.ndarray], rings_b: list[np.ndarray], op: str
 ) -> int:
-    fa = _norm_polygon(rings_a)
-    fb = _norm_polygon(rings_b)
+    k = _common_scale(list(rings_a) + list(rings_b))
+    fa = _norm_polygon(rings_a, k)
+    fb = _norm_polygon(rings_b, k)
     segs, ab_nodes = _collect_segments(fa, fb)
     classified = _classify(segs, fa, fb)
 
@@ -663,8 +966,9 @@ def line_polygon_intersection_num_points(
     """GEOS ``intersection(LINESTRING, POLYGON).getNumPoints()``:
     spans of the line inside-or-on the closed polygon (one LineString
     per noded span) plus isolated boundary-touch points."""
-    lf = _to_frac_path(line)
-    pf = _norm_polygon(rings)
+    k = _common_scale([line] + list(rings))
+    lf = _to_int_path(line, k)
+    pf = _norm_polygon(rings, k)
     poly_edges = [
         (ring[i], ring[(i + 1) % len(ring)])
         for ring in pf
@@ -674,8 +978,8 @@ def line_polygon_intersection_num_points(
     fp = _FastPIP(pf)
     keeps = []
     for s, e in subs:
-        m = ((s[0] + e[0]) / 2, (s[1] + e[1]) / 2)
-        keeps.append(fp.covered(m))
+        m2 = (s[0] + e[0], s[1] + e[1])
+        keeps.append(fp.covered2(m2))
     total, used = _span_points(subs, keeps, nodes)
     total += sum(1 for v in nodes if v not in used)
     return total
@@ -687,8 +991,9 @@ def line_polygon_union_num_points(
     """GEOS ``union(LINESTRING, POLYGON).getNumPoints()``: the polygon
     with its rings noded where the line meets them, plus the line
     spans strictly outside the polygon."""
-    lf = _to_frac_path(line)
-    pf = _norm_polygon(rings)
+    k = _common_scale([line] + list(rings))
+    lf = _to_int_path(line, k)
+    pf = _norm_polygon(rings, k)
     ring_edge_lists = []
     poly_edges = []
     for ring in pf:
@@ -699,16 +1004,16 @@ def line_polygon_union_num_points(
     fp = _FastPIP(pf)
     keeps = []
     for s, e in subs:
-        m = ((s[0] + e[0]) / 2, (s[1] + e[1]) / 2)
-        keeps.append(not fp.covered(m))
+        m2 = (s[0] + e[0], s[1] + e[1])
+        keeps.append(not fp.covered2(m2))
     total, _used = _span_points(subs, keeps, nodes)
     # noded polygon rings: original vertices + interior split points
     off = 0
     for ring, edges in ring_edge_lists:
         extra = set()
-        for k in range(len(edges)):
-            p, q = edges[k]
-            for v in splits_o.get(off + k, ()):  # noqa: B909
+        for idx in range(len(edges)):
+            p, q = edges[idx]
+            for v in splits_o.get(off + idx, ()):  # noqa: B909
                 if v != p and v != q:
                     extra.add(v)
         total += len(ring) + len(extra) + 1
@@ -720,14 +1025,16 @@ def line_line_intersection_num_points(la: np.ndarray, lb: np.ndarray) -> int:
     """GEOS ``intersection(LINESTRING, LINESTRING).getNumPoints()``:
     collinear overlap spans (2 points per noded span) plus isolated
     crossing/touch points."""
-    fa = _to_frac_path(la)
-    fb = _to_frac_path(lb)
+    k = _common_scale([la, lb])
+    fa = _to_int_path(la, k)
+    fb = _to_int_path(lb, k)
     edges_b = [(fb[i], fb[i + 1]) for i in range(len(fb) - 1)]
     subs, nodes, _ = _line_subsegments(fa, edges_b)
+    fb2 = [(2 * x, 2 * y) for x, y in fb]
     keeps = []
     for s, e in subs:
-        m = ((s[0] + e[0]) / 2, (s[1] + e[1]) / 2)
-        keeps.append(_on_path(fb, m))
+        m2 = (s[0] + e[0], s[1] + e[1])
+        keeps.append(_on_path(fb2, m2))
     total, used = _span_points(subs, keeps, nodes)
     total += sum(1 for v in nodes if v not in used)
     return total
@@ -736,8 +1043,9 @@ def line_line_intersection_num_points(la: np.ndarray, lb: np.ndarray) -> int:
 def line_line_union_num_points(la: np.ndarray, lb: np.ndarray) -> int:
     """GEOS ``union(LINESTRING, LINESTRING).getNumPoints()``: both
     lines noded at their intersections, shared spans counted once."""
-    fa = _to_frac_path(la)
-    fb = _to_frac_path(lb)
+    k = _common_scale([la, lb])
+    fa = _to_int_path(la, k)
+    fb = _to_int_path(lb, k)
     edges_a = [(fa[i], fa[i + 1]) for i in range(len(fa) - 1)]
     edges_b = [(fb[i], fb[i + 1]) for i in range(len(fb) - 1)]
     subs_a, nodes_a, _ = _line_subsegments(fa, edges_b)
@@ -747,10 +1055,11 @@ def line_line_union_num_points(la: np.ndarray, lb: np.ndarray) -> int:
         return (s, e) if s <= e else (e, s)
 
     shared_a = set()
+    fb2 = [(2 * x, 2 * y) for x, y in fb]
     keeps_a = []
     for s, e in subs_a:
-        m = ((s[0] + e[0]) / 2, (s[1] + e[1]) / 2)
-        sh = _on_path(fb, m)
+        m2 = (s[0] + e[0], s[1] + e[1])
+        sh = _on_path(fb2, m2)
         if sh:
             shared_a.add(canon(s, e))
         keeps_a.append(True)

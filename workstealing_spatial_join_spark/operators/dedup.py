@@ -308,17 +308,31 @@ def minhash_signatures(
     yourself (the cache registry is then not involved — lifecycle is
     fully caller-owned)."""
     sig_sh_udf = minhash_sig_shingles_udf(num_perm, shingle_k, seed)
+    if not persist:
+        # no cache boundary below to stop CollapseProject from
+        # duplicating the UDF per extracted struct field — mark it
+        # nondeterministic (it IS deterministic; the marker only
+        # removes the optimizer's licence to clone it) so the
+        # signature pass runs once per row in the caller's write
+        sig_sh_udf = sig_sh_udf.asNondeterministic()
     # the signature pass is the CPU-heavy stage: make sure it runs at
     # cluster parallelism. A small corpus arrives as one parquet split
     # (observed: entire pass serialized on one core); a 100-TB scan
     # already has many splits, so this round-robin is a no-op there.
-    out = _ensure_parallel(docs).select(
+    raw = _ensure_parallel(docs).select(
         F.col(id_col).alias("doc_id"),
         sig_sh_udf(F.col(text_col)).alias("s"),
-    ).select(
+    )
+    if persist:
+        # persist the STRUCT column and extract fields on the far side
+        # of the cache boundary: extracting s.sig / s.sh in the same
+        # projection as the UDF lets CollapseProject DUPLICATE the UDF
+        # call (one ArrowEvalPython per extracted field — the
+        # signature pass ran twice; caught by the plan-audit budget)
+        raw = _persist_tracked(raw)
+    return raw.select(
         "doc_id", F.col("s.sig").alias("sig"), F.col("s.sh").alias("sh")
     )
-    return _persist_tracked(out) if persist else out
 
 
 def minhash_slot_cutoff(
@@ -564,7 +578,13 @@ def hash_neardup(
     shares at least one exact chunk, so the chunk equi-join finds
     EVERY qualifying pair (zero recall loss vs all-pairs) while never
     comparing across buckets. Used for text SimHash (60-bit) and image
-    perceptual hashes (phash64)."""
+    perceptual hashes (phash64).
+
+    NOTE: the hashed frame is persisted AND materialized in the
+    session-wide dedup cache registry (both self-join sides and the
+    hamming verify read it; a lazy cache would re-run the hash UDF per
+    plan reference). Call ``release_dedup_caches()`` when done with a
+    corpus in a long-lived session."""
     nchunks = max_hamming + 1
     width = bits // nchunks
     ca, cb = f"{out_prefix}_a", f"{out_prefix}_b"

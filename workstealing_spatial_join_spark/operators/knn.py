@@ -335,8 +335,13 @@ def dwithin_join(
 
     ``metric='planar'`` is euclidean on raw lon/lat degrees with NO
     longitude wrap (antimeridian pairs are ~360° apart, matching the
-    planar oracle). ``metric='haversine'`` routes to
-    ``dwithin_haversine_join`` — ``radius`` is then km and the cover
+    planar oracle).
+
+    WARNING: for GLOBAL-EXTENT geographic data (anything that can
+    straddle the antimeridian or approach the poles) pass
+    ``metric='haversine'`` — the planar default will miss true
+    cross-antimeridian neighbors entirely. 'haversine' routes to
+    ``dwithin_haversine_join``; ``radius`` is then km and the cover
     wraps ±180° and the poles."""
     import math
 
@@ -399,9 +404,14 @@ def knn_join(
     ``metric``: 'planar' treats lon/lat as plain x/y — euclidean
     degrees, NO longitude wrap (two points across the antimeridian
     are ~360° apart, exactly as the planar oracle computes them).
-    For geographic semantics near ±180° or the poles pass
-    ``metric='haversine'``, which routes to ``knn_haversine_join``
-    (wrapping spherical cover; ``dist`` is then great-circle km)."""
+
+    WARNING: for GLOBAL-EXTENT geographic data (anything that can
+    straddle the antimeridian or approach the poles) pass
+    ``metric='haversine'`` — the planar default will rank true
+    cross-antimeridian neighbors as ~360° away and under-count
+    high-latitude neighborhoods. 'haversine' routes to
+    ``knn_haversine_join`` (wrapping, pole-safe spherical cover;
+    ``dist`` is then great-circle km)."""
     if metric == "haversine":
         # ring/radius knobs are metric-specific: reject explicit
         # planar-cell arguments instead of silently dropping them

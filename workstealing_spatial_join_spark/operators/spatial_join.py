@@ -141,6 +141,17 @@ class PreparedPolygonLayer:
                 [r[1] for r in rows],
             )
 
+    def release(self) -> int:
+        """Unpersist the cached tessellation (ADVICE r3: long-lived
+        sessions preparing many layers would otherwise pin executor
+        storage). The layer remains usable — the cache just rebuilds
+        lazily if joined again."""
+        try:
+            self.exploded.unpersist()
+            return 1
+        except Exception:
+            return 0
+
 
 class PreparedGeometryLayer:
     """A geometry layer prepared once for REPEATED ``polygon_join``
@@ -193,6 +204,22 @@ class PreparedGeometryLayer:
                 self.df.select(*cols), self.cell_deg
             ).cache()
         return self._exploded[with_wkb]
+
+    def release(self) -> int:
+        """Unpersist every cached tessellation this layer holds and
+        forget them (they rebuild lazily on next use). Long-lived
+        sessions preparing many layers call this when done with one —
+        without it the .cache()d frames pin executor storage until
+        LRU eviction (ADVICE r3; mirror of release_dedup_caches)."""
+        n = 0
+        for df in self._exploded.values():
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
+        self._exploded.clear()
+        return n
 
 
 def point_in_polygon_join(
@@ -317,9 +344,16 @@ def _pip_finish(
             salt_probe_side,
         )
 
-        cost = cell_cost_table(
+        # collect the hot-cell cost table ONCE (tiny by construction:
+        # one row per cell whose est_pairs exceed the task target) and
+        # replay it as a local frame — the salting joins and the
+        # broadcast gate below would otherwise each re-run the two
+        # groupBy aggregates behind it
+        cost_hot = cell_cost_table(
             pts, polys, target_pairs=target_pairs_per_task
         ).where(F.col("n_salt") > 1)
+        cost_rows = cost_hot.collect()
+        cost = pts.sparkSession.createDataFrame(cost_rows, cost_hot.schema)
         pts = salt_probe_side(pts, cost, ["point_id"])
         polys = salt_build_side(polys, cost)
         if build_small:
@@ -327,8 +361,17 @@ def _pip_finish(
             # build side (sequence-explode cardinality is unknown), so
             # a known-small layer would fall back to a full shuffle
             # join — re-assert the broadcast hint (measured: salted
-            # PIP 8.1s -> shuffle removed at bench scale)
-            polys = F.broadcast(polys)
+            # PIP 8.1s -> shuffle removed at bench scale). But gate it
+            # on the POST-salt size (ADVICE r3): replication on a
+            # heavily skewed layer can multiply the pre-salt rows the
+            # caller sized well past safe broadcast size. The extra
+            # row count is exact from the collected cost rows:
+            # Σ (n_salt−1)·build_rows over hot cells.
+            extra = sum(
+                (r["n_salt"] - 1) * r["n_right"] for r in cost_rows
+            )
+            if extra <= BROADCAST_ROW_THRESHOLD:
+                polys = F.broadcast(polys)
         join_keys = ["cell_id", "salt"]
     else:
         join_keys = ["cell_id"]

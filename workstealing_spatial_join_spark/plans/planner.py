@@ -193,11 +193,42 @@ def audit_plan(df: DataFrame) -> dict:
     jvm = df._sc._jvm  # noqa: SLF001
     plan = jvm.PythonSQLUtils.explainString(qe, "formatted")
     simple = jvm.PythonSQLUtils.explainString(qe, "simple")
+    # a cached AdaptiveSparkPlan prints BOTH its final and its initial
+    # physical plan; counting the initial one double-counts every
+    # operator materialized behind an InMemoryRelation. Drop each
+    # "== Initial Plan ==" SUBTREE (lines more indented than its
+    # marker) from the tree section, then count operators by DISTINCT
+    # node id — repeated prints of a shared cached relation collapse
+    # to one.
+    tree_lines = []
+    skip_indent = None
+    for line in plan.splitlines():
+        stripped = line.lstrip()
+        indent = len(line) - len(stripped)
+        if skip_indent is not None:
+            if stripped and indent <= skip_indent:
+                skip_indent = None
+            else:
+                continue
+        if "== Initial Plan ==" in line:
+            skip_indent = indent
+            continue
+        tree_lines.append(line)
+    tree = "\n".join(tree_lines)
+    # tree section only (the detail section repeats every node and its
+    # argument lines can contain incidental "(N)" patterns)
+    split = re.search(r"\n\s*\n\(\d+\) ", tree)
+    if split:
+        tree = tree[: split.start()]
+    name_by_id: dict[str, str] = {}
+    for line in tree.splitlines():
+        m = re.match(r"^[\s:+|*-]*([A-Za-z]\w*)", line)
+        i = re.search(r"\((\d+)\)", line)
+        if m and i:
+            name_by_id.setdefault(i.group(1), m.group(1))
 
     def count_nodes(name: str) -> int:
-        # formatted explain lists every operator twice (tree + detail
-        # section) — count only the numbered detail headers
-        return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+        return sum(1 for nm in name_by_id.values() if nm == name)
 
     return {
         "python_nodes": {node: count_nodes(node) for node in _PY_NODES},

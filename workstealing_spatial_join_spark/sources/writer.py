@@ -163,8 +163,13 @@ def write_resumable(
             coarsen_bits = _auto_coarsen_bits(
                 df, partition_col, target_partitions
             )
+        # record the partition column too: verify_lineage derives the
+        # exact on-disk partition column from _meta instead of
+        # suffix-matching data columns (a user column coincidentally
+        # named *_block would otherwise shadow it — ADVICE r3)
         spark.createDataFrame(
-            [(int(coarsen_bits),)], "coarsen_bits int"
+            [(int(coarsen_bits), partition_col)],
+            "coarsen_bits int, partition_col string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{table_path}/_meta")
     if coarsen_bits:
         block_col = f"{partition_col}_block"
@@ -280,12 +285,26 @@ def verify_lineage(
     """Recompute per-partition counts (and, when ``columns`` gives the
     writer's original column order, bit_xor checksums) from the data
     files and diff against lineage — returns mismatching partitions
-    (empty = intact)."""
+    (empty = intact).
+
+    The partition column comes from ``_meta`` (exact name + whether a
+    coarse ``<col>_block`` layout is in effect), so a user data column
+    that happens to end in ``_block`` cannot shadow the real partition
+    key (ADVICE r3). Suffix-matching remains only as the legacy
+    fallback for tables written before ``_meta`` recorded the name."""
     data = read_table(spark, table_path)
-    pcol = [c for c in data.columns if c.endswith("_block")] or [
-        c for c in data.columns if c in ("cell_id", "pval")
-    ]
-    part = pcol[0] if pcol else data.columns[-1]
+    part = None
+    try:
+        meta = spark.read.parquet(f"{table_path}/_meta").first()
+        base = meta["partition_col"]
+        part = f"{base}_block" if int(meta["coarsen_bits"]) else base
+    except Exception:
+        pass
+    if part is None or part not in data.columns:
+        pcol = [c for c in data.columns if c.endswith("_block")] or [
+            c for c in data.columns if c in ("cell_id", "pval")
+        ]
+        part = pcol[0] if pcol else data.columns[-1]
     lineage = read_lineage(spark, table_path)
     aggs = [F.count(F.lit(1)).alias("n_rows_actual")]
     if columns:
