@@ -512,6 +512,32 @@ def gen_lines_fixture():
     return df
 
 
+def gen_invalid_family() -> list[tuple[str, bytes]]:
+    """INVALID polygon WKBs (name, wkb) — the ingest ``validate=True``
+    rejection family (VERDICT r3 #8). These are NOT written into the
+    overlay layers (those must stay valid); tests feed them through
+    ``ingest_geometry(..., validate=True)`` and assert every one is
+    dropped. Families mirror GEOS IsValid failure classes:
+    HoleOutsideShell, SelfIntersection (hole straddling the shell),
+    NestedHoles, hole-hole proper crossing, RingNotClosed,
+    TooFewPoints."""
+    shell = rect(0, 0, 10, 10)
+    cases = [
+        ("hole_outside_shell", [shell, rect(20, 20, 22, 22)]),
+        ("hole_straddles_shell", [shell, rect(8, 8, 12, 12)]),
+        ("nested_holes", [shell, rect(2, 2, 8, 8), rect(4, 4, 6, 6)]),
+        ("holes_properly_crossing",
+         [shell, rect(2, 2, 6, 6), rect(4, 4, 8, 8)]),
+        ("ring_not_closed",
+         [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])]),
+        ("too_few_points",
+         [np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 0.0]])]),
+        ("bowtie_self_intersection",
+         [closed([(0, 0), (4, 4), (4, 0), (0, 4)])]),
+    ]
+    return [(name, W.to_wkb(W.POLYGON, rings)) for name, rings in cases]
+
+
 def main():
     exp_d = gen_degenerate()
     exp_l = gen_lines_fixture()

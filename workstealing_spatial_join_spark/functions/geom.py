@@ -376,14 +376,30 @@ def _proper_cross_any(pa: np.ndarray, pb: np.ndarray) -> bool:
     return bool(proper.any())
 
 
+def _strictly_inside_any(outer: np.ndarray, pts: np.ndarray) -> bool:
+    """True iff ANY of ``pts`` lies STRICTLY inside closed ring
+    ``outer`` (on-boundary points don't count — OGC allows holes and
+    shells to touch at points)."""
+    inside = ring_contains_xy(outer, pts[:, 0], pts[:, 1])
+    if not inside.any():
+        return False
+    on = _point_on_path(outer, pts[:, 0], pts[:, 1])
+    return bool((inside & ~on).any())
+
+
 def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
     """Structural + topological validity (the F6 upgrade — the
     reference only drops parse failures, src/reader.cpp:36-40):
     finite coordinates everywhere; polygons additionally need every
     ring closed with ≥4 points, simple (no self-intersection, no
-    zero-length edges), and each hole fully inside the shell (every
-    hole vertex contained AND no edge properly crossing the shell —
-    an anchor-vertex-only test would accept straddling holes)."""
+    zero-length edges), each hole fully inside the shell (every hole
+    vertex contained AND no edge properly crossing the shell — an
+    anchor-vertex-only test would accept straddling holes), and the
+    holes pairwise INTERIOR-DISJOINT: no hole nested inside or
+    properly crossing another (GEOS IsValid's HoleOutsideShell /
+    NestedHoles checks; point touches between rings remain legal —
+    VERDICT r3 #8). Ring orientation is NOT a validity condition
+    (OGC/GEOS accept either winding; the kernels normalize it)."""
     for r in rings:
         if not np.isfinite(r).all():
             return False
@@ -399,13 +415,26 @@ def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
         if not ring_is_simple(r):
             return False
     shell = rings[0]
-    for hole in rings[1:]:
+    holes = rings[1:]
+    for hole in holes:
         if not ring_contains_xy(
             shell, hole[:-1, 0], hole[:-1, 1]
         ).all():
             return False
         if _proper_cross_any(hole, shell):
             return False
+    # pairwise hole disjointness: a hole nested in (or properly
+    # crossing) another hole makes the interior non-connected /
+    # ill-defined; vertex touches are allowed
+    for i in range(len(holes)):
+        for j in range(i + 1, len(holes)):
+            hi, hj = holes[i], holes[j]
+            if _proper_cross_any(hi, hj):
+                return False
+            if _strictly_inside_any(hi, hj[:-1]) or _strictly_inside_any(
+                hj, hi[:-1]
+            ):
+                return False
     return True
 
 

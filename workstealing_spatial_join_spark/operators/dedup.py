@@ -719,6 +719,7 @@ def embedding_neardup(
     n_planes: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs by random-hyperplane LSH buckets +
     exact cosine verify: ``(vec_id_a, vec_id_b, cosine)``. Output is
@@ -730,22 +731,25 @@ def embedding_neardup(
     planes deterministically from the first Arrow batch's vector
     width — no extra driver action sniffing the dimension.
 
-    The bucketed frame is persisted AND materialized (registry —
-    ``release_dedup_caches``): both self-join sides read it, and a
-    lazily-cached UDF frame would be inlined at each reference,
-    doubling Python work and worker demand (see _persist_tracked)."""
+    The bucketed frame is persisted AND materialized by default
+    (registry — ``release_dedup_caches``): both self-join sides read
+    it, and a lazily-cached UDF frame would be inlined at each
+    reference, doubling Python work and worker demand (see
+    _persist_tracked). ``eager=False`` builds the query with ZERO
+    driver-side jobs (pipeline composition; you pay the double UDF
+    evaluation at execution instead)."""
     if dim is not None:
         bucket = hyperplane_bucket_udf(hyperplanes(n_planes, dim, seed))
     else:
         bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
 
-    vecs = _persist_tracked(
-        _ensure_parallel(emb).select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("vec"),
-            bucket(F.col(vec_col)).alias("bucket"),
-        )
+    vecs = _ensure_parallel(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        bucket(F.col(vec_col)).alias("bucket"),
     )
+    if eager:
+        vecs = _persist_tracked(vecs)
     a, b = vecs.alias("a"), vecs.alias("b")
     cand = a.join(
         b,

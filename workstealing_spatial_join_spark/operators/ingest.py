@@ -43,9 +43,12 @@ def ingest_geometry(
     minx, miny, maxx, maxy]``.
 
     ``validate=True`` additionally drops TOPOLOGICALLY invalid parts
-    (self-intersecting rings, open rings, holes outside the shell,
-    non-finite coordinates) — the F6 upgrade beyond the reference's
-    parse-failure-only validation (src/reader.cpp:36-40).
+    (self-intersecting rings, open rings, holes outside or straddling
+    the shell, NESTED or properly-crossing holes, non-finite
+    coordinates) — the F6 upgrade beyond the reference's
+    parse-failure-only validation (src/reader.cpp:36-40); failure
+    classes mirror GEOS IsValid (see functions/geom.is_valid_geom and
+    scripts/gen_degenerate_fixture.gen_invalid_family).
     """
     keep_cols = keep_cols or [c for c in df.columns if c != geom_col]
     src = df.select(*keep_cols, F.col(geom_col).alias("__geom_src"))
