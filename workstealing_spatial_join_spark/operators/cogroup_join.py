@@ -95,9 +95,14 @@ def _salt_for_cogroup(probe: DataFrame, build: DataFrame, probe_keys,
         salt_probe_side,
     )
 
-    cost = cell_cost_table(
+    cost_hot = cell_cost_table(
         probe, build, target_pairs=target_pairs_per_task
     ).where(F.col("n_salt") > 1)
+    # collect the (tiny) hot-cell table once and replay it locally:
+    # both salting joins broadcast it, and each broadcast would
+    # otherwise re-run the two groupBy aggregates behind it
+    rows = cost_hot.collect()
+    cost = probe.sparkSession.createDataFrame(rows, cost_hot.schema)
     return salt_probe_side(probe, cost, probe_keys), salt_build_side(build, cost)
 
 
