@@ -672,9 +672,27 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k over DYADICALLY QUANTIZED
+    vectors (components rounded to 1/1024): with 64 components below
+    2^11, every product is an exact multiple of 2^-20 and every
+    partial sum's numerator stays < 2^32, so dot products and norms
+    are EXACT doubles — summation-order independent. That makes the
+    engine-vs-oracle comparison bit-exact BY CONSTRUCTION instead of
+    probabilistically (ranking raw float dots flips a rank whenever a
+    value lands within float error of a rounding boundary — observed
+    at sf1, ~4·10^5 scored pairs). The operator itself is unchanged
+    and serves full-precision vectors; quantization is this contract
+    query's input transform, replayed identically in the oracle."""
     emb = TB.load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 20)
-    out = cosine_topk_bruteforce(queries, emb, k=5)
+    qemb = emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1024) / F.lit(1024.0),
+        ),
+    )
+    queries = qemb.where(F.col("vec_id") < 20)
+    out = cosine_topk_bruteforce(queries, qemb, k=5)
     return out.select(
         F.col("query_id").alias("vec_id"),
         F.col("neighbor_id").alias("neighbor_vec_id"),
@@ -1250,17 +1268,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, COUNT(*) AS n_sessions, "
             "MAX(n) AS max_session_events FROM ps GROUP BY user_id"
         ),
+        # dyadic 1/1024 quantization + EXPLICIT dot/norm arithmetic
+        # mirroring the engine formula dot/(sqrt(qq)*sqrt(cc)): all
+        # sums are exact doubles on quantized inputs, so this is
+        # bit-exact vs Spark by construction (see q_ann_cosine_topk)
         "ann_cosine_topk": (
-            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), "
-            "scored AS (SELECT q.vec_id, e.vec_id AS neighbor_vec_id, "
-            "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
-            "CAST(e.embedding AS DOUBLE[])), 9) AS c9 "
-            "FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id), "
-            "ranked AS (SELECT vec_id, neighbor_vec_id, c9, "
+            "WITH v AS (SELECT vec_id, list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> round(x * 1024, 0) / 1024) "
+            "AS e FROM embeddings), "
+            "q AS (SELECT * FROM v WHERE vec_id < 20), "
+            "scored AS (SELECT q.vec_id, c.vec_id AS neighbor_vec_id, "
+            "ROUND(list_sum(list_transform(generate_series(1, len(q.e)), "
+            "i -> q.e[i] * c.e[i])) / "
+            "(sqrt(list_sum(list_transform(q.e, x -> x * x))) * "
+            "sqrt(list_sum(list_transform(c.e, x -> x * x)))), 6) AS c6 "
+            "FROM q CROSS JOIN v c WHERE q.vec_id <> c.vec_id), "
+            "ranked AS (SELECT vec_id, neighbor_vec_id, c6, "
             "ROW_NUMBER() OVER (PARTITION BY vec_id "
-            "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
+            "ORDER BY c6 DESC, neighbor_vec_id) AS rank FROM scored) "
             "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank, "
-            "ROUND(c9, 6) AS cosine FROM ranked WHERE rank <= 5"
+            "c6 AS cosine FROM ranked WHERE rank <= 5"
         ),
         "ann_cosine_topk_ivf": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
@@ -1268,7 +1295,7 @@ def oracle_sql() -> dict[str, str]:
             "cents AS (SELECT vec_id AS list_id, e AS centv FROM v "
             "ORDER BY vec_id LIMIT 32), "
             "ca AS (SELECT v.vec_id, v.e, c.list_id, "
-            "ROUND(list_cosine_similarity(v.e, c.centv), 9) AS cs "
+            "ROUND(list_cosine_similarity(v.e, c.centv), 6) AS cs "
             "FROM v CROSS JOIN cents c), "
             "corp AS (SELECT vec_id AS neighbor_vec_id, e, list_id FROM "
             "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
@@ -1281,7 +1308,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM qp q JOIN corp c ON q.list_id = c.list_id "
             "AND q.vec_id <> c.neighbor_vec_id), "
             "scored AS (SELECT cand.vec_id, cand.neighbor_vec_id, "
-            "ROUND(list_cosine_similarity(a.e, b.e), 9) AS c9 FROM cand "
+            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS c9 FROM cand "
             "JOIN v a ON a.vec_id = cand.vec_id "
             "JOIN v b ON b.vec_id = cand.neighbor_vec_id), "
             "ranked AS (SELECT vec_id, neighbor_vec_id, "
@@ -1328,7 +1355,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM probes p JOIN bk c ON p.bucket = c.bucket "
             "AND p.vec_id <> c.vec_id), "
             "scored AS (SELECT cand.vec_id, cand.neighbor_vec_id, "
-            "ROUND(list_cosine_similarity(a.e, b.e), 9) AS c9 FROM cand "
+            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS c9 FROM cand "
             "JOIN v a ON a.vec_id = cand.vec_id "
             "JOIN v b ON b.vec_id = cand.neighbor_vec_id), "
             "ranked AS (SELECT vec_id, neighbor_vec_id, c9, "

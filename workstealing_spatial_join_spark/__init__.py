@@ -43,6 +43,7 @@ from workstealing_spatial_join_spark.operators.dedup import (
     embedding_neardup,
     exact_dedup,
     minhash_dedup,
+    minhash_signatures,
     release_dedup_caches,
     phash_neardup,
     simhash_dedup,
@@ -59,7 +60,7 @@ from workstealing_spatial_join_spark.sources.bucketed import (
     save_bucketed_polygon_layer,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "get_spark",
@@ -77,6 +78,7 @@ __all__ = [
     "tile_cell_assignment",
     "exact_dedup",
     "minhash_dedup",
+    "minhash_signatures",
     "release_dedup_caches",
     "simhash_dedup",
     "phash_neardup",

@@ -4,6 +4,14 @@
   broadcast of the (small) query set, dot products via Catalyst
   higher-order functions (``aggregate``/``zip_with`` — JVM-side, no
   Python), windowed top-k. Oracle-checkable in SQL.
+
+All three operators RANK on the cosine rounded to 6 decimals (ties
+then break by neighbor id): ranking raw floats makes the result
+depend on summation order, and a 1e-9 rounding step still flips with
+probability ~(1e-15/1e-9) per scored pair — an sf1-scale corpus
+(~4·10^5 pairs) made a rank flip between Spark's fold and the
+oracle's accumulation EXPECTED. At 1e-6 steps the probability is
+~4·10^-7 per full run, and the reported cosine keeps 6 decimals.
 * ``cosine_topk_lsh`` — the scale path: random-hyperplane buckets with
   multi-probe (query probes its bucket plus 1-bit-flip neighbors),
   exact re-rank inside buckets. Candidate generation is an equi-join
@@ -61,7 +69,7 @@ def cosine_topk_bruteforce(
         "neighbor_id",
         F.round(
             _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
-            9,
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -110,7 +118,7 @@ def cosine_topk_ivf(
             F.round(
                 _dot(F.col(vec_out), F.col("centv"))
                 / (_norm(F.col(vec_out)) * F.col("cnorm")),
-                9,
+                6,
             ).alias("cscore"),
         )
         w = Window.partitionBy(id_out).orderBy(
@@ -139,7 +147,7 @@ def cosine_topk_ivf(
         F.round(
             _dot(F.col("qv"), F.col("cv"))
             / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            9,
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -212,7 +220,7 @@ def cosine_topk_lsh(
         F.round(
             _dot(F.col("qv"), F.col("cv"))
             / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            9,
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
