@@ -181,6 +181,28 @@ def mulmod61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return _fold61(_fold61(t) + _fold61(xl * yl))
 
 
+_PERM_TILE = 8192
+
+
+def _perm_matrix(uniq_sh: np.ndarray, a: np.ndarray,
+                 b: np.ndarray) -> np.ndarray:
+    """(n_uniq, num_perm) permuted-hash matrix, computed in TILES of
+    the unique-shingle dimension: the limb-split modular arithmetic
+    materializes ~12 intermediates per call, and at a realistic
+    (non-templated) corpus vocabulary a full-width intermediate is
+    hundreds of MB — 32 concurrent workers then fight for DRAM and the
+    signature pass serializes on memory bandwidth (measured 121 s for
+    50k docs at sf1). Tiled at 8k rows the intermediates fit in
+    per-core cache (~4 MB)."""
+    out = np.empty((len(uniq_sh), len(a)), dtype=np.uint64)
+    for s in range(0, len(uniq_sh), _PERM_TILE):
+        chunk = uniq_sh[s:s + _PERM_TILE]
+        out[s:s + _PERM_TILE] = _fold61(
+            mulmod61(a[None, :], chunk[:, None]) + b[None, :]
+        )
+    return out
+
+
 def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
     """Unique base-257 codes of the byte k-shingle set — vectorized
     sliding windows × positional powers, exact int64 (max 257^k-1)."""
@@ -214,10 +236,8 @@ def minhash_signature_udf(num_perm: int = 64, shingle_k: int = SHINGLE_K,
         # than the shingle stream); per doc it's a gather + min
         flat = np.concatenate(sh_list)
         uniq_sh, inv = np.unique(flat, return_inverse=True)
-        # (a*h + b) mod p — exact limb-split modular arithmetic
-        vals_u = _fold61(
-            mulmod61(a[None, :], uniq_sh[:, None]) + b[None, :]
-        )
+        # (a*h + b) mod p — exact limb-split modular arithmetic, tiled
+        vals_u = _perm_matrix(uniq_sh, a, b)
         sigs = []
         offset = 0
         for hs in sh_list:
@@ -255,9 +275,7 @@ def minhash_sig_shingles_udf(num_perm: int = 64, shingle_k: int = SHINGLE_K,
             return pd.DataFrame({"sig": [], "sh": []})
         flat = np.concatenate(sh_list)
         uniq_sh, inv = np.unique(flat, return_inverse=True)
-        vals_u = _fold61(
-            mulmod61(a[None, :], uniq_sh[:, None]) + b[None, :]
-        )
+        vals_u = _perm_matrix(uniq_sh, a, b)
         sigs, shs = [], []
         offset = 0
         for hs in sh_list:
