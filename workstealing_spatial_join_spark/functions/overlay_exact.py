@@ -288,6 +288,132 @@ def _float_edge_arrays(edges):
     return s, e
 
 
+_VEC_COORD_LIMIT = 1 << 25  # cross products stay < 2^53 in int64
+
+
+def _edge_int_matrix(edges):
+    """(n, 4) int64 matrix [(px, py, qx, qy)] or None when any
+    coordinate is a Fraction / too large for the int64 fast path."""
+    try:
+        m = np.array(
+            [(p[0], p[1], q[0], q[1]) for p, q in edges], dtype=np.int64
+        )
+    except (OverflowError, TypeError):
+        return None
+    if len(m) and int(np.abs(m).max()) >= _VEC_COORD_LIMIT:
+        return None
+    return m
+
+
+def _node_vectorized(A, B, ii, jj, splits_a, splits_b, nodes):
+    """Vectorized int64 twin of the `_seg_points` candidate loop: one
+    numpy sweep classifies every candidate pair (identical / endpoint
+    touch / collinear overlap / proper crossing / disjoint); only the
+    RARE proper interior crossings fall back to per-pair Fraction
+    node construction. Selector order matches `_seg_points` exactly
+    (tn==0 → P, tn==dpos → P2, un==0 → Q, un==dpos → Q2)."""
+    pa = A[ii]
+    pb = B[jj]
+    px, py, p2x, p2y = pa[:, 0], pa[:, 1], pa[:, 2], pa[:, 3]
+    qx, qy, q2x, q2y = pb[:, 0], pb[:, 1], pb[:, 2], pb[:, 3]
+    rx, ry = p2x - px, p2y - py
+    sx, sy = q2x - qx, q2y - qy
+    denom = rx * sy - ry * sx
+    qpx, qpy = qx - px, qy - py
+    cqs = qpx * sy - qpy * sx
+    un0 = qpx * ry - qpy * rx
+    ident = (
+        ((px == qx) & (py == qy) & (p2x == q2x) & (p2y == q2y))
+        | ((px == q2x) & (py == q2y) & (p2x == qx) & (p2y == qy))
+    )
+    sgn = np.sign(denom)
+    dpos = np.abs(denom)
+    tn = cqs * sgn
+    un = un0 * sgn
+    ncol = denom != 0
+    hit = (
+        ncol & ~ident
+        & (tn >= 0) & (tn <= dpos) & (un >= 0) & (un <= dpos)
+    )
+    sel = np.where(
+        tn == 0, 0,
+        np.where(tn == dpos, 1, np.where(un == 0, 2,
+                 np.where(un == dpos, 3, 4))),
+    )
+    # collinear overlaps (interval endpoints are original vertices)
+    col = (~ncol) & (cqs == 0) & ~ident
+    rr = rx * rx + ry * ry
+    if bool((col & (rr == 0)).any()):
+        raise InvalidOverlay("zero-length edge")
+    rr_safe = np.where(rr == 0, 1, rr)
+    t0n = qpx * rx + qpy * ry
+    t1n = (q2x - px) * rx + (q2y - py) * ry
+    swap = t0n > t1n
+    lo_n = np.where(swap, t1n, t0n)
+    hi_n = np.where(swap, t0n, t1n)
+    lo_sel = np.where(swap, 3, 2)
+    hi_sel = np.where(swap, 2, 3)
+    lo_sel = np.where(lo_n < 0, 0, lo_sel)
+    lo_n = np.maximum(lo_n, 0)
+    hi_sel = np.where(hi_n > rr_safe, 1, hi_sel)
+    hi_n = np.minimum(hi_n, rr_safe)
+    valid = col & (lo_n <= hi_n)
+    cx = np.stack([px, p2x, qx, q2x], axis=1)
+    cy = np.stack([py, p2y, qy, q2y], axis=1)
+
+    # gather every event (pair index, point) across the three masks,
+    # then fill the split dicts with ONE set.update per touched edge
+    # (grouped via lexsort) — per-event setdefault/add dominated the
+    # noding pass
+    idx_parts, xs_parts, ys_parts = [], [], []
+    for mask, codes in (
+        (hit & (sel < 4), sel),
+        (valid, lo_sel),
+        (valid & (lo_n < hi_n), hi_sel),
+    ):
+        idx = np.nonzero(mask)[0]
+        if len(idx):
+            idx_parts.append(idx)
+            xs_parts.append(cx[idx, codes[idx]])
+            ys_parts.append(cy[idx, codes[idx]])
+    if idx_parts:
+        idx_all = np.concatenate(idx_parts)
+        xs = np.concatenate(xs_parts)
+        ys = np.concatenate(ys_parts)
+        for side_idx, splits in (
+            (ii[idx_all], splits_a), (jj[idx_all], splits_b)
+        ):
+            order = np.lexsort((ys, xs, side_idx))
+            e_s = side_idx[order]
+            x_s = xs[order].tolist()
+            y_s = ys[order].tolist()
+            bounds = np.concatenate((
+                [0], np.nonzero(np.diff(e_s))[0] + 1, [len(e_s)]
+            ))
+            for a0, b0 in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+                splits.setdefault(int(e_s[a0]), set()).update(
+                    zip(x_s[a0:b0], y_s[a0:b0])
+                )
+        if nodes is not None:
+            nodes.update(zip(xs.tolist(), ys.tolist()))
+    if nodes is not None:
+        for k in np.nonzero(ident)[0].tolist():
+            nodes.add((int(px[k]), int(py[k])))
+            nodes.add((int(p2x[k]), int(p2y[k])))
+    # rare proper interior crossings: exact rational nodes
+    for t in np.nonzero(hit & (sel == 4))[0].tolist():
+        dp = int(dpos[t])
+        tv = int(tn[t])
+        v = (
+            Fr(int(px[t]) * dp + tv * int(rx[t]), dp),
+            Fr(int(py[t]) * dp + tv * int(ry[t]), dp),
+        )
+        splits_a.setdefault(int(ii[t]), set()).add(v)
+        splits_b.setdefault(int(jj[t]), set()).add(v)
+        if nodes is not None:
+            nodes.add(v)
+
+
 def _node_edge_sets(edges_a, edges_b, splits_a, splits_b, nodes=None):
     """Node two directed edge lists against each other: record split
     points per edge index and (optionally) the intersection points."""
@@ -296,6 +422,13 @@ def _node_edge_sets(edges_a, edges_b, splits_a, splits_b, nodes=None):
     sa, ea = _float_edge_arrays(edges_a)
     sb, eb = _float_edge_arrays(edges_b)
     ii, jj = edge_bbox_candidates(sa, ea, sb, eb)
+    if len(ii) == 0:
+        return
+    A = _edge_int_matrix(edges_a)
+    B = _edge_int_matrix(edges_b) if A is not None else None
+    if A is not None and B is not None:
+        _node_vectorized(A, B, ii, jj, splits_a, splits_b, nodes)
+        return
     for i, j in zip(ii.tolist(), jj.tolist()):
         p, p2 = edges_a[i]
         q, q2 = edges_b[j]
