@@ -288,3 +288,34 @@ def test_minhash_signatures_caller_owned(spark, docs):
     lazy = minhash_signatures(docs, persist=False)
     assert lazy.storageLevel.useMemory is False  # caller-owned: no cache
     assert lazy.count() == docs.count()
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket drops pairs that ONLY collide via an over-full
+    (non-discriminative) bucket while keeping ordinary near-dup
+    pairs: 30 identical boilerplate docs form hot buckets (every band
+    identical), two mutated docs pair through small buckets."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        minhash_dedup,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, boiler) for i in range(30)]
+    rows.append((100, boiler.replace("lazy", "sleepy")))
+    rows.append((101, boiler.replace("lazy", "sleepy") + " tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_dedup(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_dedup(docs, threshold=0.5, max_bucket=5).collect()
+    }
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+    # the 30-doc boilerplate group exceeds every bucket cap -> dropped;
+    # the mutated pair lives in its own small buckets -> kept
+    assert (100, 101) in capped
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    assert capped < uncapped

@@ -382,6 +382,7 @@ def minhash_dedup(
     threshold: float = 0.8,
     signatures: DataFrame | None = None,
     slot_margin_sd: float = 3.0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash + banded LSH + slot-agreement
     prefilter + exact Jaccard verify. Returns ``(doc_id_a, doc_id_b,
@@ -432,6 +433,24 @@ def minhash_dedup(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        # hot-bucket guard (production corpora): a band bucket shared
+        # by B documents generates B·(B−1)/2 raw pairs inside the
+        # join — one templated boilerplate string across a 10^9-doc
+        # corpus would go quadratic. Buckets larger than max_bucket
+        # are dropped as NON-DISCRIMINATIVE (their members almost
+        # always collide in other, smaller buckets too; any loss is
+        # part of the recall contract, like the band S-curve). One
+        # aggregation + a semi-join, only when enabled — the driver
+        # contract runs with the cap off.
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        banded = banded.join(
+            sizes.where(F.col("bsz") <= int(max_bucket)),
+            ["band", "bucket"],
+            "left_semi",
+        )
     cutoff = minhash_slot_cutoff(num_perm, threshold, slot_margin_sd)
     slots_eq = F.aggregate(
         F.zip_with(

@@ -5,10 +5,14 @@ pipeline uses for media columns.
 
 Real here: PNG + lossy-stub decode (functions/images.py), block-mean
 resize, patch-feature extraction (feeds the similarity operators),
-quality stats. STUBBED (no libjpeg/ffmpeg/soundfile in this
-environment): real-JPEG decode, video frame sampling, audio features —
-each raises NotImplementedError behind the same schema/batching
-plumbing so swapping in the real decoder is a one-function change.
+quality stats, video frame sampling and audio spectral features —
+the LAST TWO with a pluggable ``decoder=`` codec binding: everything
+Spark-side (Arrow batching, frame explode, PNG encode, Hann+rFFT band
+pooling) is real and tested against deterministic fake decoders
+(``fake_video_decoder`` / ``fake_audio_decoder``); only the actual
+codec call (ffmpeg / soundfile — absent from this sandbox) is
+injected, and the default ``decoder=None`` raises NotImplementedError
+rather than faking silently.
 """
 
 from __future__ import annotations
@@ -121,19 +125,65 @@ def patch_features(images: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
-def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video decode requires ffmpeg (absent here). The plumbing
-    (schema, batching, explode-to-frames) is real; the decode raises."""
+def fake_video_decoder(n_frames: int = 90, w: int = 16, h: int = 16):
+    """Deterministic stand-in for an ffmpeg binding: frames derived
+    from a hash of the payload bytes + frame index (same bytes → same
+    frames on every executor). Lets the FULL Spark pipeline — explode
+    to frames, sample, PNG-encode — run and be tested where no codec
+    exists; swap in a real decoder with the same signature
+    (``bytes -> iterator of (frame_idx, HxWx3 uint8)``) in
+    production."""
+
+    def decode(data: bytes):
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.sha256(data or b"").digest()[:8], "big"
+        )
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for idx in range(n_frames):
+            # drifting brightness — frames differ deterministically
+            frame = np.clip(
+                base.astype(np.int32) + (idx * 7) % 64 - 32, 0, 255
+            ).astype(np.uint8)
+            yield idx, frame
+
+    return decode
+
+
+def sample_video_frames(
+    videos: DataFrame, every_n: int = 30, decoder=None
+) -> DataFrame:
+    """Video payload → one row per SAMPLED frame (every ``every_n``-th),
+    frames re-encoded as PNG. The Spark side — Arrow batching, the
+    frame explode, the PNG encode — is fully real; ``decoder`` is the
+    pluggable codec binding (``bytes -> iterator of (frame_idx,
+    HxWx3 uint8 array)``). No ffmpeg exists in this sandbox, so the
+    DEFAULT raises NotImplementedError; pass ``fake_video_decoder()``
+    (deterministic) to exercise the pipeline, or an ffmpeg/PyAV-backed
+    callable in production."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decode needs ffmpeg; plug a decoder into "
-                "operators/multimodal.sample_video_frames"
-            )
-        yield pd.DataFrame(  # pragma: no cover — makes this a generator
-            columns=["video_id", "frame_idx", "frame_png"]
-        )
+        for pdf in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "video decode needs a codec binding (ffmpeg/PyAV); "
+                    "pass decoder=... (see fake_video_decoder)"
+                )
+            vids, idxs, pngs = [], [], []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                for frame_idx, frame in decoder(bytes(data)):
+                    if frame_idx % every_n:
+                        continue
+                    vids.append(vid)
+                    idxs.append(frame_idx)
+                    pngs.append(IMG.png_encode(frame))
+            yield pd.DataFrame({
+                "video_id": vids,
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_png": pd.Series(pngs, dtype=object),
+            })
 
     return videos.select("video_id", "bytes").mapInPandas(
         work,
@@ -141,18 +191,67 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
-def audio_features(audio: DataFrame, n_bands: int = 16) -> DataFrame:
-    """STUB — audio decode requires soundfile/librosa (absent here)."""
+def fake_audio_decoder(n_samples: int = 8192, rate: int = 16000):
+    """Deterministic stand-in for a soundfile binding: a mix of
+    payload-hash-seeded sinusoids (``bytes -> (float32 samples,
+    sample_rate)``). Same contract as a real decoder."""
+
+    def decode(data: bytes):
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.sha256(data or b"").digest()[:8], "big"
+        )
+        rng = np.random.default_rng(seed)
+        t = np.arange(n_samples, dtype=np.float64) / rate
+        sig = np.zeros(n_samples)
+        for _ in range(4):
+            f = float(rng.uniform(50, rate / 2 - 50))
+            sig += float(rng.uniform(0.1, 1.0)) * np.sin(
+                2 * np.pi * f * t + float(rng.uniform(0, 2 * np.pi))
+            )
+        return sig.astype(np.float32), rate
+
+    return decode
+
+
+def audio_features(
+    audio: DataFrame, n_bands: int = 16, decoder=None
+) -> DataFrame:
+    """Audio payload → log-spaced spectral band energies (the feature
+    column for the similarity/dedup operators). The DSP — Hann window,
+    rFFT, band pooling — is real NumPy, computed per row inside the
+    Arrow batch; ``decoder`` is the pluggable codec binding
+    (``bytes -> (float samples, sample_rate)``). Default raises (no
+    soundfile in this sandbox); pass ``fake_audio_decoder()`` to
+    exercise the pipeline, or a soundfile-backed callable in
+    production."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "audio decode needs soundfile; plug a decoder into "
-                "operators/multimodal.audio_features"
-            )
-        yield pd.DataFrame(  # pragma: no cover — makes this a generator
-            columns=["audio_id", "band_energy"]
-        )
+        for pdf in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "audio decode needs a codec binding (soundfile); "
+                    "pass decoder=... (see fake_audio_decoder)"
+                )
+            ids, feats = [], []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                samples, rate = decoder(bytes(data))
+                x = np.asarray(samples, dtype=np.float64)
+                x = x * np.hanning(len(x))
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+                # log-spaced band edges from 20 Hz to Nyquist
+                edges = np.geomspace(20.0, rate / 2.0, n_bands + 1)
+                band = np.searchsorted(edges, freqs, side="right") - 1
+                energy = np.zeros(n_bands)
+                ok = (band >= 0) & (band < n_bands)
+                np.add.at(energy, band[ok], spec[ok])
+                feats.append(
+                    np.log1p(energy).astype(np.float32).tolist()
+                )
+                ids.append(aid)
+            yield pd.DataFrame({"audio_id": ids, "band_energy": feats})
 
     return audio.select("audio_id", "bytes").mapInPandas(
         work, schema="audio_id string, band_energy array<float>"
