@@ -94,3 +94,54 @@ def test_stateful_sessionize_resumes_across_runs(spark, tmp_path):
     s = rows[7]
     assert s.n_events == 2
     assert s.session_end - s.session_start == 600  # the 10-min session
+
+
+def test_stream_point_in_polygon_matches_batch(spark, tmp_path):
+    """Streaming PIP (stream-static join on the prepared layer) emits
+    exactly the batch join's pairs, and a second availableNow run
+    processes ONLY the new files (checkpoint resume)."""
+    from workstealing_spatial_join_spark.operators.ingest import (
+        ingest_geometry,
+    )
+    from workstealing_spatial_join_spark.operators.spatial_join import (
+        PreparedPolygonLayer,
+        point_in_polygon_join,
+    )
+    from workstealing_spatial_join_spark.streaming.ingest import (
+        stream_point_in_polygon,
+    )
+
+    src = str(tmp_path / "psrc")
+    out = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    polys = ingest_geometry(
+        spark.createDataFrame(FX.polygons_pdf(80)), "wkt",
+        keep_cols=["polygon_id"],
+    )
+    layer = PreparedPolygonLayer(polys, poly_id="polygon_id")
+
+    batch1 = spark.createDataFrame(FX.images_pdf(400, with_bytes=True))
+    batch1.write.mode("append").parquet(src)
+    stream_point_in_polygon(spark, src, layer, out, ckpt)
+    got1 = {
+        (r.point_id, r.poly_id) for r in spark.read.parquet(out).collect()
+    }
+    want1 = {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join(batch1, layer).collect()
+    }
+    assert got1 == want1 and len(want1) > 0
+
+    batch2 = spark.createDataFrame(
+        FX.images_pdf(600, with_bytes=True)
+    ).where(F.col("image_id") >= "img000000000400")
+    batch2.write.mode("append").parquet(src)
+    stream_point_in_polygon(spark, src, layer, out, ckpt)
+    got2 = {
+        (r.point_id, r.poly_id) for r in spark.read.parquet(out).collect()
+    }
+    want2 = want1 | {
+        (r.point_id, r.poly_id)
+        for r in point_in_polygon_join(batch2, layer).collect()
+    }
+    assert got2 == want2 and len(got2) > len(got1)

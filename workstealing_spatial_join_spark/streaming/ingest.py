@@ -189,3 +189,45 @@ def stream_events_hourly(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_point_in_polygon(
+    spark: SparkSession,
+    source_dir: str,
+    polygons,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """STREAMING twin of the headline operator: continuously join
+    arriving image batches against a (slowly-changing) polygon layer —
+    the steady-state shape of a 10^12-image geotagging pipeline.
+
+    The SAME ``point_in_polygon_join`` runs on the streaming frame
+    (stream/batch unification): tessellation is stateless Catalyst, the
+    cell equi-join is a supported STREAM-STATIC join (the static side
+    is the prepared layer's cached tessellation + broadcast geometry
+    dictionary), and the refine predicate is the same broadcast-dict
+    pandas UDF. Exactly-once append via the parquet sink + streaming
+    checkpoint; availableNow drains the backlog and stops, and a later
+    run processes only NEW files.
+
+    ``polygons`` is a static DataFrame or a ``PreparedPolygonLayer``
+    (prepare once, reuse across micro-batches AND across runs)."""
+    from workstealing_spatial_join_spark.operators.spatial_join import (
+        point_in_polygon_join,
+    )
+
+    stream = read_image_stream(spark, source_dir)
+    pairs = point_in_polygon_join(stream, polygons, mode="pairs")
+    writer = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
