@@ -200,3 +200,23 @@ def test_legacy_table_resume_never_coarsens(spark, tmp_path):
     # single layout: raw cell_id dirs only
     assert len(glob.glob(f"{path}/data/cell_id=*")) == 10
     assert glob.glob(f"{path}/data/cell_id_block=*") == []
+
+
+def test_verify_lineage_ignores_decoy_block_column(spark, tmp_path):
+    """ADVICE r3: a user data column that happens to end in '_block'
+    must not shadow the real partition key — verify_lineage reads the
+    exact column from _meta. With suffix-matching, the decoy column
+    (constant 0) would aggregate everything into one bogus partition
+    and report spurious mismatches."""
+    path = str(tmp_path / "decoy")
+    df = spark.range(300).select(
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        F.pmod(F.col("id"), F.lit(7)).alias("cell_id"),
+        F.lit(0).cast("long").alias("extent_block"),  # decoy
+    )
+    write_resumable(df, path, "cell_id", job_id="j1",
+                    target_partitions=4)
+    assert verify_lineage(spark, path).count() == 0
+    assert verify_lineage(
+        spark, path, columns=["image_id", "cell_id", "extent_block"]
+    ).count() == 0
