@@ -319,3 +319,26 @@ def test_minhash_hot_bucket_cap(spark):
     assert (100, 101) in capped
     assert not any(a < 30 and b < 30 for a, b in capped)
     assert capped < uncapped
+
+
+def test_hash_neardup_hot_bucket_cap(spark):
+    """Same guard for the pigeonhole chunk LSH: a degenerate constant
+    hash (blank images) stops generating quadratic pairs under
+    max_bucket, while a small genuine near-dup pair survives."""
+    from pyspark.sql import functions as F
+
+    from workstealing_spatial_join_spark.operators.dedup import (
+        hash_neardup,
+    )
+
+    rows = [(i, 0) for i in range(40)]            # blank-image phash 0
+    rows += [(100, 0x0F0F0F0F), (101, 0x0F0F0F0E)]  # hamming 1 pair
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    capped = {
+        (r.image_id_a, r.image_id_b)
+        for r in hash_neardup(
+            df, "image_id", F.col("phash"), max_hamming=3, bits=64,
+            out_prefix="image_id", max_bucket=8,
+        ).collect()
+    }
+    assert capped == {(100, 101)}

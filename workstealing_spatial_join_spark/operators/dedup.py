@@ -608,6 +608,7 @@ def hash_neardup(
     max_hamming: int = 3,
     bits: int = 64,
     out_prefix: str = "id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs on ANY integer-hash column with hamming distance
     ≤ max_hamming — the pigeonhole chunk-LSH: split the hash into
@@ -616,6 +617,14 @@ def hash_neardup(
     EVERY qualifying pair (zero recall loss vs all-pairs) while never
     comparing across buckets. Used for text SimHash (60-bit) and image
     perceptual hashes (phash64).
+
+    ``max_bucket`` (optional) drops chunk buckets larger than the cap
+    before pair generation — the hot-bucket guard for degenerate
+    corpora (a constant-ish hash, e.g. millions of blank images with
+    phash 0, makes one bucket quadratic). WITH a cap the exact-recall
+    pigeonhole guarantee narrows to pairs that share at least one
+    SMALL chunk bucket; leave it None (default) for the exact
+    contract.
 
     NOTE: the hashed frame is persisted AND materialized in the
     session-wide dedup cache registry (both self-join sides and the
@@ -646,6 +655,15 @@ def hash_neardup(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    if max_bucket is not None:
+        sizes = chunked.groupBy("chunk_idx", "chunk").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        chunked = chunked.join(
+            sizes.where(F.col("bsz") <= int(max_bucket)),
+            ["chunk_idx", "chunk"],
+            "left_semi",
+        )
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(
