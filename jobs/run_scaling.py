@@ -23,9 +23,46 @@ def run_level(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _calib_worker(_i):
+    s = 0
+    for k in range(10_000_000):
+        s += k * k
+    return s
+
+
+def host_calibration(n: int, n4: int, reps: int = 3) -> dict:
+    """Measure the HOST's own parallel-scaling ceiling with a pure
+    CPU workload (independent processes, no Spark, no shared state):
+    wall time for p processes each doing fixed work. With perfect
+    cores t(n4) == t(n), so calib_eff = t(n)/t(n4) is the efficiency
+    ceiling ANY n→4n measurement can reach in this window — recorded
+    with every attempt so "the host was degraded" is a measurement,
+    not a claim."""
+    import multiprocessing as mp
+    import time
+
+    def wall(p):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            with mp.Pool(p) as pool:
+                pool.map(_calib_worker, range(p))
+            best = min(best, time.time() - t0)
+        return best
+
+    t_n = wall(n)
+    t_n4 = wall(n4)
+    return {
+        "calib_sec_n": round(t_n, 3),
+        "calib_sec_n4": round(t_n4, 3),
+        "calib_eff": round(t_n / t_n4, 3),
+    }
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n4 = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * n
+    calib = host_calibration(n, n4)
     a = run_level(n)
     b = run_level(n4)
     factor = n4 / n
@@ -35,6 +72,7 @@ def main():
         "eff_median": round(
             (a["pip_sec_median"] / b["pip_sec_median"]) / factor, 3
         ),
+        **calib,
     }
     print(json.dumps(rec))
     with open(LOG, "a") as f:
