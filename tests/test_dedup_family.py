@@ -342,3 +342,24 @@ def test_hash_neardup_hot_bucket_cap(spark):
         ).collect()
     }
     assert capped == {(100, 101)}
+
+
+def test_minhash_slot_gate_opt_out(spark, docs):
+    """ADVICE r4: slot_margin_sd=None restores the band-only recall
+    contract — the gated result is a subset of (or equal to) the
+    ungated one, and disabling the gate never loses a pair."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        minhash_dedup,
+    )
+
+    gated = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_dedup(docs, threshold=0.5).collect()
+    }
+    ungated = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_dedup(
+            docs, threshold=0.5, slot_margin_sd=None
+        ).collect()
+    }
+    assert gated <= ungated and len(ungated) > 0

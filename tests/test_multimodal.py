@@ -139,3 +139,32 @@ def test_audio_features_with_injected_decoder(spark):
     # log-spaced edges 20 Hz..8 kHz: 440 Hz peaks in a LOWER band
     # than 6 kHz
     assert int(np.argmax(rows["low"])) < int(np.argmax(rows["high"]))
+
+
+def test_null_payload_rows_do_not_abort_batch(spark):
+    """A NULL media payload must not TypeError the whole Arrow batch
+    (ADVICE r4): video skips the row, audio emits null features."""
+    from workstealing_spatial_join_spark.operators.multimodal import (
+        audio_features,
+        fake_audio_decoder,
+        fake_video_decoder,
+    )
+
+    videos = spark.createDataFrame(
+        [("v1", b"payload"), ("v2", None)],
+        "video_id string, bytes binary",
+    )
+    out = sample_video_frames(
+        videos, every_n=30, decoder=fake_video_decoder(n_frames=90)
+    ).collect()
+    assert {r.video_id for r in out} == {"v1"}
+
+    audio = spark.createDataFrame(
+        [("a1", b"payload"), ("a2", None)],
+        "audio_id string, bytes binary",
+    )
+    rows = {r.audio_id: r.band_energy
+            for r in audio_features(
+                audio, n_bands=8, decoder=fake_audio_decoder()
+            ).collect()}
+    assert rows["a2"] is None and len(rows["a1"]) == 8

@@ -155,11 +155,6 @@ def _to_int_path(path: np.ndarray, k: int) -> list[tuple]:
     return pts
 
 
-def _half(v):
-    """Exact v/2 for int or Fraction (int/int would produce a float)."""
-    return Fr(v, 2) if type(v) is int else v / 2
-
-
 # ---------------------------------------------------------- primitives
 
 

@@ -381,7 +381,7 @@ def minhash_dedup(
     shingle_k: int = SHINGLE_K,
     threshold: float = 0.8,
     signatures: DataFrame | None = None,
-    slot_margin_sd: float = 3.0,
+    slot_margin_sd: float | None = 3.0,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash + banded LSH + slot-agreement
@@ -395,7 +395,10 @@ def minhash_dedup(
     (≈99.87% at the default 3σ, for s exactly at the threshold —
     higher similarity is exponentially safer). Both are DETERMINISTIC
     functions of the signatures, so the SQL oracle reproduces the
-    exact output set.
+    exact output set. Callers that need the pre-round-4 BAND-ONLY
+    recall contract (every band-colliding pair with true jaccard ≥
+    threshold is returned, no slot prune) pass
+    ``slot_margin_sd=None`` to disable the gate.
 
     Plan: one UDF pass → struct(signature, shingle codes), persisted
     and MATERIALIZED (the 100-TB shape materializes signatures as a
@@ -451,39 +454,38 @@ def minhash_dedup(
             ["band", "bucket"],
             "left_semi",
         )
-    cutoff = minhash_slot_cutoff(num_perm, threshold, slot_margin_sd)
-    slots_eq = F.aggregate(
-        F.zip_with(
-            F.col("a.sig"), F.col("b.sig"),
-            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    join_on = [
+        F.col("a.band") == F.col("b.band"),
+        F.col("a.bucket") == F.col("b.bucket"),
+        F.col("a.doc_id") < F.col("b.doc_id"),
+        # Jaccard ≤ min(n)/max(n): exact size-ratio prune.
+        # Same double-division + compare as the final filter;
+        # IEEE rounding is monotone, so a pruned pair's
+        # jaccard double is also < threshold — no borderline
+        # pair can be lost to float rounding.
+        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        / F.greatest(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        >= F.lit(float(threshold)),
+    ]
+    if slot_margin_sd is not None:
+        cutoff = minhash_slot_cutoff(num_perm, threshold, slot_margin_sd)
+        slots_eq = F.aggregate(
+            F.zip_with(
+                F.col("a.sig"), F.col("b.sig"),
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        # slot-agreement prefilter (the recall-contract gate):
+        # cheap integer compare over the already-present
+        # signatures, killing the noise floor before the
+        # distinct shuffle and the shingle-array fetch
+        join_on.append(slots_eq >= F.lit(int(cutoff)))
     left = banded.alias("a")
     right = banded.alias("b")
     survivors = (
-        left.join(
-            right,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-                # Jaccard ≤ min(n)/max(n): exact size-ratio prune.
-                # Same double-division + compare as the final filter;
-                # IEEE rounding is monotone, so a pruned pair's
-                # jaccard double is also < threshold — no borderline
-                # pair can be lost to float rounding.
-                F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
-                / F.greatest(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
-                >= F.lit(float(threshold)),
-                # slot-agreement prefilter (the recall-contract gate):
-                # cheap integer compare over the already-present
-                # signatures, killing the noise floor before the
-                # distinct shuffle and the shingle-array fetch
-                slots_eq >= F.lit(int(cutoff)),
-            ],
-        )
+        left.join(right, on=join_on)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),

@@ -173,6 +173,8 @@ def sample_video_frames(
                 )
             vids, idxs, pngs = [], [], []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                if data is None:
+                    continue  # NULL payload → no frames, not a batch abort
                 for frame_idx, frame in decoder(bytes(data)):
                     if frame_idx % every_n:
                         continue
@@ -236,6 +238,11 @@ def audio_features(
                 )
             ids, feats = [], []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                if data is None:
+                    # NULL payload → null features, not a batch abort
+                    ids.append(aid)
+                    feats.append(None)
+                    continue
                 samples, rate = decoder(bytes(data))
                 x = np.asarray(samples, dtype=np.float64)
                 x = x * np.hanning(len(x))

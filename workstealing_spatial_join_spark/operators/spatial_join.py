@@ -278,6 +278,7 @@ def point_in_polygon_join(
             pts, polys, polygons.contains_udf if refine else None,
             refine, mode, salt, target_pairs_per_task,
             build_small=polygons.n_rows <= BROADCAST_ROW_THRESHOLD,
+            build_rows=polygons.n_rows,
         )
 
     # Refine transport: per-candidate WKB column vs broadcast polygon
@@ -321,6 +322,7 @@ def point_in_polygon_join(
     return _pip_finish(
         pts, polys, contains_udf, refine, mode, salt, target_pairs_per_task,
         build_small=rows is not None,
+        build_rows=len(rows) if rows is not None else None,
     )
 
 
@@ -333,6 +335,7 @@ def _pip_finish(
     salt: bool,
     target_pairs_per_task: int,
     build_small: bool = False,
+    build_rows: int | None = None,
 ) -> DataFrame:
     if salt:
         # LB1 rebirth: cost-estimated salting of hot cells (see
@@ -366,11 +369,15 @@ def _pip_finish(
             # heavily skewed layer can multiply the pre-salt rows the
             # caller sized well past safe broadcast size. The extra
             # row count is exact from the collected cost rows:
-            # Σ (n_salt−1)·build_rows over hot cells.
+            # Σ (n_salt−1)·build_rows over hot cells. Gate on
+            # base + extra (ADVICE r4): a layer already at the
+            # threshold plus heavy salting must not broadcast ~2×
+            # the threshold.
             extra = sum(
                 (r["n_salt"] - 1) * r["n_right"] for r in cost_rows
             )
-            if extra <= BROADCAST_ROW_THRESHOLD:
+            base = build_rows if build_rows is not None else 0
+            if base + extra <= BROADCAST_ROW_THRESHOLD:
                 polys = F.broadcast(polys)
         join_keys = ["cell_id", "salt"]
     else:
