@@ -534,6 +534,20 @@ def gen_invalid_family() -> list[tuple[str, bytes]]:
          [np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 0.0]])]),
         ("bowtie_self_intersection",
          [closed([(0, 0), (4, 4), (4, 0), (0, 4)])]),
+        # GEOS DuplicateRings: two identical holes (second rotated +
+        # reversed to prove the cycle-insensitive compare)
+        ("duplicate_holes",
+         [shell, rect(2, 2, 6, 6),
+          closed([(6, 2), (6, 6), (2, 6), (2, 2)])]),
+        # GEOS NestedHoles with ZERO strictly-inside vertices: a
+        # triangle hole inscribed in a square hole, every triangle
+        # vertex ON the square's boundary (ADVICE r4 — only an edge-
+        # midpoint probe catches it)
+        ("inscribed_hole_on_boundary",
+         [shell, rect(2, 2, 8, 8),
+          closed([(2, 2), (8, 2), (5, 8)])]),
+        # hole identical to the shell: interior is empty / ill-defined
+        ("hole_equals_shell", [shell, shell.copy()]),
     ]
     return [(name, W.to_wkb(W.POLYGON, rings)) for name, rings in cases]
 

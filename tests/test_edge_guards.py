@@ -313,3 +313,34 @@ def test_ingest_rejects_invalid_family(spark):
         f"invalid families survived validate=True: "
         f"{[r.family for r in kept.select('family').distinct().collect()]}"
     )
+
+def test_is_valid_duplicate_and_inscribed_rings():
+    """VERDICT r4 #6 / ADVICE r4: duplicate rings (rotation/direction
+    insensitive — GEOS DuplicateRings) and a hole inscribed in another
+    hole with ALL its vertices on the containing hole's boundary are
+    invalid; a hole merely point-touching another stays valid."""
+    from workstealing_spatial_join_spark.functions import geom as G
+    from workstealing_spatial_join_spark.functions import wkt as W
+
+    def closed(pts):
+        a = np.asarray(pts, dtype=float)
+        return np.vstack([a, a[:1]])
+
+    shell = closed([(0, 0), (10, 0), (10, 10), (0, 10)])
+    hole = closed([(2, 2), (8, 2), (8, 8), (2, 8)])
+    # same cycle, rotated start + reversed direction
+    hole_rot_rev = closed([(8, 2), (8, 8), (2, 8), (2, 2)])[::-1]
+    assert not G.is_valid_geom(W.POLYGON, [shell, hole, hole_rot_rev])
+    # hole identical to the shell
+    assert not G.is_valid_geom(W.POLYGON, [shell, shell.copy()])
+    # inscribed triangle: every vertex ON the square hole's boundary,
+    # zero strictly-inside vertices — only the midpoint probe sees it
+    inscribed = closed([(2, 2), (8, 2), (5, 8)])
+    assert not G.is_valid_geom(W.POLYGON, [shell, hole, inscribed])
+    # winding-insensitivity of the rejection
+    assert not G.is_valid_geom(
+        W.POLYGON, [shell, hole[::-1], inscribed[::-1]]
+    )
+    # two holes sharing only a vertex remain valid (touch is legal)
+    touching = closed([(8, 8), (9, 8), (9, 9), (8, 9)])
+    assert G.is_valid_geom(W.POLYGON, [shell, hole, touching])

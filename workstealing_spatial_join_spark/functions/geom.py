@@ -387,6 +387,36 @@ def _strictly_inside_any(outer: np.ndarray, pts: np.ndarray) -> bool:
     return bool((inside & ~on).any())
 
 
+def _edge_midpoints(r: np.ndarray) -> np.ndarray:
+    """Midpoint of every edge of a CLOSED ring — representative
+    boundary-interior points for containment probes (a nested ring
+    whose VERTICES all sit on the other ring's boundary still has some
+    edge midpoint strictly inside it, unless the rings are identical —
+    which ``_rings_identical`` rejects separately)."""
+    return (r[:-1] + r[1:]) / 2.0
+
+
+def _rings_identical(a: np.ndarray, b: np.ndarray) -> bool:
+    """Same CLOSED ring as a point cycle — rotation- and direction-
+    insensitive (GEOS DuplicateRings). Cheap set/size screens first;
+    the cyclic-sequence compare only runs on screen-passing pairs."""
+    pa, pb = a[:-1], b[:-1]
+    if len(pa) != len(pb):
+        return False
+    ta = [tuple(p) for p in pa]
+    tb = [tuple(p) for p in pb]
+    if set(ta) != set(tb):
+        return False
+    m = min(ta)
+    ai = ta.index(m)
+    target = ta[ai:] + ta[:ai]
+    for seq in (tb, tb[::-1]):
+        for s in (k for k, v in enumerate(seq) if v == m):
+            if seq[s:] + seq[:s] == target:
+                return True
+    return False
+
+
 def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
     """Structural + topological validity (the F6 upgrade — the
     reference only drops parse failures, src/reader.cpp:36-40):
@@ -398,8 +428,12 @@ def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
     holes pairwise INTERIOR-DISJOINT: no hole nested inside or
     properly crossing another (GEOS IsValid's HoleOutsideShell /
     NestedHoles checks; point touches between rings remain legal —
-    VERDICT r3 #8). Ring orientation is NOT a validity condition
-    (OGC/GEOS accept either winding; the kernels normalize it)."""
+    VERDICT r3 #8), no two rings identical (GEOS DuplicateRings), and
+    nesting is probed with edge MIDPOINTS as well as vertices so a
+    hole inscribed in another with all its vertices ON the other's
+    boundary is still caught (ADVICE r4). Ring orientation is NOT a
+    validity condition (OGC/GEOS accept either winding; the kernels
+    normalize it)."""
     for r in rings:
         if not np.isfinite(r).all():
             return False
@@ -414,6 +448,12 @@ def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
             return False
         if not ring_is_simple(r):
             return False
+    # no two rings identical (GEOS DuplicateRings — covers duplicate
+    # holes AND a hole equal to the shell)
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            if _rings_identical(rings[i], rings[j]):
+                return False
     shell = rings[0]
     holes = rings[1:]
     for hole in holes:
@@ -425,14 +465,19 @@ def is_valid_geom(gtype: int, rings: list[np.ndarray]) -> bool:
             return False
     # pairwise hole disjointness: a hole nested in (or properly
     # crossing) another hole makes the interior non-connected /
-    # ill-defined; vertex touches are allowed
+    # ill-defined; vertex touches are allowed. Probe BOTH vertices
+    # and edge midpoints: a hole inscribed in another with every
+    # vertex on the containing hole's boundary has no strictly-inside
+    # vertex, but any non-shared edge's midpoint is strictly inside.
     for i in range(len(holes)):
         for j in range(i + 1, len(holes)):
             hi, hj = holes[i], holes[j]
             if _proper_cross_any(hi, hj):
                 return False
-            if _strictly_inside_any(hi, hj[:-1]) or _strictly_inside_any(
-                hj, hi[:-1]
+            probe_i = np.vstack([hi[:-1], _edge_midpoints(hi)])
+            probe_j = np.vstack([hj[:-1], _edge_midpoints(hj)])
+            if _strictly_inside_any(hi, probe_j) or _strictly_inside_any(
+                hj, probe_i
             ):
                 return False
     return True
