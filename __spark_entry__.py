@@ -867,19 +867,28 @@ def _minhash_ctes(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
     )
     p4, p3, p2 = 257 ** 4, 257 ** 3, 257 ** 2
+    # BYTE-level shingles (VERDICT r4 #5): the engine hashes the UTF-8
+    # BYTES of the lowercased text (dedup._shingle_hashes), so the
+    # oracle addresses bytes too — hex(encode(...)) + per-byte hex-pair
+    # decode gives exact parity on non-ASCII corpora (pytest-proven),
+    # where the old unicode(substr(...)) twin addressed CHARACTERS and
+    # agreed on ASCII only. Padding '_' = byte 0x5F.
     shingle = (
-        f"[unicode(substr(s, i, 1)) * {p4} "
-        f"+ unicode(substr(s, i + 1, 1)) * {p3} "
-        f"+ unicode(substr(s, i + 2, 1)) * {p2} "
-        f"+ unicode(substr(s, i + 3, 1)) * 257 "
-        f"+ unicode(substr(s, i + 4, 1)) for i in range(1, length(s) - 3)]"
+        f"[bl[i] * {p4} + bl[i + 1] * {p3} + bl[i + 2] * {p2} "
+        f"+ bl[i + 3] * 257 + bl[i + 4] for i in range(1, n - 3)]"
     )
     return (
         f"perms(pid, pa, pb) AS (VALUES {vals}), "
         "d AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents), "
-        "pads AS (SELECT doc_id, CASE WHEN length(lt) < 5 THEN "
-        "lt || repeat('_', 5 - length(lt)) ELSE lt END AS s FROM d), "
-        f"shs AS (SELECT doc_id, list_distinct({shingle}) AS hs FROM pads), "
+        "hx AS (SELECT doc_id, hex(encode(lt)) AS hs0, "
+        "octet_length(encode(lt)) AS n0 FROM d), "
+        "pads AS (SELECT doc_id, CASE WHEN n0 < 5 THEN "
+        "hs0 || repeat('5F', 5 - n0) ELSE hs0 END AS hs1, "
+        "GREATEST(n0, 5) AS n FROM hx), "
+        "byt AS (SELECT doc_id, n, "
+        "[CAST(('0x' || substr(hs1, 2 * i - 1, 2)) AS BIGINT) "
+        "for i in range(1, n + 1)] AS bl FROM pads), "
+        f"shs AS (SELECT doc_id, list_distinct({shingle}) AS hs FROM byt), "
         "sg AS (SELECT doc_id, pid, list_min(list_transform(hs, "
         "x -> CAST((CAST(pa AS HUGEINT) * x + pb) % 2305843009213693951 "
         "AS BIGINT))) AS mh FROM shs, perms), "
@@ -1212,14 +1221,20 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'fr' END AS lang_pred FROM s"
         ),
         "doc_fingerprint": (
-            "WITH fp AS (SELECT doc_id, list_reduce("
+            # BYTE-level twin (VERDICT r4 #5): the engine rolls over
+            # UTF-8 bytes (textops.fingerprint64), so the oracle
+            # decodes hex(encode(text)) byte pairs — exact parity on
+            # non-ASCII documents too
+            "WITH b AS (SELECT doc_id, "
+            "hex(encode(COALESCE(text, ''))) AS hs, "
+            "octet_length(encode(COALESCE(text, ''))) AS n "
+            "FROM documents), "
+            "fp AS (SELECT doc_id, list_reduce("
             "list_prepend(CAST(14695981039346656037 AS HUGEINT), "
-            "list_transform([unicode(substr(t, i, 1)) "
-            "for i in range(1, length(t) + 1)], "
-            "x -> CAST(x AS HUGEINT))), "
-            "(acc, b) -> (acc * 1099511628211 + b) % 18446744073709551616"
-            ") AS v FROM (SELECT doc_id, COALESCE(text, '') AS t "
-            "FROM documents)) "
+            "[CAST(CAST(('0x' || substr(hs, 2 * i - 1, 2)) AS INT) "
+            "AS HUGEINT) for i in range(1, n + 1)]), "
+            "(acc, x) -> (acc * 1099511628211 + x) % 18446744073709551616"
+            ") AS v FROM b) "
             "SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808 "
             "THEN v - 18446744073709551616 ELSE v END AS BIGINT) "
             "AS fingerprint FROM fp"

@@ -388,3 +388,58 @@ def test_release_dedup_caches_is_session_scoped(spark):
     assert release_dedup_caches(spark) >= 1
     # ... and a second release finds nothing left anywhere
     assert release_dedup_caches() == 0
+
+
+def test_byte_level_oracle_parity_non_ascii(spark):
+    """VERDICT r4 #5: the minhash and fingerprint SQL twins address
+    UTF-8 BYTES (hex(encode(text)) pair decoding), so DuckDB
+    reproduces the engine EXACTLY on a non-ASCII corpus — the old
+    character-addressed twins agreed on ASCII only."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from workstealing_spatial_join_spark.operators.textops import (
+        analyze_documents,
+    )
+
+    base = [
+        "héllo wörld — ünïcode ÄÖÜß text für die suche im netz",
+        "日本語のテキストを含む文書はバイト単位で処理される必要がある",
+        "документ на русском языке с планированными дубликатами",
+        "plain ascii control document with ordinary words inside",
+    ]
+    rows = []
+    for i in range(40):
+        t = base[i % 4]
+        if i < 8:  # planted near-dups across the non-ASCII docs
+            t = base[i % 2]
+        else:
+            t = f"{t} суффикс 接尾辞 {i}"
+        rows.append((i, t))
+    pdf_rows = rows
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eng_pairs = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in minhash_dedup(docs, threshold=0.5).collect()
+    }
+    eng_fp = {
+        (r.doc_id, r.fingerprint)
+        for r in analyze_documents(docs)
+        .select("doc_id", "fingerprint").collect()
+    }
+
+    import pandas as pd
+    con = duckdb.connect()
+    corpus = pd.DataFrame(pdf_rows, columns=["doc_id", "text"])
+    con.register("documents", corpus)
+    osql = E.oracle_sql()
+    ora_pairs = {
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(osql["minhash_neardup"]).fetchall()
+    }
+    ora_fp = set(con.execute(osql["doc_fingerprint"]).fetchall())
+
+    assert len(eng_pairs) > 0  # planted dups found
+    assert eng_pairs == ora_pairs
+    assert eng_fp == ora_fp
