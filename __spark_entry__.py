@@ -671,6 +671,26 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def _dyadic_embeddings(spark, sf_dir):
+    """The embeddings table with components DYADICALLY quantized
+    (rounded to 1/1024): with 64 components below 2^10/1024, every
+    product is an exact multiple of 2^-20 and every partial sum's
+    numerator stays far below 2^53, so dots, norms, and cosines are
+    exact/correctly-rounded doubles — bit-identical under ANY
+    summation order (Catalyst fold, NumPy BLAS, DuckDB list
+    arithmetic). Shared by all four embedding-family contract queries
+    (VERDICT r4 #8: this retires every ROUND(...) oracle bridge in
+    the family); the oracle replays the same quantization."""
+    emb = TB.load(spark, sf_dir, "embeddings")
+    return emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1024) / F.lit(1024.0),
+        ),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-k over DYADICALLY QUANTIZED
     vectors (components rounded to 1/1024): with 64 components below
@@ -683,14 +703,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     at sf1, ~4·10^5 scored pairs). The operator itself is unchanged
     and serves full-precision vectors; quantization is this contract
     query's input transform, replayed identically in the oracle."""
-    emb = TB.load(spark, sf_dir, "embeddings")
-    qemb = emb.withColumn(
-        "embedding",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 1024) / F.lit(1024.0),
-        ),
-    )
+    qemb = _dyadic_embeddings(spark, sf_dir)
     queries = qemb.where(F.col("vec_id") < 20)
     out = cosine_topk_bruteforce(queries, qemb, k=5)
     return out.select(
@@ -718,13 +731,17 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
         cosine_topk_ivf,
     )
 
-    emb = TB.load(spark, sf_dir, "embeddings")
+    emb = _dyadic_embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 20)
     out = cosine_topk_ivf(queries, emb, k=5, n_centroids=32, n_probe=4)
+    # dyadic inputs → the raw cosine doubles are bit-identical to the
+    # oracle's explicit dot/(sqrt·sqrt) arithmetic, so the score is
+    # part of the hash contract now (r4 omitted it)
     return out.select(
         F.col("query_id").alias("vec_id"),
         F.col("neighbor_id").alias("neighbor_vec_id"),
         "rank",
+        "cosine",
     )
 
 
@@ -750,8 +767,9 @@ def q_embedding_neardup(spark, sf_dir):
     """Hyperplane-LSH near-dup vectors: same-bucket pairs with cosine
     ≥ 0.4 (the synthetic embeddings have no planted near-dups, so the
     threshold sits where real pairs exist). Oracle replays the exact
-    bucket function (literal planes, rounded-sign dots) + verify."""
-    emb = TB.load(spark, sf_dir, "embeddings")
+    bucket function (literal dyadic planes, exact-sign dots) +
+    verify — no rounding bridge anywhere (VERDICT r4 #8)."""
+    emb = _dyadic_embeddings(spark, sf_dir)
     return embedding_neardup(
         emb, threshold=COS_THRESHOLD, n_planes=N_PLANES, dim=EMB_DIM
     )
@@ -765,18 +783,17 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
         cosine_topk_lsh,
     )
 
-    emb = TB.load(spark, sf_dir, "embeddings")
+    emb = _dyadic_embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 20)
     out = cosine_topk_lsh(queries, emb, k=5, n_planes=N_PLANES, dim=EMB_DIM)
-    # no cosine column here: a raw score can sit 1 ulp from a 6-decimal
-    # rounding boundary and flip between Spark's fold and DuckDB's
-    # accumulation (observed once at sf0.001); the cosine VALUES are
-    # oracle-verified by ann_cosine_topk — this query verifies the LSH
-    # candidate generation and the ranking
+    # dyadic inputs → raw cosine doubles are bit-identical across
+    # engines, so the score joins the hash contract (r4 omitted it
+    # after observing a 1-ulp rounding-boundary flip on raw floats)
     return out.select(
         F.col("query_id").alias("vec_id"),
         F.col("neighbor_id").alias("neighbor_vec_id"),
         "rank",
+        "cosine",
     )
 
 
@@ -917,15 +934,38 @@ def _minhash_ctes(
 
 
 def _bucket_sql(e_expr: str) -> str:
+    # dyadic planes × dyadic vectors → the dot is the same EXACT
+    # double in DuckDB and NumPy; the sign needs no rounding bridge
+    # (VERDICT r4 #8). repr() round-trips dyadic doubles exactly.
     planes = hyperplanes(N_PLANES, EMB_DIM)
     terms = []
     for r in range(N_PLANES):
         lit = "[" + ", ".join(repr(float(v)) for v in planes[r]) + "]"
         terms.append(
-            f"(CASE WHEN ROUND(list_dot_product({e_expr}, {lit}), 6) > 0 "
+            f"(CASE WHEN list_dot_product({e_expr}, {lit}) > 0 "
             f"THEN {1 << r} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+# exact cosine arithmetic shared by the embedding-family oracles:
+# mirrors the engine formula dot/(sqrt(aa)*sqrt(bb)) term by term —
+# on dyadic inputs all three sums are exact, both sqrts are
+# correctly rounded from identical doubles, so the result is
+# bit-identical to Catalyst's fold and NumPy (no ROUND bridge)
+def _exact_cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i])) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x * x)))))"
+    )
+
+
+_DYADIC_EMB_CTE = (
+    "v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> round(x * 1024, 0) / 1024) AS e FROM embeddings)"
+)
 
 
 _PTS = TB.SQL_POINTS
@@ -1288,15 +1328,10 @@ def oracle_sql() -> dict[str, str]:
         # sums are exact doubles on quantized inputs, so this is
         # bit-exact vs Spark by construction (see q_ann_cosine_topk)
         "ann_cosine_topk": (
-            "WITH v AS (SELECT vec_id, list_transform("
-            "CAST(embedding AS DOUBLE[]), x -> round(x * 1024, 0) / 1024) "
-            "AS e FROM embeddings), "
+            f"WITH {_DYADIC_EMB_CTE}, "
             "q AS (SELECT * FROM v WHERE vec_id < 20), "
             "scored AS (SELECT q.vec_id, c.vec_id AS neighbor_vec_id, "
-            "ROUND(list_sum(list_transform(generate_series(1, len(q.e)), "
-            "i -> q.e[i] * c.e[i])) / "
-            "(sqrt(list_sum(list_transform(q.e, x -> x * x))) * "
-            "sqrt(list_sum(list_transform(c.e, x -> x * x)))), 6) AS c6 "
+            f"ROUND({_exact_cos_sql('q.e', 'c.e')}, 6) AS c6 "
             "FROM q CROSS JOIN v c WHERE q.vec_id <> c.vec_id), "
             "ranked AS (SELECT vec_id, neighbor_vec_id, c6, "
             "ROW_NUMBER() OVER (PARTITION BY vec_id "
@@ -1305,12 +1340,11 @@ def oracle_sql() -> dict[str, str]:
             "c6 AS cosine FROM ranked WHERE rank <= 5"
         ),
         "ann_cosine_topk_ivf": (
-            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
-            "FROM embeddings), "
+            f"WITH {_DYADIC_EMB_CTE}, "
             "cents AS (SELECT vec_id AS list_id, e AS centv FROM v "
             "ORDER BY vec_id LIMIT 32), "
             "ca AS (SELECT v.vec_id, v.e, c.list_id, "
-            "ROUND(list_cosine_similarity(v.e, c.centv), 6) AS cs "
+            f"{_exact_cos_sql('v.e', 'c.centv')} AS cs "
             "FROM v CROSS JOIN cents c), "
             "corp AS (SELECT vec_id AS neighbor_vec_id, e, list_id FROM "
             "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
@@ -1323,14 +1357,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM qp q JOIN corp c ON q.list_id = c.list_id "
             "AND q.vec_id <> c.neighbor_vec_id), "
             "scored AS (SELECT cand.vec_id, cand.neighbor_vec_id, "
-            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS c9 FROM cand "
+            f"{_exact_cos_sql('a.e', 'b.e')} AS c9 FROM cand "
             "JOIN v a ON a.vec_id = cand.vec_id "
             "JOIN v b ON b.vec_id = cand.neighbor_vec_id), "
-            "ranked AS (SELECT vec_id, neighbor_vec_id, "
+            "ranked AS (SELECT vec_id, neighbor_vec_id, c9, "
             "ROW_NUMBER() OVER (PARTITION BY vec_id "
             "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
-            "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank "
-            "FROM ranked WHERE rank <= 5"
+            "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank, "
+            "c9 AS cosine FROM ranked WHERE rank <= 5"
         ),
         "simhash_docs": (
             f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sh"
@@ -1348,19 +1382,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM ver WHERE jaccard >= 0.5"
         ),
         "embedding_neardup": (
-            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
-            "FROM embeddings), "
+            f"WITH {_DYADIC_EMB_CTE}, "
             f"bk AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM v) "
             "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
-            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            f"{_exact_cos_sql('a.e', 'b.e')} AS cosine "
             "FROM bk a JOIN bk b ON a.bucket = b.bucket "
             "AND a.vec_id < b.vec_id "
-            f"WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) "
-            f">= {COS_THRESHOLD}"
+            f"WHERE {_exact_cos_sql('a.e', 'b.e')} >= {COS_THRESHOLD}"
         ),
         "ann_cosine_topk_lsh": (
-            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
-            "FROM embeddings), "
+            f"WITH {_DYADIC_EMB_CTE}, "
             f"bk AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM v), "
             "q AS (SELECT * FROM bk WHERE vec_id < 20), "
             "probes AS (SELECT vec_id, unnest([bucket"
@@ -1370,13 +1401,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM probes p JOIN bk c ON p.bucket = c.bucket "
             "AND p.vec_id <> c.vec_id), "
             "scored AS (SELECT cand.vec_id, cand.neighbor_vec_id, "
-            "ROUND(list_cosine_similarity(a.e, b.e), 6) AS c9 FROM cand "
+            f"{_exact_cos_sql('a.e', 'b.e')} AS c9 FROM cand "
             "JOIN v a ON a.vec_id = cand.vec_id "
             "JOIN v b ON b.vec_id = cand.neighbor_vec_id), "
             "ranked AS (SELECT vec_id, neighbor_vec_id, c9, "
             "ROW_NUMBER() OVER (PARTITION BY vec_id "
             "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
-            "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank "
-            "FROM ranked WHERE rank <= 5"
+            "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank, "
+            "c9 AS cosine FROM ranked WHERE rank <= 5"
         ),
     }

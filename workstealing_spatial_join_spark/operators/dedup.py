@@ -749,9 +749,15 @@ def phash_neardup(
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic LSH hyperplanes, shared verbatim with the SQL
-    oracle (embedded as literals there)."""
+    oracle (embedded as literals there). Components are DYADIC
+    (normals rounded to 1/1024 — VERDICT r4 #8): on dyadically
+    quantized input vectors every plane·vector product is an exact
+    multiple of 2^-20 with partial sums far below 2^53, so the dot —
+    and hence the bucket SIGN — is the same exact double under ANY
+    summation order (NumPy BLAS, Catalyst fold, DuckDB
+    list_dot_product). No epsilon rounding bridge needed anywhere."""
     rng = np.random.default_rng(seed)
-    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+    return np.round(rng.normal(size=(n_planes, dim)) * 1024.0) / 1024.0
 
 
 def hyperplane_bucket_udf(
@@ -759,10 +765,12 @@ def hyperplane_bucket_udf(
     n_planes: int | None = None,
     seed: int = 42,
 ):
-    """bucket(v) = Σ 2^r [round(v·plane_r, 6) > 0]. The rounding makes
-    the sign decision robust to summation-order differences between
-    NumPy and the SQL oracle's list_dot_product (a dot within 5e-7 of
-    zero would otherwise be engine-dependent; fixture dots are O(0.1)).
+    """bucket(v) = Σ 2^r [v·plane_r > 0] on the raw float64 dot. With
+    dyadic planes (``hyperplanes``) and dyadic inputs the dot is EXACT
+    — bit-identical in NumPy and the SQL oracle's list_dot_product, so
+    the sign decision cannot flip between engines (the pre-r5 bridge
+    rounded to 6 decimals instead, which itself flipped for dots
+    within 5e-7 of zero).
 
     Pass either literal ``planes`` (fixed dim known up front) or
     ``n_planes``+``seed``: in the latter case each executor derives
@@ -783,7 +791,7 @@ def hyperplane_bucket_udf(
         if p is None:
             p = state["planes"] = hyperplanes(nb, len(v.iloc[0]), seed)
         mat = np.asarray(v.tolist(), dtype=np.float64)
-        signs = np.round(mat @ p.T, 6) > 0
+        signs = (mat @ p.T) > 0
         vals = (signs * (1 << np.arange(nb))).sum(axis=1)
         return pd.Series(vals.astype(np.int64))
 
@@ -851,8 +859,12 @@ def embedding_neardup(
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(np.where(den > 0, num / den, 0.0))
 
+    # raw float64 cosine, no rounding bridge: on dyadically quantized
+    # inputs num/den are built from exact sums + correctly-rounded
+    # sqrt, so the double is bit-identical to the SQL oracle's
+    # explicit dot/(sqrt·sqrt) arithmetic (VERDICT r4 #8)
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        cand.withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
         .where(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
     )

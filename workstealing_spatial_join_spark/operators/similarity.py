@@ -5,13 +5,15 @@
   higher-order functions (``aggregate``/``zip_with`` — JVM-side, no
   Python), windowed top-k. Oracle-checkable in SQL.
 
-All three operators RANK on the cosine rounded to 6 decimals (ties
-then break by neighbor id): ranking raw floats makes the result
-depend on summation order, and a 1e-9 rounding step still flips with
-probability ~(1e-15/1e-9) per scored pair — an sf1-scale corpus
-(~4·10^5 pairs) made a rank flip between Spark's fold and the
-oracle's accumulation EXPECTED. At 1e-6 steps the probability is
-~4·10^-7 per full run, and the reported cosine keeps 6 decimals.
+Cross-engine determinism: the contract queries quantize input vectors
+DYADICALLY (components rounded to 1/1024 — see
+__spark_entry__.q_ann_cosine_topk), which makes every dot product,
+norm, and cosine an exact/correctly-rounded double under ANY
+summation order — Catalyst's fold, NumPy's BLAS, and DuckDB's list
+arithmetic all produce the bit-identical value, so LSH/IVF rank on
+the RAW cosine with no rounding bridge (VERDICT r4 #8). The
+bruteforce baseline additionally reports (and ranks on) the cosine
+rounded to 6 decimals — a display contract kept from round 4.
 * ``cosine_topk_lsh`` — the scale path: random-hyperplane buckets with
   multi-probe (query probes its bucket plus 1-bit-flip neighbors),
   exact re-rank inside buckets. Candidate generation is an equi-join
@@ -115,10 +117,9 @@ def cosine_topk_ivf(
             F.col(id_out),
             F.col(vec_out),
             "list_id",
-            F.round(
+            (
                 _dot(F.col(vec_out), F.col("centv"))
-                / (_norm(F.col(vec_out)) * F.col("cnorm")),
-                6,
+                / (_norm(F.col(vec_out)) * F.col("cnorm"))
             ).alias("cscore"),
         )
         w = Window.partitionBy(id_out).orderBy(
@@ -144,10 +145,9 @@ def cosine_topk_ivf(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(
+        (
             _dot(F.col("qv"), F.col("cv"))
-            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            6,
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -217,10 +217,9 @@ def cosine_topk_lsh(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(
+        (
             _dot(F.col("qv"), F.col("cv"))
-            / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            6,
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
