@@ -96,15 +96,33 @@ def _lossy_decode(data: bytes) -> np.ndarray:
     return (q.reshape(h, w, 3).astype(np.int32) * quant).clip(0, 255).astype(np.uint8)
 
 
+_JPEG_SOI = b"\xff\xd8\xff"  # real-JPEG start-of-image marker
+
+
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     return png_encode(arr) if fmt == "png" else _lossy_encode(arr)
 
 
-def decode_image(data: bytes) -> np.ndarray:
+def decode_image(data: bytes, jpeg_decoder=None) -> np.ndarray:
+    """bytes → (h, w, 3) uint8. PNG and the QJPG stand-in decode
+    in-repo; REAL JPEG streams (SOI ``FF D8 FF``) route through the
+    pluggable ``jpeg_decoder`` codec binding (``bytes -> HxWx3
+    uint8``) — same injection seam as the video/audio decoders
+    (VERDICT r4 #9). No libjpeg exists in this sandbox, so the
+    default raises rather than faking; production passes a
+    PIL/libjpeg-turbo-backed callable."""
     if data.startswith(_PNG_SIG):
         return png_decode(data)
     if data.startswith(_QJPG_MAGIC):
         return _lossy_decode(data)
+    if data.startswith(_JPEG_SOI):
+        if jpeg_decoder is None:
+            raise NotImplementedError(
+                "real JPEG decode needs a codec binding (libjpeg/PIL); "
+                "pass jpeg_decoder=... (see operators.multimodal."
+                "fake_jpeg_decoder for the test codec)"
+            )
+        return jpeg_decoder(data)
     raise ValueError("unknown image format")
 
 

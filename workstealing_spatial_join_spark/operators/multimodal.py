@@ -39,16 +39,20 @@ def _block_mean_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def decode_stats(images: DataFrame) -> DataFrame:
+def decode_stats(images: DataFrame, jpeg_decoder=None) -> DataFrame:
     """Per-image decoded-pixel stats: mean/std per channel + sharpness
-    proxy (mean abs horizontal gradient). One decode per row, batched."""
+    proxy (mean abs horizontal gradient). One decode per row, batched.
+    ``jpeg_decoder`` is the pluggable real-JPEG codec binding (see
+    functions.images.decode_image)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    arr = IMG.decode_image(bytes(data)).astype(np.float64)
+                    arr = IMG.decode_image(
+                        bytes(data), jpeg_decoder=jpeg_decoder
+                    ).astype(np.float64)
                 except Exception:
                     rows.append((img_id, None, None, None, None))
                     continue
@@ -73,15 +77,18 @@ def decode_stats(images: DataFrame) -> DataFrame:
     )
 
 
-def resize_images(images: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+def resize_images(
+    images: DataFrame, out_w: int = 32, out_h: int = 32, jpeg_decoder=None
+) -> DataFrame:
     """Decode → block-mean resize → re-encode PNG. Schema-preserving
-    transform of the payload column (fmt becomes 'png')."""
+    transform of the payload column (fmt becomes 'png').
+    ``jpeg_decoder`` is the pluggable real-JPEG codec binding."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_bytes, phashes = [], []
             for data in pdf["bytes"]:
-                arr = IMG.decode_image(bytes(data))
+                arr = IMG.decode_image(bytes(data), jpeg_decoder=jpeg_decoder)
                 small = _block_mean_resize(arr, out_w, out_h)
                 out_bytes.append(IMG.png_encode(small))
                 phashes.append(IMG.phash64(small))
@@ -100,15 +107,18 @@ def resize_images(images: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFr
     )
 
 
-def patch_features(images: DataFrame, grid: int = 8) -> DataFrame:
+def patch_features(
+    images: DataFrame, grid: int = 8, jpeg_decoder=None
+) -> DataFrame:
     """Image → grid×grid block-mean grayscale feature vector
-    (array<float>), the embedding column for similarity/dedup ops."""
+    (array<float>), the embedding column for similarity/dedup ops.
+    ``jpeg_decoder`` is the pluggable real-JPEG codec binding."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for data in pdf["bytes"]:
-                arr = IMG.decode_image(bytes(data))
+                arr = IMG.decode_image(bytes(data), jpeg_decoder=jpeg_decoder)
                 gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
                 small = _block_mean_resize(
                     gray[:, :, None].repeat(3, axis=2), grid, grid
@@ -123,6 +133,78 @@ def patch_features(images: DataFrame, grid: int = 8) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(
         work, schema="image_id string, embedding array<float>"
     )
+
+
+_DCT8 = None
+
+
+def _dct8_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis (the real JPEG transform)."""
+    global _DCT8
+    if _DCT8 is None:
+        k = np.arange(8)
+        m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _DCT8 = (m * 0.5).astype(np.float64)
+    return _DCT8
+
+
+_FAKE_JPEG_QUANT = 6.0  # flat table: coeff error ≤ 3 → PSNR ≈ 43 dB
+
+
+def fake_jpeg_encode(arr: np.ndarray) -> bytes:
+    """Deterministic DCT test codec ENCODER: real JPEG math (8×8
+    blockwise orthonormal DCT-II, uniform quantization) under a real
+    SOI header (``FF D8 FF``), with the coefficients zlib'd instead of
+    Huffman-coded. Exists so the ``jpeg_decoder=`` seam can be
+    exercised end-to-end without libjpeg; NOT wire-compatible with
+    actual JPEG readers (the marker after SOI is the private ``FAKE``
+    APP segment)."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    H, W = padded.shape[:2]
+    c = _dct8_matrix()
+    blocks = (
+        padded.astype(np.float64)
+        .reshape(H // 8, 8, W // 8, 8, 3)
+        .transpose(0, 2, 4, 1, 3)  # (by, bx, ch, 8, 8)
+    )
+    coeff = np.einsum("ij,bxcjk,lk->bxcil", c, blocks - 128.0, c)
+    q = np.round(coeff / _FAKE_JPEG_QUANT).astype(np.int16)
+    return (
+        b"\xff\xd8\xffFAKE"
+        + struct.pack(">II", w, h)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def fake_jpeg_decoder():
+    """Deterministic stand-in for a libjpeg/PIL binding: inverse of
+    ``fake_jpeg_encode`` (dequantize + inverse 8×8 DCT). Same
+    signature as a production decoder (``bytes -> HxWx3 uint8``)."""
+
+    def decode(data: bytes) -> np.ndarray:
+        import struct
+        import zlib
+
+        if not data.startswith(b"\xff\xd8\xffFAKE"):
+            raise ValueError("not a FAKE-DCT jpeg stream")
+        w, h = struct.unpack_from(">II", data, 7)
+        H, W = h + (-h % 8), w + (-w % 8)
+        q = np.frombuffer(
+            zlib.decompress(data[15:]), dtype=np.int16
+        ).reshape(H // 8, W // 8, 3, 8, 8)
+        c = _dct8_matrix()
+        coeff = q.astype(np.float64) * _FAKE_JPEG_QUANT
+        blocks = np.einsum("ji,bxcjk,kl->bxcil", c, coeff, c) + 128.0
+        padded = blocks.transpose(0, 3, 1, 4, 2).reshape(H, W, 3)
+        return np.clip(np.round(padded), 0, 255).astype(np.uint8)[:h, :w]
+
+    return decode
 
 
 def fake_video_decoder(n_frames: int = 90, w: int = 16, h: int = 16):
