@@ -119,13 +119,17 @@ def _scale_val(x: float, k: int) -> int:
 
 
 def _scaled_points(arr: np.ndarray, k: int) -> list[tuple]:
-    """Float (n,2) array → exact scaled integer point tuples. k == 0
-    (already-integral coordinates within int64 range) converts
-    vectorized; otherwise per-element via as_integer_ratio."""
-    if k == 0 and float(np.abs(arr).max(initial=0.0)) < 2 ** 62:
-        ints = arr.astype(np.int64)
-        if np.array_equal(ints.astype(np.float64), arr):
-            return list(zip(ints[:, 0].tolist(), ints[:, 1].tolist()))
+    """Float (n,2) array → exact scaled integer point tuples.
+    Multiplying a double by 2^k only shifts the exponent — EXACT for
+    any k (no mantissa rounding) — so whenever the scaled values fit
+    int64 the whole conversion is one vectorized cast; the
+    per-element as_integer_ratio path remains for huge magnitudes."""
+    if k < 1000:
+        scaled = arr if k == 0 else arr * float(1 << k)
+        if float(np.abs(scaled).max(initial=0.0)) < 2 ** 62:
+            ints = scaled.astype(np.int64)
+            if np.array_equal(ints.astype(np.float64), scaled):
+                return list(zip(ints[:, 0].tolist(), ints[:, 1].tolist()))
     return [(_scale_val(x, k), _scale_val(y, k)) for x, y in arr]
 
 
@@ -159,8 +163,19 @@ def _to_int_path(path: np.ndarray, k: int) -> list[tuple]:
 
 
 def _area2(ring: list[tuple]) -> int:
-    s = 0
     n = len(ring)
+    try:
+        a = np.array(ring, dtype=np.int64)
+    except (OverflowError, TypeError, ValueError):
+        a = None
+    if a is not None:
+        bound = int(np.abs(a).max(initial=0))
+        # every term |x0·y1 − x1·y0| ≤ 2·bound², n terms — exact in
+        # int64 iff the worst-case running sum stays under 2^63
+        if 2 * n * bound * bound < 1 << 63:
+            b = np.roll(a, -1, axis=0)
+            return int((a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]).sum())
+    s = 0
     for i in range(n):
         x0, y0 = ring[i]
         x1, y1 = ring[(i + 1) % n]
@@ -375,13 +390,28 @@ def _node_vectorized(A, B, ii, jj, splits_a, splits_b, nodes):
         idx_all = np.concatenate(idx_parts)
         xs = np.concatenate(xs_parts)
         ys = np.concatenate(ys_parts)
-        for side_idx, splits in (
-            (ii[idx_all], splits_a), (jj[idx_all], splits_b)
+        for side_idx, M, splits in (
+            (ii[idx_all], A, splits_a), (jj[idx_all], B, splits_b)
         ):
-            order = np.lexsort((ys, xs, side_idx))
-            e_s = side_idx[order]
-            x_s = xs[order].tolist()
-            y_s = ys[order].tolist()
+            # an edge's OWN endpoints never split it (`_split_edges`
+            # drops them) — filter endpoint touches vectorized before
+            # the Python set fill. On shared-boundary meshes (combs,
+            # cadastral parcels) nearly every event is an endpoint
+            # touch, so this empties the loop below almost entirely.
+            ep = M[side_idx]
+            keep = ~(
+                ((xs == ep[:, 0]) & (ys == ep[:, 1]))
+                | ((xs == ep[:, 2]) & (ys == ep[:, 3]))
+            )
+            if not keep.any():
+                continue
+            e_k = side_idx[keep]
+            x_k = xs[keep]
+            y_k = ys[keep]
+            order = np.lexsort((y_k, x_k, e_k))
+            e_s = e_k[order]
+            x_s = x_k[order].tolist()
+            y_s = y_k[order].tolist()
             bounds = np.concatenate((
                 [0], np.nonzero(np.diff(e_s))[0] + 1, [len(e_s)]
             ))
@@ -391,10 +421,10 @@ def _node_vectorized(A, B, ii, jj, splits_a, splits_b, nodes):
                 )
         if nodes is not None:
             nodes.update(zip(xs.tolist(), ys.tolist()))
-    if nodes is not None:
-        for k in np.nonzero(ident)[0].tolist():
-            nodes.add((int(px[k]), int(py[k])))
-            nodes.add((int(p2x[k]), int(p2y[k])))
+    if nodes is not None and bool(ident.any()):
+        ik = np.nonzero(ident)[0]
+        nodes.update(zip(px[ik].tolist(), py[ik].tolist()))
+        nodes.update(zip(p2x[ik].tolist(), p2y[ik].tolist()))
     # rare proper interior crossings: exact rational nodes
     for t in np.nonzero(hit & (sel == 4))[0].tolist():
         dp = int(dpos[t])
@@ -409,20 +439,33 @@ def _node_vectorized(A, B, ii, jj, splits_a, splits_b, nodes):
             nodes.add(v)
 
 
-def _node_edge_sets(edges_a, edges_b, splits_a, splits_b, nodes=None):
+def _node_edge_sets(
+    edges_a, edges_b, splits_a, splits_b, nodes=None, mats=None
+):
     """Node two directed edge lists against each other: record split
-    points per edge index and (optionally) the intersection points."""
+    points per edge index and (optionally) the intersection points.
+    ``mats`` passes precomputed ``(_edge_int_matrix(a), ...(b))`` so a
+    caller that needs the matrices anyway converts only once."""
     if not edges_a or not edges_b:
+        return
+    if mats is not None:
+        A, B = mats
+    else:
+        A = _edge_int_matrix(edges_a)
+        B = _edge_int_matrix(edges_b) if A is not None else None
+    if A is not None and B is not None:
+        # float bbox arrays derive from the int matrices (C-level
+        # cast) instead of re-walking the Python tuple lists
+        sa, ea = A[:, :2].astype(np.float64), A[:, 2:].astype(np.float64)
+        sb, eb = B[:, :2].astype(np.float64), B[:, 2:].astype(np.float64)
+        ii, jj = edge_bbox_candidates(sa, ea, sb, eb)
+        if len(ii):
+            _node_vectorized(A, B, ii, jj, splits_a, splits_b, nodes)
         return
     sa, ea = _float_edge_arrays(edges_a)
     sb, eb = _float_edge_arrays(edges_b)
     ii, jj = edge_bbox_candidates(sa, ea, sb, eb)
     if len(ii) == 0:
-        return
-    A = _edge_int_matrix(edges_a)
-    B = _edge_int_matrix(edges_b) if A is not None else None
-    if A is not None and B is not None:
-        _node_vectorized(A, B, ii, jj, splits_a, splits_b, nodes)
         return
     for i, j in zip(ii.tolist(), jj.tolist()):
         p, p2 = edges_a[i]
@@ -487,7 +530,12 @@ class _Seg:
 
 
 def _collect_segments(rings_a, rings_b):
-    """Build the noded arrangement. Returns (segments, ab_nodes)."""
+    """Build the noded arrangement. Returns (segments, ab_nodes) where
+    ``segments`` is EITHER an array triple ``(K, a_left, b_left)`` —
+    ``K`` the (m, 4) int64 canonical sub-edge matrix, the labels int8
+    with -1 = unknown (the vectorized fast path: no per-segment Python
+    objects at all) — or a ``list[_Seg]`` when any coordinate is a
+    Fraction crossing node / exceeds the int64 window."""
     def ring_edges(rings):
         per_ring = []
         for ring in rings:
@@ -502,7 +550,11 @@ def _collect_segments(rings_a, rings_b):
     splits_a: dict[int, set] = {}
     splits_b: dict[int, set] = {}
     ab_nodes: set = set()
-    _node_edge_sets(edges_a, edges_b, splits_a, splits_b, ab_nodes)
+    A = _edge_int_matrix(edges_a)
+    B = _edge_int_matrix(edges_b) if A is not None else None
+    _node_edge_sets(
+        edges_a, edges_b, splits_a, splits_b, ab_nodes, mats=(A, B)
+    )
 
     # same-owner cross-ring contacts (hole touching shell at a vertex)
     def self_node(per_ring, splits):
@@ -526,17 +578,24 @@ def _collect_segments(rings_a, rings_b):
     if len(rings_b) > 1:
         self_node(per_b, splits_b)
 
+    # array fast path: the same int64 window the noding sweep used
+    if A is not None and B is not None:
+        SA = _split_edges_int(A, edges_a, splits_a)
+        SB = _split_edges_int(B, edges_b, splits_b) if SA is not None else None
+        if SA is not None and SB is not None:
+            return _merge_subedges_arrays(SA, SB), ab_nodes
+
     sub_a = _split_edges(edges_a, splits_a)
     sub_b = _split_edges(edges_b, splits_b)
 
-    segs: dict[tuple, _Seg] = {}
+    seg_map: dict[tuple, _Seg] = {}
     for owner, subs in (("a", sub_a), ("b", sub_b)):
         for s, e in subs:
             fwd = s <= e
             key = (s, e) if fwd else (e, s)
-            seg = segs.get(key)
+            seg = seg_map.get(key)
             if seg is None:
-                seg = segs[key] = _Seg(*key)
+                seg = seg_map[key] = _Seg(*key)
             prev = seg.a_left if owner == "a" else seg.b_left
             if prev is not None:
                 raise InvalidOverlay("boundary overlaps itself")
@@ -544,7 +603,66 @@ def _collect_segments(rings_a, rings_b):
                 seg.a_left = fwd
             else:
                 seg.b_left = fwd
-    return list(segs.values()), ab_nodes
+    return list(seg_map.values()), ab_nodes
+
+
+def _split_edges_int(E, edges, splits):
+    """Array twin of ``_split_edges``: ``E`` is the (n, 4) int64 edge
+    matrix; edges WITHOUT cuts (the vast majority on shared-boundary
+    meshes) pass through as matrix rows untouched, the few cut edges
+    reuse the exact Python splitter. Returns (m, 4) int64, or None
+    when any cut point is a Fraction (proper-crossing node) — the
+    caller then takes the Python path."""
+    if not splits:
+        return E
+    cut_idx = sorted(splits.keys())
+    for i in cut_idx:
+        for v in splits[i]:
+            if type(v[0]) is not int or type(v[1]) is not int:
+                return None
+    sub = _split_edges(
+        [edges[i] for i in cut_idx],
+        {j: splits[i] for j, i in enumerate(cut_idx)},
+    )
+    keep = np.ones(len(E), dtype=bool)
+    keep[cut_idx] = False
+    add = np.array(
+        [(s[0], s[1], e[0], e[1]) for s, e in sub], dtype=np.int64
+    )
+    return np.vstack([E[keep], add])
+
+
+def _merge_subedges_arrays(SA, SB):
+    """Vectorized canonicalize-and-merge: directions canonicalized by
+    lexicographic endpoint order, duplicates merged across owners via
+    one row-unique. Pure comparisons — no magnitude limit beyond the
+    int64 window the caller already checked."""
+    na = len(SA)
+    both = np.vstack([SA, SB])
+    sx, sy, ex, ey = both[:, 0], both[:, 1], both[:, 2], both[:, 3]
+    fwd = (sx < ex) | ((sx == ex) & (sy <= ey))
+    keys = np.where(fwd[:, None], both, both[:, [2, 3, 0, 1]])
+    # row-unique via one lexsort on the 4 int64 columns — measurably
+    # faster than np.unique(axis=0)'s void-view argsort
+    order = np.lexsort((keys[:, 3], keys[:, 2], keys[:, 1], keys[:, 0]))
+    sk = keys[order]
+    new = np.empty(len(sk), dtype=bool)
+    new[0] = True
+    np.any(sk[1:] != sk[:-1], axis=1, out=new[1:])
+    uniq = sk[new]
+    inv = np.empty(len(sk), dtype=np.int64)
+    inv[order] = np.cumsum(new) - 1
+    inv_a, inv_b = inv[:na], inv[na:]
+    # an owner contributing the same canonical segment twice means its
+    # own boundary overlaps itself — same guard as the Python loop
+    if len(np.unique(inv_a)) != na or len(np.unique(inv_b)) != len(inv_b):
+        raise InvalidOverlay("boundary overlaps itself")
+    m = len(uniq)
+    a_left = np.full(m, -1, dtype=np.int8)
+    b_left = np.full(m, -1, dtype=np.int8)
+    a_left[inv_a] = fwd[:na].astype(np.int8)
+    b_left[inv_b] = fwd[na:].astype(np.int8)
+    return uniq, a_left, b_left
 
 
 class _FastPIP:
@@ -574,12 +692,18 @@ class _FastPIP:
         self._exact = rings
         self._rings = []
         hi = 1.0
+        floats = []
         for ring in rings:
-            a = np.array([[float(x), float(y)] for x, y in ring])
+            try:
+                # direct C-level conversion (int tuples) — the listcomp
+                # fallback only runs for Fraction coords / huge ints
+                a = np.array(ring, dtype=np.float64)
+            except (OverflowError, TypeError, ValueError):
+                a = np.array([[float(x), float(y)] for x, y in ring])
+            floats.append(a)
             hi = max(hi, float(np.abs(a).max()))
         self.tol = 1e-9 * hi
-        for ring in rings:
-            a = np.array([[float(x), float(y)] for x, y in ring])
+        for a in floats:
             b = np.roll(a, -1, axis=0)
             d = b - a
             n = len(a)
@@ -611,20 +735,25 @@ class _FastPIP:
             emax = np.maximum(a[:, bin_ax], b[:, bin_ax]) + self.tol
             b0 = np.clip(((emin - lo) / width).astype(np.int64), 0, nbins - 1)
             b1 = np.clip(((emax - lo) / width).astype(np.int64), 0, nbins - 1)
-            counts = np.zeros(nbins + 1, dtype=np.int64)
+            # flat (edge, bin) expansion fully vectorized: edge e_i
+            # lands in bins b0[e_i]..b1[e_i]; stable argsort by bin
+            # gives the per-bin edge lists in one pass (the per-edge
+            # Python fill loop dominated __init__ on comb rings)
             span = b1 - b0 + 1
-            for s, t in zip(b0.tolist(), (b1 + 1).tolist()):
-                counts[s] += 1
-                counts[t] -= 1
-            occ = np.cumsum(counts[:-1])
+            tot = int(span.sum())
+            idx_edges = np.repeat(np.arange(n), span)
+            offs = np.concatenate(([0], np.cumsum(span)))
+            bins_flat = (
+                np.arange(tot)
+                - np.repeat(offs[:-1], span)
+                + np.repeat(b0, span)
+            )
+            order = np.argsort(bins_flat, kind="stable")
+            idx = idx_edges[order]
             starts = np.zeros(nbins + 1, dtype=np.int64)
-            np.cumsum(occ, out=starts[1:])
-            fill = starts[:-1].copy()
-            idx = np.empty(int(span.sum()), dtype=np.int64)
-            for e_i, (s, t) in enumerate(zip(b0.tolist(), b1.tolist())):
-                for bn in range(s, t + 1):
-                    idx[fill[bn]] = e_i
-                    fill[bn] += 1
+            np.cumsum(
+                np.bincount(bins_flat, minlength=nbins), out=starts[1:]
+            )
             self._rings.append({
                 "a": a, "b": b, "d": d, "ray_x": ray_x,
                 "lo": lo, "width": width, "nbins": nbins,
@@ -840,6 +969,33 @@ class _FastPIP:
         return self._on_banded2(m2) or self.exact2(m2)
 
 
+def _classify_arrays(K, a_left, b_left, rings_a, rings_b):
+    """Array twin of ``_classify``: resolve the unknown (-1) side
+    labels by point-in-polygon on doubled midpoints — one vectorized
+    batch per owner, exact integer fallback only for ambiguous points.
+    Returns (in_a, in_b) bool arrays (meaningful where the label was
+    unknown)."""
+    n = len(K)
+    in_a = np.zeros(n, dtype=bool)
+    in_b = np.zeros(n, dtype=bool)
+    for mask, rings, fill in (
+        (a_left < 0, rings_a, in_a), (b_left < 0, rings_b, in_b)
+    ):
+        if not mask.any():
+            continue
+        fp = _FastPIP(rings)
+        m2x = (K[mask, 0] + K[mask, 2]).astype(np.float64)
+        m2y = (K[mask, 1] + K[mask, 3]).astype(np.float64)
+        verdicts = fp.batch(m2x, m2y)
+        amb = np.nonzero(verdicts < 0)[0]
+        if len(amb):
+            rows = K[mask][amb].tolist()
+            for pos, (sx, sy, ex, ey) in zip(amb.tolist(), rows):
+                verdicts[pos] = fp.exact2((sx + ex, sy + ey))
+        fill[mask] = verdicts.astype(bool)
+    return in_a, in_b
+
+
 def _classify(segs, rings_a, rings_b):
     """Attach 4 side booleans per segment: (aL, aR, bL, bR) — locally
     interior to A/B on the left/right of the canonical direction.
@@ -968,31 +1124,61 @@ def _polygon_overlay_num_points(
     fa = _norm_polygon(rings_a, k)
     fb = _norm_polygon(rings_b, k)
     segs, ab_nodes = _collect_segments(fa, fb)
-    classified = _classify(segs, fa, fb)
 
     directed = []
     line_pts = 0
     used_nodes: set = set()
-    for seg, aL, aR, bL, bR in classified:
+    if isinstance(segs, tuple):
+        # array fast path: side booleans, the op combine, the directed
+        # selection, and the collapsed-span count all stay vectorized;
+        # Python tuples materialize only for the (usually far fewer)
+        # surviving boundary edges the ring tracer walks
+        K, a_l, b_l = segs
+        in_a, in_b = _classify_arrays(K, a_l, b_l, fa, fb)
+        known_a, known_b = a_l >= 0, b_l >= 0
+        aL = np.where(known_a, a_l == 1, in_a)
+        aR = np.where(known_a, a_l == 0, in_a)
+        bL = np.where(known_b, b_l == 1, in_b)
+        bR = np.where(known_b, b_l == 0, in_b)
         if op == "intersection":
-            L, R = aL and bL, aR and bR
+            L, R = aL & bL, aR & bR
         else:
-            L, R = aL or bL, aR or bR
-        if L != R:
-            directed.append((seg.s, seg.e) if L else (seg.e, seg.s))
-            used_nodes.add(seg.s)
-            used_nodes.add(seg.e)
-        elif (
-            op == "intersection"
-            and seg.a_left is not None
-            and seg.b_left is not None
-            and not L
-        ):
+            L, R = aL | bL, aR | bR
+        sel = L != R
+        rows = np.where(L[sel, None], K[sel], K[sel][:, [2, 3, 0, 1]])
+        directed = [
+            ((sx, sy), (ex, ey)) for sx, sy, ex, ey in rows.tolist()
+        ]
+        used = sel
+        if op == "intersection":
             # collapsed shared boundary with no interior on either
             # side → LINESTRING span (2 points per noded span)
-            line_pts += 2
-            used_nodes.add(seg.s)
-            used_nodes.add(seg.e)
+            line_m = known_a & known_b & ~L & ~sel
+            line_pts = 2 * int(line_m.sum())
+            used = sel | line_m
+        u = K[used]
+        used_nodes = set(zip(u[:, 0].tolist(), u[:, 1].tolist()))
+        used_nodes.update(zip(u[:, 2].tolist(), u[:, 3].tolist()))
+    else:
+        classified = _classify(segs, fa, fb)
+        for seg, aL, aR, bL, bR in classified:
+            if op == "intersection":
+                L, R = aL and bL, aR and bR
+            else:
+                L, R = aL or bL, aR or bR
+            if L != R:
+                directed.append((seg.s, seg.e) if L else (seg.e, seg.s))
+                used_nodes.add(seg.s)
+                used_nodes.add(seg.e)
+            elif (
+                op == "intersection"
+                and seg.a_left is not None
+                and seg.b_left is not None
+                and not L
+            ):
+                line_pts += 2
+                used_nodes.add(seg.s)
+                used_nodes.add(seg.e)
 
     total = _trace_ring_points(directed) + line_pts
     if op == "intersection":
