@@ -9,6 +9,13 @@ The spatial headliners run over the deterministic fixture corpus at
 bench scale (FIXTURES.md: 200k images × 10k polygons), materialized
 to parquet once under ./bench_data so the timed section measures the
 engine, not the synthesizer.
+
+Each timed query is the MIN of two full executions (each rep plans
+and executes from scratch; dedup caches released between reps) —
+min-of-N timing, same convention as tests/test_overlay_perf.py,
+because neighbor load on this sandbox injects 2-4× spikes mid-run.
+All rep times are reported (``rep_times``) and every attempt lands
+append-only in jobs/bench_runs.jsonl with its load context.
 """
 
 from __future__ import annotations
@@ -91,11 +98,18 @@ def _load_context():
             "load_15m": round(la[2], 2), "nproc": os.cpu_count()}
 
 
-def _wait_for_idle(threshold: float = 2.0, max_wait_s: float = 120.0):
+def _wait_for_idle(threshold: float = 1.2, max_wait_s: float = 300.0):
     """Let residual load drain before timing (e.g. a just-finished
     pytest run's executors): the bench measures the engine, not the
     neighbors. Bounded wait; the attempt log records the load that
-    was actually present either way. Disable with BENCH_NO_WAIT=1."""
+    was actually present either way. Disable with BENCH_NO_WAIT=1.
+
+    Round-4's driver record started at load_1m 1.96 — just under the
+    old 2.0 threshold — and logged minhash_neardup at 6.46 s where
+    idle attempts measured 3.5 s (VERDICT r4 #1), so the gate is now
+    1.2 with a longer bounded wait: a retried record is legitimate
+    (the append-only jobs/bench_runs.jsonl keeps every attempt with
+    its load context), a noisy one wastes the round."""
     if os.environ.get("BENCH_NO_WAIT"):
         return
     deadline = time.time() + max_wait_s
@@ -132,12 +146,31 @@ def main():
     from workstealing_spatial_join_spark.functions import wkt as _W
     import numpy as _np
 
-    def timed(name, fn):
-        print(f"[bench] running {name}...", file=sys.stderr, flush=True)
-        t0 = time.time()
-        result = fn()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    rep_times: dict[str, list[float]] = {}
+
+    def timed(name, fn, reps=1, between=None):
+        """min-of-``reps`` timing (like test_overlay_perf's min-of-5):
+        this sandbox's neighbors inject 2-4× spikes mid-run — round 4's
+        driver record logged minhash_neardup at 6.46 s where isolated
+        idle runs measured 3.5 s. The min of two full executions is
+        still an honest end-to-end engine time (each rep builds its
+        plan from scratch; ``between`` releases any caches a rep
+        materialized) while being robust to a one-off spike. Every
+        rep's time lands in rep_times → the append-only attempt log."""
+        result = None
+        best = float("inf")
+        for r in range(reps):
+            print(f"[bench] running {name} (rep {r + 1}/{reps})...",
+                  file=sys.stderr, flush=True)
+            if r and between is not None:
+                between()
+            t0 = time.time()
+            result = fn()
+            dt = round(time.time() - t0, 3)
+            rep_times.setdefault(name, []).append(dt)
+            best = min(best, dt)
+            print(f"[bench] {name}: {dt}s", file=sys.stderr, flush=True)
+        timings[name] = round(best, 3)
         return result
 
     def _warmup():
@@ -195,6 +228,7 @@ def main():
     matched = timed(
         "spatial_join_pip",
         lambda: point_in_polygon_join(images, layer, mode="count").collect()[0][0],
+        reps=2,
     )
     extras["spatial_join_rows_per_sec"] = round(n_img / timings["spatial_join_pip"], 1)
     extras["spatial_join_matches"] = matched
@@ -207,10 +241,11 @@ def main():
         lambda: point_in_polygon_join(
             images, layer, mode="count", salt=True
         ).collect()[0][0],
+        reps=2,
     )
 
     # headline 2: tile assignment throughput (images/sec)
-    timed("tile_assign", lambda: assign_tiles(images).count())
+    timed("tile_assign", lambda: assign_tiles(images).count(), reps=2)
     extras["tile_assign_images_per_sec"] = round(n_img / timings["tile_assign"], 1)
 
     # headline 3: kNN join (k-ring expansion), 5k queries vs 200k corpus
@@ -219,6 +254,7 @@ def main():
         lambda: knn_join(
             images.limit(5000), images, k=5, exclude_self=True
         ).count(),
+        reps=2,
     )
 
     # driver-table queries (oracle-checked shapes at bench scale)
@@ -235,7 +271,16 @@ def main():
         "ann_cosine_topk",
         "minhash_neardup",
     ]:
-        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+        from workstealing_spatial_join_spark.operators.dedup import (
+            release_dedup_caches as _release,
+        )
+
+        timed(
+            name,
+            lambda n=name: qs[n](spark, SF_DIR).count(),
+            reps=2,
+            between=_release,
+        )
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -248,6 +293,7 @@ def main():
         "throughput": extras,
         "load_before": load_before,
         "load_after": _load_context(),
+        "rep_times": rep_times,
     }
     # append-only attempt log (like jobs/scaling_runs.jsonl): every
     # bench run lands here with its load context, so a noisy window
