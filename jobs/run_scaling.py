@@ -51,15 +51,14 @@ def calib_wall(p: int, reps: int = 3) -> float:
     return best
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    n4 = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * n
+def run_attempt(n: int, n4: int) -> dict:
     t_n_pre = calib_wall(n)
     a = run_level(n)
     t_n4_pre = calib_wall(n4)
     b = run_level(n4)
     t_n4_post = calib_wall(n4)
     factor = n4 / n
+    disagree = abs(t_n4_post - t_n4_pre) / min(t_n4_pre, t_n4_post)
     rec = {
         "n": n, "n4": n4, "levels": [a, b],
         "eff_min": round((a["pip_sec"] / b["pip_sec"]) / factor, 3),
@@ -71,11 +70,60 @@ def main():
         "calib_sec_n4_post": round(t_n4_post, 3),
         # ceiling during the 4N leg: bracketing probes, worst case
         "calib_eff": round(t_n_pre / max(t_n4_pre, t_n4_post), 3),
+        # bracket probes disagreeing >10% = a burst landed mid-leg;
+        # the attempt is still recorded (append-only), flagged so the
+        # gated loop retries rather than counting it (VERDICT r4 #2)
+        "window_degraded": bool(disagree > 0.10),
     }
     print(json.dumps(rec))
     with open(LOG, "a") as f:
         f.write(json.dumps(rec) + "\n")
     rewrite_bench_md()
+    return rec
+
+
+def _wait_for_quiet_window(n: int, n4: int, min_calib: float = 0.9,
+                           max_wait_s: float = 1200.0) -> bool:
+    """Gate an attempt on the HOST being able to scale at all: probe
+    the pure-CPU ceiling and wait (bounded) until it reads ≥
+    ``min_calib`` — starting a measurement the hypervisor has already
+    capped at 0.7 can only produce a number that measures the
+    neighbors (VERDICT r4 #2)."""
+    import time
+
+    deadline = time.time() + max_wait_s
+    while True:
+        t_n = calib_wall(n, reps=2)
+        t_n4 = calib_wall(n4, reps=2)
+        calib = t_n / max(t_n4, 1e-9)
+        print(f"[gate] pre-probe calib_eff={calib:.3f}", flush=True)
+        if calib >= min_calib:
+            return True
+        if time.time() > deadline:
+            return False
+        time.sleep(45)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n4 = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * n
+    if "--gated" in sys.argv:
+        # run attempts until 3 consecutive clean (non-degraded)
+        # entries meet the ≥0.8 min-based bar, max 8 attempts
+        streak = 0
+        for attempt in range(8):
+            if not _wait_for_quiet_window(n, n4):
+                print("[gate] no quiet window within budget", flush=True)
+                continue
+            rec = run_attempt(n, n4)
+            ok = rec["eff_min"] >= 0.8 and not rec["window_degraded"]
+            streak = streak + 1 if ok else 0
+            print(f"[gate] attempt ok={ok} streak={streak}", flush=True)
+            if streak >= 3:
+                print("[gate] 3 consecutive >=0.8 — done", flush=True)
+                return
+        return
+    run_attempt(n, n4)
 
 
 EXTRA_MARKER = "<!-- extra-sections: preserved across rewrites -->"
