@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from workstealing_spatial_join_spark.functions import grid as GRID
 from workstealing_spatial_join_spark.operators import textops as TX
 from workstealing_spatial_join_spark.operators.dedup import (
+    decontaminate,
     embedding_neardup,
     exact_dedup,
     hyperplanes,
@@ -65,6 +66,7 @@ from workstealing_spatial_join_spark.operators.dedup import (
     simhash60,
     simhash_dedup,
 )
+from workstealing_spatial_join_spark.operators.temporal import asof_join
 from workstealing_spatial_join_spark.operators.knn import knn_join
 from workstealing_spatial_join_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -73,7 +75,12 @@ from workstealing_spatial_join_spark.operators.spatial_join import (
     point_in_polygon_join,
     polygon_join,
 )
-from workstealing_spatial_join_spark.operators.tiles import sql_tile_xy, tile_xy_cols
+from workstealing_spatial_join_spark.operators.tiles import (
+    compact_cells,
+    sql_tile_xy,
+    tile_density_rollup,
+    tile_xy_cols,
+)
 from workstealing_spatial_join_spark.sources import tables as TB
 
 CELL = GRID.DEFAULT_CELL_DEG  # 1.0°
@@ -797,6 +804,91 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+COMPACT_ZOOM = 5  # ~95% tile occupancy at sf0.01: complete quads
+# collapse across several levels while gaps keep fine cells alive
+
+
+def q_tile_density_rollup(spark, sf_dir):
+    """Multi-resolution tile density pyramid (zoom 6 → 0): ONE
+    data-touching shuffle, then aggregate-of-aggregate rollups
+    (parent = child >> 1). The oracle recomputes every level from the
+    base points independently."""
+    pts = TB.customer_points(spark, sf_dir)
+    return tile_density_rollup(pts, zoom=ZOOM, min_zoom=0).withColumnRenamed(
+        "n_images", "n_points"
+    )
+
+
+def q_cell_compact(spark, sf_dir):
+    """Quadtree compaction of the occupied-tile set (H3 compactCells
+    analog): complete sibling quads collapse into their parent,
+    recursively. Oracle: unrolled per-level CTEs with HAVING
+    COUNT(*)=4 completeness and parent anti-joins."""
+    pts = TB.customer_points(spark, sf_dir)
+    tx, ty = tile_xy_cols(F.col("lon"), F.col("lat"), COMPACT_ZOOM)
+    tiles = pts.select(tx.alias("tx"), ty.alias("ty"))
+    return compact_cells(tiles, zoom=COMPACT_ZOOM, min_zoom=0)
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join (kdb+ aj / pandas merge_asof shape): each click
+    event joined to the most recent prior-or-equal view event of the
+    same user — implemented as ONE shuffle + ordered window carry-
+    forward, not a quadratic range join. Oracle: the same
+    last_value(... IGNORE NULLS) window in DuckDB."""
+    ev = TB.load(spark, sf_dir, "events")
+    return asof_join(ev, left_type="click", right_type="view")
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: duplicate word-3-gram counts
+    and ratio per document — pure Catalyst higher-order functions;
+    the ratio is an exact integer division so the SQL twin is
+    bit-identical."""
+    docs = TB.load(spark, sf_dir, "documents")
+    n, d, r = TX.ngram_repetition_cols(F.col("text"), k=3)
+    return docs.select(
+        "doc_id",
+        n.alias("n_ngrams"),
+        d.alias("n_distinct"),
+        r.alias("rep_ratio"),
+    )
+
+
+def q_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id % 13 != 0)
+    sharing ≥1 byte 5-shingle with the held-out benchmark split
+    (doc_id % 13 = 0). The benchmark shingle table is broadcast — the
+    corpus side never shuffles. Oracle recomputes the same injective
+    base-257 byte shingles in SQL."""
+    docs = TB.load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 13 != 0)
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    return decontaminate(corpus, bench)
+
+
+def q_polygon_area_centroid(spark, sf_dir):
+    """Scalar geometry measures over the concave (holed) layer:
+    integer-exact shoelace area2 + centroid per polygon
+    (functions/predicates.st_area_centroid). Oracle recomputes the
+    cross-product sums from the fixture's scaled-integer vertex table
+    (vertices_a.parquet) — fully independent of the engine's WKB
+    decode."""
+    from workstealing_spatial_join_spark.functions.predicates import (
+        st_area_centroid,
+    )
+
+    a = spark.read.parquet(f"{_CONCAVE_DIR}/layer_a.parquet")
+    return a.select(
+        "poly_id", st_area_centroid(F.col("geom_wkb")).alias("ac")
+    ).select(
+        "poly_id",
+        F.col("ac.area2").alias("area2"),
+        F.col("ac.cx").alias("cx"),
+        F.col("ac.cy").alias("cy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -844,6 +936,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "minhash_neardup": q_minhash_neardup,
         "embedding_neardup": q_embedding_neardup,
+        "tile_density_rollup": q_tile_density_rollup,
+        "cell_compact": q_cell_compact,
+        "events_asof": q_events_asof,
+        "doc_repetition": q_doc_repetition,
+        "decontam_overlap": q_decontam_overlap,
+        "polygon_area_centroid": q_polygon_area_centroid,
     }
 
 
@@ -870,6 +968,36 @@ _SIMHASH_CTES = (
 )
 
 
+def _shingle_ctes() -> str:
+    """CTE chain ``d → hx → pads → byt → shs`` producing the distinct
+    byte 5-shingle code list per document — shared by the minhash and
+    decontamination oracles.
+
+    BYTE-level shingles (VERDICT r4 #5): the engine hashes the UTF-8
+    BYTES of the lowercased text (dedup._shingle_hashes), so the
+    oracle addresses bytes too — hex(encode(...)) + per-byte hex-pair
+    decode gives exact parity on non-ASCII corpora (pytest-proven),
+    where the old unicode(substr(...)) twin addressed CHARACTERS and
+    agreed on ASCII only. Padding '_' = byte 0x5F."""
+    p4, p3, p2 = 257 ** 4, 257 ** 3, 257 ** 2
+    shingle = (
+        f"[bl[i] * {p4} + bl[i + 1] * {p3} + bl[i + 2] * {p2} "
+        f"+ bl[i + 3] * 257 + bl[i + 4] for i in range(1, n - 3)]"
+    )
+    return (
+        "d AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents), "
+        "hx AS (SELECT doc_id, hex(encode(lt)) AS hs0, "
+        "octet_length(encode(lt)) AS n0 FROM d), "
+        "pads AS (SELECT doc_id, CASE WHEN n0 < 5 THEN "
+        "hs0 || repeat('5F', 5 - n0) ELSE hs0 END AS hs1, "
+        "GREATEST(n0, 5) AS n FROM hx), "
+        "byt AS (SELECT doc_id, n, "
+        "[CAST(('0x' || substr(hs1, 2 * i - 1, 2)) AS BIGINT) "
+        "for i in range(1, n + 1)] AS bl FROM pads), "
+        f"shs AS (SELECT doc_id, list_distinct({shingle}) AS hs FROM byt)"
+    )
+
+
 def _minhash_ctes(
     num_perm: int = 64, bands: int = 16, threshold: float = 0.5
 ) -> str:
@@ -883,29 +1011,9 @@ def _minhash_ctes(
     vals = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
     )
-    p4, p3, p2 = 257 ** 4, 257 ** 3, 257 ** 2
-    # BYTE-level shingles (VERDICT r4 #5): the engine hashes the UTF-8
-    # BYTES of the lowercased text (dedup._shingle_hashes), so the
-    # oracle addresses bytes too — hex(encode(...)) + per-byte hex-pair
-    # decode gives exact parity on non-ASCII corpora (pytest-proven),
-    # where the old unicode(substr(...)) twin addressed CHARACTERS and
-    # agreed on ASCII only. Padding '_' = byte 0x5F.
-    shingle = (
-        f"[bl[i] * {p4} + bl[i + 1] * {p3} + bl[i + 2] * {p2} "
-        f"+ bl[i + 3] * 257 + bl[i + 4] for i in range(1, n - 3)]"
-    )
     return (
         f"perms(pid, pa, pb) AS (VALUES {vals}), "
-        "d AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents), "
-        "hx AS (SELECT doc_id, hex(encode(lt)) AS hs0, "
-        "octet_length(encode(lt)) AS n0 FROM d), "
-        "pads AS (SELECT doc_id, CASE WHEN n0 < 5 THEN "
-        "hs0 || repeat('5F', 5 - n0) ELSE hs0 END AS hs1, "
-        "GREATEST(n0, 5) AS n FROM hx), "
-        "byt AS (SELECT doc_id, n, "
-        "[CAST(('0x' || substr(hs1, 2 * i - 1, 2)) AS BIGINT) "
-        "for i in range(1, n + 1)] AS bl FROM pads), "
-        f"shs AS (SELECT doc_id, list_distinct({shingle}) AS hs FROM byt), "
+        f"{_shingle_ctes()}, "
         "sg AS (SELECT doc_id, pid, list_min(list_transform(hs, "
         "x -> CAST((CAST(pa AS HUGEINT) * x + pb) % 2305843009213693951 "
         "AS BIGINT))) AS mh FROM shs, perms), "
@@ -1003,6 +1111,50 @@ def _sql_cells_range(prefix: str) -> str:
         f"(LEAST({ax1}, {bx1}) - GREATEST({ax0}, {bx0}) + 1) * "
         f"(LEAST({ay1}, {by1}) - GREATEST({ay0}, {by0}) + 1)"
     )
+
+
+def _rollup_sql(zoom: int = ZOOM, min_zoom: int = 0) -> str:
+    """Density-pyramid oracle: every level recomputed INDEPENDENTLY
+    from the base points (the engine rolls aggregates upward; the
+    oracle does not — that independence is the check)."""
+    tile_x, tile_y = sql_tile_xy("lon", "lat", zoom)
+    levels = []
+    for z in range(zoom, min_zoom - 1, -1):
+        s = zoom - z
+        levels.append(
+            f"SELECT CAST({z} AS INT) AS zoom, tx >> {s} AS tx, "
+            f"ty >> {s} AS ty, COUNT(*) AS n_points FROM base "
+            f"GROUP BY tx >> {s}, ty >> {s}"
+        )
+    return (
+        f"WITH base AS (SELECT {tile_x} AS tx, {tile_y} AS ty "
+        f"FROM ({_PTS})) " + " UNION ALL ".join(levels)
+    )
+
+
+def _compact_sql(zoom: int, min_zoom: int = 0) -> str:
+    """Quadtree-compaction oracle: unrolled completeness CTEs
+    (HAVING COUNT(*) = 4) + parent NOT EXISTS per level."""
+    tile_x, tile_y = sql_tile_xy("lon", "lat", zoom)
+    ctes = [
+        f"s{zoom} AS (SELECT DISTINCT {tile_x} AS tx, {tile_y} AS ty "
+        f"FROM ({_PTS}))"
+    ]
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        ctes.append(
+            f"s{z} AS (SELECT tx >> 1 AS tx, ty >> 1 AS ty FROM s{z + 1} "
+            f"GROUP BY tx >> 1, ty >> 1 HAVING COUNT(*) = 4)"
+        )
+    parts = []
+    for z in range(min_zoom, zoom + 1):
+        sel = f"SELECT CAST({z} AS INT) AS zoom, tx, ty FROM s{z}"
+        if z > min_zoom:
+            sel += (
+                f" t WHERE NOT EXISTS (SELECT 1 FROM s{z - 1} p "
+                f"WHERE p.tx = t.tx >> 1 AND p.ty = t.ty >> 1)"
+            )
+        parts.append(sel)
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1409,5 +1561,67 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
             "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank, "
             "c9 AS cosine FROM ranked WHERE rank <= 5"
+        ),
+        "tile_density_rollup": _rollup_sql(ZOOM, 0),
+        "cell_compact": _compact_sql(COMPACT_ZOOM, 0),
+        "events_asof": (
+            "WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "event_type FROM events WHERE event_type IN ('click', 'view')), "
+            "w AS (SELECT event_id, user_id, ts_us, event_type, "
+            "last_value(CASE WHEN event_type = 'view' THEN event_id END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, "
+            "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS matched_id, "
+            "last_value(CASE WHEN event_type = 'view' THEN ts_us END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, "
+            "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS matched_ts FROM b) "
+            "SELECT event_id, user_id, matched_id, "
+            "ts_us - matched_ts AS gap_us FROM w WHERE event_type = 'click'"
+        ),
+        "doc_repetition": (
+            r"WITH ws AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+            r"'\s+') AS w FROM documents), "
+            "g AS (SELECT doc_id, GREATEST(len(w) - 2, 0) AS n_ngrams, "
+            "CASE WHEN len(w) >= 3 THEN len(list_distinct("
+            "[w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] "
+            "for i in range(1, len(w) - 1)])) ELSE 0 END AS n_distinct "
+            "FROM ws) "
+            "SELECT doc_id, n_ngrams, n_distinct, "
+            "CASE WHEN n_ngrams > 0 THEN "
+            "CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams "
+            "ELSE 0.0 END AS rep_ratio FROM g"
+        ),
+        "decontam_overlap": (
+            f"WITH {_shingle_ctes()}, "
+            "corp AS (SELECT doc_id, unnest(hs) AS h FROM shs "
+            "WHERE doc_id % 13 <> 0), "
+            "ben AS (SELECT doc_id AS bench_id, unnest(hs) AS h FROM shs "
+            "WHERE doc_id % 13 = 0) "
+            "SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared, "
+            "COUNT(DISTINCT b.bench_id) AS n_bench_docs "
+            "FROM corp c JOIN ben b ON c.h = b.h GROUP BY c.doc_id"
+        ),
+        "polygon_area_centroid": (
+            "WITH v AS (SELECT * FROM read_parquet("
+            f"'{_CONCAVE_DIR}/vertices_a.parquet')), "
+            "e AS (SELECT v1.poly_id, v1.ring, "
+            "v1.xi * v2.yi - v2.xi * v1.yi AS cr, "
+            "(v1.xi + v2.xi) * (v1.xi * v2.yi - v2.xi * v1.yi) AS cnx, "
+            "(v1.yi + v2.yi) * (v1.xi * v2.yi - v2.xi * v1.yi) AS cny "
+            "FROM v v1 JOIN v v2 ON v1.poly_id = v2.poly_id "
+            "AND v1.ring = v2.ring AND v2.idx = v1.idx + 1), "
+            "r AS (SELECT poly_id, ring, SUM(cr) AS s, SUM(cnx) AS cnx, "
+            "SUM(cny) AS cny FROM e GROUP BY poly_id, ring), "
+            "n AS (SELECT poly_id, "
+            "CASE WHEN ring = 0 THEN (CASE WHEN s >= 0 THEN 1 ELSE -1 END) "
+            "ELSE (CASE WHEN s >= 0 THEN -1 ELSE 1 END) END AS f, "
+            "s, cnx, cny FROM r) "
+            "SELECT poly_id, CAST(SUM(f * s) AS BIGINT) AS area2, "
+            "CAST(SUM(f * cnx) AS DOUBLE) / "
+            "((3.0 * CAST(SUM(f * s) AS DOUBLE)) * 1000.0) AS cx, "
+            "CAST(SUM(f * cny) AS DOUBLE) / "
+            "((3.0 * CAST(SUM(f * s) AS DOUBLE)) * 1000.0) AS cy "
+            "FROM n GROUP BY poly_id"
         ),
     }

@@ -331,6 +331,31 @@ def poly_rows(polys):
     return pd.DataFrame(rows)
 
 
+def vertex_rows(polys):
+    """Scaled-integer vertex table (poly_id, ring, idx, xi, yi) with
+    rings CLOSED (last vertex repeats the first) — the DuckDB oracle
+    recomputes the shoelace area/centroid from these int64 lattice
+    coordinates with pure integer cross-product sums, independent of
+    the engine's WKB decode path. Coordinates are 3-decimal by
+    construction (snap), so xi = round(x*1000) is exact."""
+    rows = []
+    for p in polys:
+        rings = [p["shell"] + p["shell"][:1]]
+        rings += [h + h[:1] for h in p["holes"]]
+        for ri, ring in enumerate(rings):
+            for vi, (x, y) in enumerate(ring):
+                rows.append(
+                    {
+                        "poly_id": p["poly_id"],
+                        "ring": ri,
+                        "idx": vi,
+                        "xi": int(round(x * 1000)),
+                        "yi": int(round(y * 1000)),
+                    }
+                )
+    return pd.DataFrame(rows)
+
+
 def frac_rings(p):
     shell = ccw(to_frac_ring(p["shell"]))
     holes = [to_frac_ring(h) for h in p["holes"]]
@@ -427,6 +452,7 @@ def main():
     poly_rows(lb).to_parquet(f"{OUT}/layer_b.parquet", index=False)
     poly_rows(lc).to_parquet(f"{OUT}/layer_c.parquet", index=False)
     poly_rows(ld).to_parquet(f"{OUT}/layer_d.parquet", index=False)
+    vertex_rows(la).to_parquet(f"{OUT}/vertices_a.parquet", index=False)
     pd.DataFrame(exp_int).to_parquet(f"{OUT}/expected_int.parquet", index=False)
     pd.DataFrame(exp_uni).to_parquet(f"{OUT}/expected_union.parquet", index=False)
     ni = sum(1 for r in exp_int if r["expected"] > 0)

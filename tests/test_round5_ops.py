@@ -1,0 +1,266 @@
+"""Round-5 operator family: tile density rollup, quadtree cell
+compaction, as-of join, repetition scoring, benchmark
+decontamination, shoelace area/centroid. Unit semantics on crafted
+inputs (the driver contract + scripts/check_contract.py cover the
+sf0.01 oracle parity end to end)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from workstealing_spatial_join_spark.functions import geom as G
+from workstealing_spatial_join_spark.functions import wkt as W
+from workstealing_spatial_join_spark.operators import textops as TX
+from workstealing_spatial_join_spark.operators.dedup import (
+    _shingle_hashes,
+    decontaminate,
+)
+from workstealing_spatial_join_spark.operators.temporal import asof_join
+from workstealing_spatial_join_spark.operators.tiles import (
+    compact_cells,
+    tile_density_rollup,
+)
+
+# ----------------------------------------------------------- rollup
+
+
+def test_rollup_levels_consistent(spark):
+    # 10 points in one zoom-3 tile + 3 points far away
+    rows = [Row(lon=1.0 + 0.01 * i, lat=1.0 + 0.01 * i) for i in range(10)]
+    rows += [Row(lon=-170.0, lat=-80.0)] * 3
+    df = spark.createDataFrame(rows)
+    out = tile_density_rollup(df, zoom=3, min_zoom=0).toPandas()
+    # every level's total equals the point count
+    totals = out.groupby("zoom")["n_images"].sum()
+    assert set(totals) == {13}
+    assert set(out["zoom"]) == {0, 1, 2, 3}
+    # zoom 0 is one world tile holding everything
+    z0 = out[out.zoom == 0]
+    assert len(z0) == 1 and z0.n_images.iloc[0] == 13
+    # parent count == sum of its children at every level
+    for z in (1, 2, 3):
+        kids = out[out.zoom == z].copy()
+        kids["ptx"] = kids.tx // 2
+        kids["pty"] = kids.ty // 2
+        rolled = kids.groupby(["ptx", "pty"])["n_images"].sum().reset_index()
+        parents = out[out.zoom == z - 1]
+        m = rolled.merge(
+            parents, left_on=["ptx", "pty"], right_on=["tx", "ty"]
+        )
+        assert len(m) == len(parents)
+        assert (m["n_images_x"] == m["n_images_y"]).all()
+
+
+# ---------------------------------------------------------- compact
+
+
+def _tiles_df(spark, pairs):
+    return spark.createDataFrame(
+        [Row(tx=int(a), ty=int(b)) for a, b in pairs]
+    )
+
+
+def test_compact_full_quad_collapses(spark):
+    # all 4 children of parent (0,0) at zoom1 -> single zoom-0 cell
+    out = compact_cells(
+        _tiles_df(spark, [(0, 0), (0, 1), (1, 0), (1, 1)]), zoom=1
+    ).toPandas()
+    assert out.values.tolist() == [[0, 0, 0]]
+
+
+def test_compact_partial_quad_stays(spark):
+    out = compact_cells(
+        _tiles_df(spark, [(0, 0), (0, 1), (1, 0)]), zoom=1
+    ).toPandas()
+    assert len(out) == 3 and set(out.zoom) == {1}
+
+
+def test_compact_two_levels_and_coverage(spark):
+    # one complete zoom-2 quad-of-quads (tx,ty in 0..3 all present)
+    # plus a lone distant tile -> root does NOT form; the 16-tile
+    # block compacts to one zoom-1... actually to zoom-1 parents which
+    # then form a complete zoom-0? zoom0 needs all 4 zoom-1 cells:
+    # block gives (0,0),(0,1),(1,0),(1,1) at zoom1 = complete -> but
+    # the lone tile (3,0)@zoom2 lives inside (1,0)@zoom1 which is
+    # already complete, so it was part of the block. Use zoom 3.
+    block = [(x, y) for x in range(4) for y in range(4)]  # zoom3 subset
+    lone = [(7, 7)]
+    out = compact_cells(_tiles_df(spark, block + lone), zoom=3).toPandas()
+    # block = complete (0,0)@zoom1; lone survives at zoom3
+    got = {(r.zoom, r.tx, r.ty) for r in out.itertuples()}
+    assert got == {(1, 0, 0), (3, 7, 7)}
+    # uncompacting reproduces the input exactly
+    expanded = set()
+    for z, tx, ty in got:
+        s = 3 - z
+        for dx in range(1 << s):
+            for dy in range(1 << s):
+                expanded.add(((tx << s) + dx, (ty << s) + dy))
+    assert expanded == set(block + lone)
+
+
+def test_compact_idempotent_on_sparse(spark):
+    pairs = [(0, 0), (2, 3), (5, 1)]
+    out = compact_cells(_tiles_df(spark, pairs), zoom=3).toPandas()
+    assert {(r.tx, r.ty) for r in out.itertuples()} == set(pairs)
+    assert set(out.zoom) == {3}
+
+
+# ------------------------------------------------------------ as-of
+
+
+def test_asof_basic_and_ties(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    us = lambda s: base + timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # user 1: view@0, click@10 -> match; view@20 after click ignored
+        Row(event_id=1, user_id=1, ts=us(0), event_type="view"),
+        Row(event_id=2, user_id=1, ts=us(10), event_type="click"),
+        Row(event_id=3, user_id=1, ts=us(20), event_type="view"),
+        # user 2: click with NO prior view -> null match
+        Row(event_id=4, user_id=2, ts=us(5), event_type="click"),
+        Row(event_id=5, user_id=2, ts=us(6), event_type="view"),
+        # user 3: tie at same ts — view id 6 < click id 7 counts
+        Row(event_id=6, user_id=3, ts=us(30), event_type="view"),
+        Row(event_id=7, user_id=3, ts=us(30), event_type="click"),
+        # user 3 second click: latest view wins
+        Row(event_id=8, user_id=3, ts=us(40), event_type="view"),
+        Row(event_id=9, user_id=3, ts=us(50), event_type="click"),
+        # unrelated type never matches
+        Row(event_id=10, user_id=1, ts=us(9), event_type="purchase"),
+    ]
+    ev = spark.createDataFrame(rows)
+    out = {
+        r.event_id: (r.matched_id, r.gap_us)
+        for r in asof_join(ev, "click", "view").collect()
+    }
+    assert out[2] == (1, 10_000_000)
+    assert out[4] == (None, None)
+    assert out[7] == (6, 0)
+    assert out[9] == (8, 10_000_000)
+    assert set(out) == {2, 4, 7, 9}
+
+
+# ------------------------------------------------------- repetition
+
+
+def test_repetition_ratio(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c a b c a b c"),  # 7 grams, 3 uniq
+            Row(doc_id=2, text="all words differ here now"),  # 3/3
+            Row(doc_id=3, text="too short"),  # 0 grams
+            Row(doc_id=4, text=""),
+        ]
+    )
+    n, d, r = TX.ngram_repetition_cols(F.col("text"), k=3)
+    out = {
+        row.doc_id: (row.n, row.d, row.r)
+        for row in docs.select(
+            "doc_id", n.alias("n"), d.alias("d"), r.alias("r")
+        ).collect()
+    }
+    assert out[1] == (7, 3, 4 / 7)
+    assert out[2] == (3, 3, 0.0)
+    assert out[3] == (0, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+# ----------------------------------------------------- decontaminate
+
+
+def test_decontaminate_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox"),
+            Row(doc_id=2, text="zzzzzz yyyyy xxxxx"),  # no overlap
+        ]
+    )
+    bench = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the quick red fox"),
+            Row(doc_id=101, text="quick brown dogs"),
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_shared, r.n_bench_docs)
+        for r in decontaminate(corpus, bench).collect()
+    }
+    assert set(out) == {1}
+    n_shared, n_bench = out[1]
+    # independent recomputation with the same shingle family
+    c1 = set(_shingle_hashes("the quick brown fox").tolist())
+    b = [
+        set(_shingle_hashes("the quick red fox").tolist()),
+        set(_shingle_hashes("quick brown dogs").tolist()),
+    ]
+    exp_shared = len(c1 & (b[0] | b[1]))
+    exp_docs = sum(1 for s in b if c1 & s)
+    assert (n_shared, n_bench) == (exp_shared, exp_docs)
+    assert n_shared > 0 and exp_docs == 2
+
+
+# -------------------------------------------------- area / centroid
+
+
+def test_area_centroid_square():
+    ring = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+    a2, cnx, cny = G.area_centroid_scaled([(W.POLYGON, [ring])])
+    assert a2 == 2 * 4 * 1000 * 1000  # 2*area in 1e-6 units
+    assert cnx / ((3.0 * a2) * 1000.0) == 1.0
+    assert cny / ((3.0 * a2) * 1000.0) == 1.0
+
+
+def test_area_centroid_hole_and_orientation():
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    hole = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)
+    # stored winding must not matter
+    for flip_outer in (False, True):
+        for flip_hole in (False, True):
+            o = outer[::-1] if flip_outer else outer
+            h = hole[::-1] if flip_hole else hole
+            a2, cnx, cny = G.area_centroid_scaled([(W.POLYGON, [o, h])])
+            assert a2 == 2 * (16 - 4) * 1000 * 1000
+            assert cnx / ((3.0 * a2) * 1000.0) == pytest.approx(2.0)
+            assert cny / ((3.0 * a2) * 1000.0) == pytest.approx(2.0)
+
+
+def test_area_centroid_asymmetric_hole():
+    outer = np.array([[0, 0], [6, 0], [6, 6], [0, 6], [0, 0]], float)
+    hole = np.array([[4, 4], [5, 4], [5, 5], [4, 5], [4, 4]], float)
+    a2, cnx, cny = G.area_centroid_scaled([(W.POLYGON, [outer, hole])])
+    area = a2 / 2 / 1e6
+    assert area == 35.0
+    cx = cnx / ((3.0 * a2) * 1000.0)
+    cy = cny / ((3.0 * a2) * 1000.0)
+    # centroid = (36*3 - 1*4.5)/35 exactly, both axes
+    assert cx == pytest.approx((36 * 3 - 1 * 4.5) / 35)
+    assert cy == pytest.approx((36 * 3 - 1 * 4.5) / 35)
+
+
+def test_area_centroid_udf_matches_kernel(spark):
+    from workstealing_spatial_join_spark.functions.predicates import (
+        st_area_centroid,
+    )
+
+    la = pd.read_parquet("/root/repo/bench_data/concave/layer_a.parquet")
+    df = spark.createDataFrame(la[["poly_id", "geom_wkb"]])
+    got = {
+        r.poly_id: (r.ac.area2, r.ac.cx, r.ac.cy)
+        for r in df.select(
+            "poly_id", st_area_centroid(F.col("geom_wkb")).alias("ac")
+        ).collect()
+    }
+    for _, row in la.iterrows():
+        a2, cnx, cny = G.area_centroid_scaled(
+            W.from_wkb(bytes(row.geom_wkb))
+        )
+        den = (3.0 * float(a2)) * 1000.0
+        assert got[row.poly_id] == (a2, cnx / den, cny / den)
+        assert a2 > 0

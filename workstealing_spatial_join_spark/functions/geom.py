@@ -556,6 +556,53 @@ def _ring_area2(pts: np.ndarray) -> float:
     return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
+def area_centroid_scaled(
+    parts: list, scale: int = 1000
+) -> tuple[int, int, int]:
+    """Integer-exact shoelace area + centroid numerators for a parsed
+    geometry (list of ``(gtype, rings)`` parts; only POLYGON parts
+    contribute). Coordinates are snapped to the ``1/scale`` lattice
+    (fixture layers are 3-decimal, so ``np.rint(x*1000)`` recovers
+    the exact integer) and everything downstream is int64 — the sums
+    are order-independent and bit-reproducible in any engine, no
+    float-summation bridge needed.
+
+    Returns ``(area2, cnx, cny)`` where area2 = 2·area in
+    ``scale^-2`` units (outer rings minus holes, orientation-
+    normalized so stored ring winding doesn't matter), and the
+    centroid is ``(cnx / (3·area2·scale), cny / (3·area2·scale))``
+    in original units.
+    """
+    a2 = 0
+    cnx = 0
+    cny = 0
+    for gtype, rings in parts:
+        if gtype != POLYGON:
+            continue
+        for ri, r in enumerate(rings):
+            pts = np.rint(np.asarray(r, dtype=np.float64) * scale).astype(
+                np.int64
+            )
+            if len(pts) >= 2 and bool((pts[0] == pts[-1]).all()):
+                pts = pts[:-1]
+            if len(pts) < 3:
+                continue
+            x, y = pts[:, 0], pts[:, 1]
+            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            cross = x * y2 - x2 * y
+            s = int(cross.sum())
+            cx = int(((x + x2) * cross).sum())
+            cy = int(((y + y2) * cross).sum())
+            if ri == 0:
+                f = 1 if s >= 0 else -1
+            else:
+                f = -1 if s >= 0 else 1
+            a2 += f * s
+            cnx += f * cx
+            cny += f * cy
+    return a2, cnx, cny
+
+
 def classify_clip_num_points(pts: np.ndarray) -> int:
     """Map a raw clipped chain to GEOS ``intersection().getNumPoints()``
     semantics (src/thread_util.cpp:424-425 consumes exactly this):

@@ -609,3 +609,37 @@ PREDICATES_ND = {
     name: F.pandas_udf(udf.func, udf.returnType).asNondeterministic()
     for name, udf in PREDICATES.items()
 }
+
+
+_AREA_CENTROID_TYPE = T.StructType([
+    T.StructField("area2", T.LongType()),
+    T.StructField("cx", T.DoubleType()),
+    T.StructField("cy", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_AREA_CENTROID_TYPE)
+def st_area_centroid(geom_wkb: pd.Series) -> pd.DataFrame:
+    """Scalar geometry measures (SURVEY §2.5 function family):
+    integer-exact shoelace area (``area2`` = 2·area in 10^-6
+    square-degree units) + centroid, per WKB geometry. The shoelace
+    runs on the 1/1000° lattice in int64 (geom.area_centroid_scaled),
+    so the SQL twin — the same cross-product sums over the fixture's
+    scaled-integer vertex table — is bit-identical with no rounding
+    bridge; cx/cy are one IEEE division of identical operands.
+    Duplicate geometries decode once per batch (factorize)."""
+    codes, uniques = pd.factorize(geom_wkb)
+    vals = []
+    for buf in uniques:
+        if buf is None:
+            vals.append((0, None, None))
+            continue
+        a2, cnx, cny = G.area_centroid_scaled(W.from_wkb(bytes(buf)))
+        if a2 == 0:
+            vals.append((0, None, None))
+        else:
+            den = (3.0 * float(a2)) * 1000.0
+            vals.append((a2, float(cnx) / den, float(cny) / den))
+    null = (0, None, None)
+    rows = [vals[c] if c >= 0 else null for c in codes]
+    return pd.DataFrame(rows, columns=["area2", "cx", "cy"])

@@ -868,3 +868,64 @@ def embedding_neardup(
         .where(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "cosine")
     )
+
+
+def shingle_set_udf(shingle_k: int = SHINGLE_K):
+    """Arrow UDF: unique byte k-shingle codes per document (the same
+    injective base-257 family every dedup oracle recomputes in SQL).
+    Exact-dup texts within a batch shingle once (factorize)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sh(text: pd.Series) -> pd.Series:
+        codes, uniques = pd.factorize(text.fillna(""))
+        sets = [
+            _shingle_hashes(s or "", shingle_k).astype(np.int64).tolist()
+            for s in uniques
+        ]
+        return pd.Series([sets[c] for c in codes])
+
+    return sh
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = SHINGLE_K,
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share at
+    least one byte k-shingle with any held-out benchmark document
+    (the n-gram-overlap test-set-leak check every training-data
+    pipeline runs before a pretraining dump).
+
+    Output: ``(doc_id, n_shared:long, n_bench_docs:long)`` for
+    CONTAMINATED corpus docs only — n_shared distinct shingle codes
+    in common with the benchmark union, n_bench_docs distinct
+    benchmark docs hit.
+
+    Scale shape: the benchmark side is small by construction (eval
+    sets, not the corpus), so its exploded distinct shingle table is
+    BROADCAST — the 100-TB corpus is never shuffled, each partition
+    shingles its own documents (Arrow UDF) and probes the broadcast
+    hash set; the only aggregation is per contaminated doc (a tiny
+    fraction). The corpus→benchmark direction is an equi-join on the
+    shingle code, never an all-pairs scan.
+    """
+    sh = shingle_set_udf(shingle_k)
+    corp = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(sh(F.col(text_col))).alias("h"),
+    )
+    bench = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(sh(F.col(text_col))).alias("h"),
+    ).distinct()
+    return (
+        corp.join(F.broadcast(bench), on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

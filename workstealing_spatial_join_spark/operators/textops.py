@@ -114,6 +114,34 @@ def ngram_jaccard_cols(a: Column, b: Column, k: int = 3) -> Column:
     )
 
 
+def ngram_repetition_cols(text: Column, k: int = 3) -> tuple[Column, Column, Column]:
+    """Gopher-style repetition quality signal: how much of a document
+    is repeated word n-grams. Returns ``(n_ngrams, n_distinct,
+    rep_ratio)`` where rep_ratio = (n_ngrams - n_distinct) / n_ngrams
+    (0.0 for docs shorter than k words). Pure Catalyst higher-order
+    functions (split/sequence/transform/array_distinct) — zero
+    Python, per-row linear, no shuffle; the ratio is an exact
+    division of the two integer counts so the SQL twin is
+    bit-identical."""
+    words = F.split(F.trim(text), TOKEN_SPLIT_RE)
+    n_grams = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(j + 1)) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        n_grams > 0,
+        (n_grams - n_distinct).cast("double") / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return n_grams.cast("long"), n_distinct.cast("long"), ratio
+
+
 @F.pandas_udf(T.LongType())
 def fingerprint64(text: pd.Series) -> pd.Series:
     """Deterministic 64-bit rolling-hash document fingerprint

@@ -123,3 +123,119 @@ def tile_cell_assignment(
         F.col("maxy") - eps,
     ).toDF("tile_id", "minx", "miny", "maxx", "maxy")
     return tessellate_bbox(tiles, cell_deg).select("tile_id", "cell_id")
+
+
+def tile_density_rollup(
+    points: DataFrame,
+    zoom: int = 6,
+    min_zoom: int = 0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Multi-resolution tile density: per-tile image counts at every
+    zoom level from ``zoom`` down to ``min_zoom`` — the hypertable-
+    rollup shape (heatmap pyramids, tile-server density layers).
+
+    Scale shape: ONE shuffle touches the data (the groupBy at the
+    finest zoom, ≤4^zoom keys); every coarser level aggregates the
+    PREVIOUS LEVEL'S AGGREGATE (4× fewer rows each step, parent id =
+    child id >> 1), never the base table. At 10^12 images the z-1
+    rollup input is ≤4^zoom counter rows, not 10^12 points — this is
+    the map-side-combine ladder a naive GROUPING SETS plan (which
+    re-shuffles the base table once per level) does not give you.
+
+    Returns ``(zoom:int, tx:long, ty:long, n_images:long)``.
+    """
+    if min_zoom > zoom:
+        raise ValueError("min_zoom must be <= zoom")
+    tx, ty = tile_xy_cols(F.col(lon), F.col(lat), zoom)
+    base = (
+        points.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+    levels = [base.select(F.lit(zoom).cast("int").alias("zoom"), "tx", "ty", "n_images")]
+    cur = base
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        cur = (
+            cur.select(
+                F.shiftright(F.col("tx"), 1).alias("tx"),
+                F.shiftright(F.col("ty"), 1).alias("ty"),
+                "n_images",
+            )
+            .groupBy("tx", "ty")
+            .agg(F.sum("n_images").alias("n_images"))
+        )
+        levels.append(
+            cur.select(F.lit(z).cast("int").alias("zoom"), "tx", "ty", "n_images")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def compact_cells(
+    tiles: DataFrame,
+    zoom: int,
+    min_zoom: int = 0,
+    tx: str = "tx",
+    ty: str = "ty",
+) -> DataFrame:
+    """Quadtree compaction of an occupied-tile set (H3 `compactCells`
+    analog on the quadkey grid): wherever all 4 children of a parent
+    are occupied, the parent replaces them — applied recursively up
+    to ``min_zoom``. The compacted set covers exactly the same area
+    with the minimal number of mixed-resolution cells, which is what
+    you hand to a polygon-coverage index or a tile prefetcher instead
+    of 4^zoom fine cells.
+
+    Input: distinct occupied ``(tx, ty)`` at ``zoom``. Output:
+    ``(zoom:int, tx:long, ty:long)`` — a cell appears iff it is
+    "complete" at its level (at the finest level: occupied) and its
+    parent is NOT complete.
+
+    Scale shape: the first groupBy is over the occupied-tile set
+    (≤4^zoom rows — already an aggregate, tiny next to the imagery);
+    each further level shrinks 4×. All joins are equi-joins on
+    (parent tx, ty); the anti-join build sides are the next-coarser
+    level (always the smallest involved), so Spark broadcasts them.
+    """
+    if min_zoom > zoom:
+        raise ValueError("min_zoom must be <= zoom")
+    complete = {
+        zoom: tiles.select(
+            F.col(tx).cast("long").alias("tx"), F.col(ty).cast("long").alias("ty")
+        ).distinct()
+    }
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        complete[z] = (
+            complete[z + 1]
+            .groupBy(
+                F.shiftright(F.col("tx"), 1).alias("tx"),
+                F.shiftright(F.col("ty"), 1).alias("ty"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_children"))
+            .where(F.col("n_children") == 4)
+            .select("tx", "ty")
+        )
+    parts = []
+    for z in range(min_zoom, zoom + 1):
+        keep = complete[z]
+        if z > min_zoom:
+            parents = complete[z - 1]
+            keep = keep.join(
+                parents.select(
+                    F.col("tx").alias("ptx"), F.col("ty").alias("pty")
+                ),
+                (F.shiftright(F.col("tx"), 1) == F.col("ptx"))
+                & (F.shiftright(F.col("ty"), 1) == F.col("pty")),
+                "left_anti",
+            )
+        parts.append(
+            keep.select(F.lit(z).cast("int").alias("zoom"), "tx", "ty")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
