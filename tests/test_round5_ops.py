@@ -264,3 +264,41 @@ def test_area_centroid_udf_matches_kernel(spark):
         den = (3.0 * float(a2)) * 1000.0
         assert got[row.poly_id] == (a2, cnx / den, cny / den)
         assert a2 > 0
+
+
+# ------------------------------------------------------- plan gates
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_plan_single_exchange_zero_python(spark):
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, ts=datetime(2024, 1, 1),
+             event_type="view")]
+    )
+    p = _plan(asof_join(ev, "click", "view"))
+    assert p.count("Exchange") == 1  # ONE shuffle: the merge shape
+    assert "Python" not in p
+
+
+def test_rollup_plan_one_scan_one_exchange(spark, tmp_path):
+    path = str(tmp_path / "pts.parquet")
+    spark.createDataFrame(
+        [Row(lon=float(i), lat=float(i % 80)) for i in range(50)]
+    ).write.parquet(path)
+    df = tile_density_rollup(spark.read.parquet(path), zoom=4)
+    p = _plan(df)
+    assert p.count("Scan parquet") == 1  # no per-level rescans
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Python" not in p
+
+
+def test_decontam_plan_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([Row(doc_id=1, text="abcdefg")])
+    bench = spark.createDataFrame([Row(doc_id=2, text="abcdexx")])
+    p = _plan(decontaminate(corpus, bench))
+    assert "BroadcastHashJoin" in p  # corpus side never shuffles

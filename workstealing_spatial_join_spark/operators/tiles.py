@@ -136,43 +136,42 @@ def tile_density_rollup(
     zoom level from ``zoom`` down to ``min_zoom`` — the hypertable-
     rollup shape (heatmap pyramids, tile-server density layers).
 
-    Scale shape: ONE shuffle touches the data (the groupBy at the
-    finest zoom, ≤4^zoom keys); every coarser level aggregates the
-    PREVIOUS LEVEL'S AGGREGATE (4× fewer rows each step, parent id =
-    child id >> 1), never the base table. At 10^12 images the z-1
-    rollup input is ≤4^zoom counter rows, not 10^12 points — this is
-    the map-side-combine ladder a naive GROUPING SETS plan (which
-    re-shuffles the base table once per level) does not give you.
+    Scale shape: ONE scan + ONE shuffle, total. Each point explodes
+    to its (level, parent-tile) memberships (parent id = tile id >>
+    shift — pure Catalyst bit arithmetic), then a single groupBy
+    aggregates all levels at once. The explode multiplies rows
+    (levels+1)× BEFORE aggregation, but hash-aggregation's map-side
+    combine collapses them to ≤Σ4^z ≈ (4/3)·4^zoom counter rows per
+    input partition before anything hits the wire — so the exchange
+    carries counters, not points. (A per-level rollup ladder reads
+    nicer on paper but Spark plans are trees, not DAGs: the lazy
+    union of 7 chained aggregates re-scans the base once per level —
+    the `.explain` actually showed 7 scans — and fixing that needs a
+    cache with lifecycle baggage. One Expand + one Exchange is the
+    plan you want at 10^12 points, and it's what GROUPING SETS would
+    compile to, minus the null-marker columns.)
 
     Returns ``(zoom:int, tx:long, ty:long, n_images:long)``.
     """
     if min_zoom > zoom:
         raise ValueError("min_zoom must be <= zoom")
     tx, ty = tile_xy_cols(F.col(lon), F.col(lat), zoom)
-    base = (
+    return (
         points.select(tx.alias("tx"), ty.alias("ty"))
-        .groupBy("tx", "ty")
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(zoom - min_zoom))
+            ).alias("s"),
+            "tx",
+            "ty",
+        )
+        .groupBy(
+            (F.lit(zoom) - F.col("s")).cast("int").alias("zoom"),
+            F.expr("shiftright(tx, cast(s AS int))").alias("tx"),
+            F.expr("shiftright(ty, cast(s AS int))").alias("ty"),
+        )
         .agg(F.count(F.lit(1)).alias("n_images"))
     )
-    levels = [base.select(F.lit(zoom).cast("int").alias("zoom"), "tx", "ty", "n_images")]
-    cur = base
-    for z in range(zoom - 1, min_zoom - 1, -1):
-        cur = (
-            cur.select(
-                F.shiftright(F.col("tx"), 1).alias("tx"),
-                F.shiftright(F.col("ty"), 1).alias("ty"),
-                "n_images",
-            )
-            .groupBy("tx", "ty")
-            .agg(F.sum("n_images").alias("n_images"))
-        )
-        levels.append(
-            cur.select(F.lit(z).cast("int").alias("zoom"), "tx", "ty", "n_images")
-        )
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
 
 
 def compact_cells(
@@ -181,6 +180,7 @@ def compact_cells(
     min_zoom: int = 0,
     tx: str = "tx",
     ty: str = "ty",
+    materialize: bool = True,
 ) -> DataFrame:
     """Quadtree compaction of an occupied-tile set (H3 `compactCells`
     analog on the quadkey grid): wherever all 4 children of a parent
@@ -200,14 +200,22 @@ def compact_cells(
     each further level shrinks 4×. All joins are equi-joins on
     (parent tx, ty); the anti-join build sides are the next-coarser
     level (always the smallest involved), so Spark broadcasts them.
-    """
+    ``materialize=True`` (default) eagerly local-checkpoints the
+    distinct occupied set: the iterative levels reference it from
+    2(zoom-min_zoom)+1 plan branches, and Spark plans are trees —
+    without truncation every branch re-derives it from the BASE
+    TABLE (the lazy plan showed 11 base scans at zoom 5). The
+    checkpoint is bounded by 4^zoom rows, so this is always safe;
+    pass False only when the input is already a materialized tiny
+    relation."""
     if min_zoom > zoom:
         raise ValueError("min_zoom must be <= zoom")
-    complete = {
-        zoom: tiles.select(
-            F.col(tx).cast("long").alias("tx"), F.col(ty).cast("long").alias("ty")
-        ).distinct()
-    }
+    occupied = tiles.select(
+        F.col(tx).cast("long").alias("tx"), F.col(ty).cast("long").alias("ty")
+    ).distinct()
+    if materialize:
+        occupied = occupied.localCheckpoint(eager=True)
+    complete = {zoom: occupied}
     for z in range(zoom - 1, min_zoom - 1, -1):
         complete[z] = (
             complete[z + 1]
