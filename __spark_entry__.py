@@ -66,6 +66,7 @@ from workstealing_spatial_join_spark.operators.dedup import (
     simhash60,
     simhash_dedup,
 )
+from workstealing_spatial_join_spark.operators.sketch import sql_hll_distinct
 from workstealing_spatial_join_spark.operators.temporal import asof_join
 from workstealing_spatial_join_spark.operators.knn import knn_join
 from workstealing_spatial_join_spark.operators.similarity import (
@@ -867,6 +868,21 @@ def q_decontam_overlap(spark, sf_dir):
     return decontaminate(corpus, bench)
 
 
+def q_events_hll_users(spark, sf_dir):
+    """HyperLogLog distinct users per event_type — the mergeable
+    sketch path for COUNT(DISTINCT) at 10^12 rows (shuffles ≤256
+    register rows per group instead of every distinct key). All three
+    output columns are bit-reproducible (integer harmonic sum, one
+    shared literal numerator); the oracle recomputes registers, rho,
+    and the scaled sum from scratch in SQL."""
+    from workstealing_spatial_join_spark.operators.sketch import (
+        hll_distinct,
+    )
+
+    ev = TB.load(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "user_id")
+
+
 def q_polygon_area_centroid(spark, sf_dir):
     """Scalar geometry measures over the concave (holed) layer:
     integer-exact shoelace area2 + centroid per polygon
@@ -942,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "decontam_overlap": q_decontam_overlap,
         "polygon_area_centroid": q_polygon_area_centroid,
+        "events_hll_users": q_events_hll_users,
     }
 
 
@@ -1561,6 +1578,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY c9 DESC, neighbor_vec_id) AS rank FROM scored) "
             "SELECT vec_id, neighbor_vec_id, CAST(rank AS INT) AS rank, "
             "c9 AS cosine FROM ranked WHERE rank <= 5"
+        ),
+        "events_hll_users": sql_hll_distinct(
+            "events", "event_type", "user_id", alias="event_type"
         ),
         "tile_density_rollup": _rollup_sql(ZOOM, 0),
         "cell_compact": _compact_sql(COMPACT_ZOOM, 0),

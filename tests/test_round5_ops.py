@@ -302,3 +302,71 @@ def test_decontam_plan_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([Row(doc_id=2, text="abcdexx")])
     p = _plan(decontaminate(corpus, bench))
     assert "BroadcastHashJoin" in p  # corpus side never shuffles
+
+
+# -------------------------------------------------------------- hll
+
+
+def test_hll_accuracy_and_merge(spark):
+    from workstealing_spatial_join_spark.operators.sketch import (
+        HLL_M,
+        hll_correct,
+        hll_distinct,
+        hll_sketch,
+    )
+
+    # 5000 distinct keys, two disjoint halves tagged g=a/b
+    df = spark.range(5000).select(
+        F.when(F.col("id") < 2500, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        F.col("id").alias("k"),
+    )
+    est = {
+        r.g: hll_correct(r.hll_raw, r.n_registers_used)
+        for r in hll_distinct(df, ["g"], "k").collect()
+    }
+    assert est["a"] == pytest.approx(2500, rel=0.12)
+    assert est["b"] == pytest.approx(2500, rel=0.12)
+
+    # mergeability: register-wise MAX of the two half-sketches equals
+    # the sketch of the union (the property that makes HLL the scale
+    # path — partials combine across partitions/datasets)
+    whole = {
+        (r.register, r.max_rho)
+        for r in hll_sketch(
+            df.select(F.lit("all").alias("g"), "k"), ["g"], "k"
+        ).collect()
+    }
+    halves = hll_sketch(df, ["g"], "k")
+    merged = {
+        (r.register, r.max_rho)
+        for r in halves.groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_hll_bin_rho_semantics(spark):
+    # pin the LENGTH(BIN(x)) convention the SQL twin relies on
+    from workstealing_spatial_join_spark.operators.sketch import (
+        hll_register_cols,
+    )
+    import duckdb
+
+    df = spark.createDataFrame([Row(k=i) for i in range(200)])
+    reg, rho = hll_register_cols(F.col("k"))
+    got = {
+        r.k: (r.reg, r.rho)
+        for r in df.select("k", reg.alias("reg"), rho.alias("rho")).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        k: (rg, rh)
+        for k, rg, rh in con.execute(
+            "SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 2)) AS INT), "
+            "LEAST(CASE WHEN x = 0 THEN 61 ELSE 61 - LENGTH(BIN(x)) END, 45) "
+            "FROM (SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 3, 15)) AS BIGINT) AS x "
+            "FROM range(200) t(k))"
+        ).fetchall()
+    }
+    assert got == want

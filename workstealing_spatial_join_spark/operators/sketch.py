@@ -1,0 +1,134 @@
+"""Distinct-count sketches: HyperLogLog as pure Catalyst aggregation.
+
+The 100-TB story for COUNT(DISTINCT): an exact distinct over 10^12
+rows shuffles every distinct key; a HyperLogLog sketch shuffles at
+most ``m`` (=2^b) register rows per group, merges associatively
+(register-wise MAX — so partial aggregation, AQE, and cross-dataset
+unions all compose), and answers within ~1.04/sqrt(m). This
+implementation is deliberately EXACTLY reproducible in ANSI SQL so
+the driver oracle can hash-compare it:
+
+* item hash: md5 of the key rendered as a string — register index =
+  first hex byte (b=8 → 256 registers), rho = leading-zero count of
+  the next 60 bits + 1, computed via LENGTH(BIN(x)) (Spark's `bin`
+  and DuckDB's `bin` both emit minimal binary digits, pytest-pinned).
+* harmonic sum: registers are combined as INTEGERS — each register
+  contributes 2^(45 - min(rho, 45)), an exact int64 term; the group
+  sum is ≤ 2^53 even with all 256 registers empty, so it is exact in
+  int64 AND in the double it becomes at division time. No float
+  summation anywhere → no ordering sensitivity → bit-exact parity.
+  (Capping rho at 45 changes the estimate only when a single hash
+  has ≥45 leading zero bits — probability 2^-45 per item.)
+* raw estimate: alpha_m·m²·2^45 / harmonic — the numerator is ONE
+  Python-evaluated double literal embedded identically in the Spark
+  plan and the oracle SQL, so the division has identical operands.
+
+The RAW estimate is what is oracle-hashed (exact). The small-range
+(linear-counting) correction uses ln(), which is not guaranteed
+bit-identical across libm implementations — apply it caller-side
+with ``hll_correct`` (tests verify accuracy, not the driver hash).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_B = 8
+HLL_M = 1 << HLL_B  # 256 registers
+RHO_CAP = 45
+_SCALE = 1 << RHO_CAP  # empty-register term; 256·2^45 = 2^53 exact
+
+
+def hll_alpha(m: int = HLL_M) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_numerator(m: int = HLL_M) -> float:
+    """alpha·m²·2^45 as one double literal (same bits both engines)."""
+    return hll_alpha(m) * float(m) * float(m) * float(_SCALE)
+
+
+def hll_register_cols(key: Column) -> tuple[Column, Column]:
+    """(register, rho) for one item — md5-based, SQL-twin-exact."""
+    h = F.md5(key.cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    x = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = F.when(x == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(x))
+    )
+    return reg, F.least(rho, F.lit(RHO_CAP))
+
+
+def hll_sketch(
+    df: DataFrame, group_cols: list[str], key: str
+) -> DataFrame:
+    """Per-group register table ``(group_cols..., register, max_rho)``
+    — the mergeable representation (union two sketches by another
+    groupBy-MAX over the same schema)."""
+    reg, rho = hll_register_cols(F.col(key))
+    return (
+        df.select(*group_cols, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], key: str
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate. Output columns:
+    ``n_registers_used`` (long), ``harmonic_scaled`` (long, exact),
+    ``hll_raw`` (double, exact division) — all bit-reproducible; feed
+    ``hll_raw``/``n_registers_used`` to :func:`hll_correct` for the
+    small-range-corrected estimate."""
+    sk = hll_sketch(df, group_cols, key)
+    used = F.count(F.lit(1))
+    present_sum = F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - max_rho)")
+    )
+    harmonic = (
+        present_sum + (F.lit(HLL_M) - used) * F.lit(_SCALE).cast("long")
+    ).cast("long")
+    return sk.groupBy(*group_cols).agg(
+        used.cast("long").alias("n_registers_used"),
+        harmonic.alias("harmonic_scaled"),
+        (
+            F.lit(hll_numerator()) / harmonic.cast("double")
+        ).alias("hll_raw"),
+    )
+
+
+def hll_correct(raw: float, used: int, m: int = HLL_M) -> float:
+    """Small-range (linear counting) correction — caller-side because
+    ln() is not bit-portable across engines."""
+    v = m - used
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw
+
+
+def sql_hll_distinct(
+    src: str, group_expr: str, key_expr: str, alias: str = "g"
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` — same md5 register/rho,
+    same integer harmonic sum, same literal numerator."""
+    num = repr(hll_numerator())
+    return (
+        f"WITH items AS (SELECT {group_expr} AS {alias}, "
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 2)) "
+        f"AS INT) AS register, "
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 3, 15)) "
+        f"AS BIGINT) AS x FROM {src}), "
+        f"regs AS (SELECT {alias}, register, "
+        f"MAX(LEAST(CASE WHEN x = 0 THEN 61 ELSE 61 - LENGTH(BIN(x)) END, "
+        f"{RHO_CAP})) AS max_rho FROM items GROUP BY {alias}, register), "
+        f"agg AS (SELECT {alias}, COUNT(*) AS n_registers_used, "
+        f"CAST(SUM(CAST(1 AS BIGINT) << ({RHO_CAP} - max_rho)) "
+        f"+ ({HLL_M} - COUNT(*)) * CAST({_SCALE} AS BIGINT) AS BIGINT) "
+        f"AS harmonic_scaled FROM regs GROUP BY {alias}) "
+        f"SELECT {alias}, n_registers_used, harmonic_scaled, "
+        f"{num} / CAST(harmonic_scaled AS DOUBLE) AS hll_raw FROM agg"
+    )
