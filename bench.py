@@ -270,6 +270,12 @@ def main():
         "lang_id",
         "ann_cosine_topk",
         "minhash_neardup",
+        # round-5 surface (all cheap; kept in the record to show the
+        # new operator families under measurement)
+        "tile_density_rollup",
+        "events_asof",
+        "events_hll_users",
+        "decontam_overlap",
     ]:
         from workstealing_spatial_join_spark.operators.dedup import (
             release_dedup_caches as _release,

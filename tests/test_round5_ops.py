@@ -370,3 +370,135 @@ def test_hll_bin_rho_semantics(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------- simplify / convex hull
+
+
+def _rand_chain(rng, n):
+    steps = rng.normal(size=(n, 2))
+    return np.cumsum(steps, axis=0)
+
+
+def test_simplify_dp_properties():
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        chain = _rand_chain(rng, int(rng.integers(5, 80)))
+        eps = float(rng.uniform(0.1, 2.0))
+        out = G.simplify_dp(chain, eps)
+        # endpoints kept; output is an ordered subsequence of input
+        assert (out[0] == chain[0]).all() and (out[-1] == chain[-1]).all()
+        idx = []
+        j = 0
+        for p in out:
+            while not (chain[j] == p).all():
+                j += 1
+            idx.append(j)
+        assert idx == sorted(idx)
+        # every dropped point lies within eps of the kept chain's
+        # corresponding segment (the DP guarantee)
+        for a_i, b_i in zip(idx[:-1], idx[1:]):
+            a, b = chain[a_i], chain[b_i]
+            seg = chain[a_i:b_i + 1][1:-1]
+            if len(seg) == 0:
+                continue
+            d = b - a
+            ll = float(d @ d)
+            rel = seg - a
+            if ll == 0:
+                dist2 = (rel * rel).sum(axis=1)
+            else:
+                cr = rel[:, 0] * d[1] - rel[:, 1] * d[0]
+                dist2 = cr * cr / ll
+            assert (dist2 <= eps * eps + 1e-9).all()
+
+
+def test_simplify_dp_collinear_and_short():
+    line = np.array([[0.0, 0], [1, 0], [2, 0], [3, 0]])
+    assert len(G.simplify_dp(line, 0.0)) == 2  # strictly collinear
+    two = np.array([[0.0, 0], [1, 1]])
+    assert (G.simplify_dp(two, 5.0) == two).all()
+
+
+def test_simplify_geom_ring_never_invalidated():
+    # a tiny triangle ring simplifying below 4 closed points keeps
+    # its original vertices
+    tri = np.array([[0.0, 0], [1, 0], [0.5, 0.1], [0, 0]])
+    gtype, rings = G.simplify_geom(W.POLYGON, [tri], eps=10.0)
+    assert (rings[0] == tri).all()
+
+
+def test_convex_hull_properties():
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        pts = rng.uniform(-5, 5, size=(int(rng.integers(3, 200)), 2))
+        h = G.convex_hull(pts)
+        # hull is convex (strict CCW turns)
+        m = len(h)
+        assert m >= 3
+        for i in range(m):
+            o, a, b = h[i], h[(i + 1) % m], h[(i + 2) % m]
+            cr = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+            assert cr > 0
+        # all input points inside or on the hull
+        for i in range(m):
+            o, a = h[i], h[(i + 1) % m]
+            cr = (a[0] - o[0]) * (pts[:, 1] - o[1]) - (a[1] - o[1]) * (
+                pts[:, 0] - o[0]
+            )
+            assert (cr >= -1e-9).all()
+
+
+def test_simplify_hull_udfs(spark):
+    from workstealing_spatial_join_spark.functions.predicates import (
+        make_simplify,
+        st_convex_hull,
+    )
+
+    la = pd.read_parquet(
+        "/root/repo/bench_data/concave/layer_a.parquet"
+    ).head(30)
+    df = spark.createDataFrame(la[["poly_id", "geom_wkb"]])
+    out = df.select(
+        "poly_id",
+        make_simplify(0.05)(F.col("geom_wkb")).alias("simp"),
+        st_convex_hull(F.col("geom_wkb")).alias("hull"),
+    ).collect()
+    for r in out:
+        orig = W.from_wkb(bytes(la[la.poly_id == r.poly_id].geom_wkb.iloc[0]))
+        simp = W.from_wkb(bytes(r.simp))
+        hull = W.from_wkb(bytes(r.hull))
+        # simplify: fewer-or-equal vertices, same ring count, closed
+        assert len(simp[0][1]) == len(orig[0][1])
+        for rs, ro in zip(simp[0][1], orig[0][1]):
+            assert len(rs) <= len(ro) and (rs[0] == rs[-1]).all()
+        # hull contains every original vertex
+        hr = hull[0][1][0]
+        m = len(hr) - 1
+        pts = np.vstack(orig[0][1])
+        for i in range(m):
+            o, a = hr[i], hr[i + 1]
+            cr = (a[0] - o[0]) * (pts[:, 1] - o[1]) - (a[1] - o[1]) * (
+                pts[:, 0] - o[0]
+            )
+            assert (cr >= -1e-9).all()
+
+
+def test_simplify_hull_vs_shapely_if_available():
+    shapely = pytest.importorskip("shapely")
+    from shapely.geometry import LineString, MultiPoint
+
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        chain = _rand_chain(rng, 40)
+        eps = float(rng.uniform(0.2, 1.5))
+        ours = G.simplify_dp(chain, eps)
+        theirs = np.asarray(
+            LineString(chain).simplify(eps, preserve_topology=False).coords
+        )
+        assert np.allclose(ours, theirs)
+        pts = rng.uniform(-5, 5, size=(50, 2))
+        hull = G.convex_hull(pts)
+        sh = np.asarray(MultiPoint(pts).convex_hull.exterior.coords)[:-1]
+        # same vertex set (rotation/orientation may differ)
+        assert {tuple(p) for p in hull} == {tuple(p) for p in sh}

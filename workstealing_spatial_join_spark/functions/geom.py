@@ -673,3 +673,93 @@ def _crossing_points(pa: np.ndarray, pb: np.ndarray) -> np.ndarray:
     if not pts:
         return np.empty((0, 2))
     return np.unique(np.asarray(pts), axis=0)
+
+
+# ------------------------------------------- simplify / convex hull
+
+
+def simplify_dp(chain: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (iterative stack — no
+    recursion depth limit). ``chain`` is an (n,2) open or closed
+    vertex chain; returns the kept vertices in order (endpoints always
+    kept). The point-to-segment distance over each span is vectorized
+    NumPy; the stack loop runs once per KEPT split point, so the
+    Python overhead is O(output), not O(n²)."""
+    n = len(chain)
+    if n <= 2:
+        return chain.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    eps2 = eps * eps
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        seg = chain[i:j + 1]
+        a, b = seg[0], seg[-1]
+        d = b - a
+        ll = float(d @ d)
+        rel = seg[1:-1] - a
+        if ll == 0.0:
+            dist2 = (rel * rel).sum(axis=1)
+        else:
+            # squared perpendicular distance via the cross product
+            cr = rel[:, 0] * d[1] - rel[:, 1] * d[0]
+            dist2 = cr * cr / ll
+        kmax = int(np.argmax(dist2))
+        if dist2[kmax] > eps2:
+            split = i + 1 + kmax
+            keep[split] = True
+            stack.append((i, split))
+            stack.append((split, j))
+    return chain[keep]
+
+
+def simplify_geom(
+    gtype: int, rings: list[np.ndarray], eps: float
+) -> tuple[int, list[np.ndarray]]:
+    """Simplify a parsed geometry. Polygon rings are simplified as
+    closed chains (first==last preserved); a ring collapsing below 4
+    points (triangle + closure) keeps its original vertices —
+    simplification never invalidates a ring here, matching the
+    conservative side of GEOS TopologyPreservingSimplifier (which the
+    reference's GEOS build exposes but the reference never calls).
+    Points pass through."""
+    if gtype == POINT:
+        return gtype, [r.copy() for r in rings]
+    out = []
+    for r in rings:
+        s = simplify_dp(r, eps)
+        if gtype == POLYGON and len(s) < 4:
+            s = r.copy()
+        out.append(s)
+    return gtype, out
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Convex hull via Andrew's monotone chain, CCW, first point NOT
+    repeated. O(n log n) in the lexsort; the chain construction is the
+    classic per-point loop (hull sizes are small). Collinear points on
+    the hull boundary are dropped (strict turns only)."""
+    p = np.unique(pts, axis=0)  # lexsorted unique
+    if len(p) <= 2:
+        return p
+
+    def half(points):
+        h = []
+        for q in points:
+            while len(h) >= 2:
+                o, a = h[-2], h[-1]
+                if (a[0] - o[0]) * (q[1] - o[1]) - (a[1] - o[1]) * (
+                    q[0] - o[0]
+                ) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append(q)
+        return h
+
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])

@@ -643,3 +643,49 @@ def st_area_centroid(geom_wkb: pd.Series) -> pd.DataFrame:
     null = (0, None, None)
     rows = [vals[c] if c >= 0 else null for c in codes]
     return pd.DataFrame(rows, columns=["area2", "cx", "cy"])
+
+
+def make_simplify(eps: float):
+    """WKB→WKB Douglas-Peucker simplify UDF (functions/geom.simplify_dp
+    — closed-chain aware, never invalidates a polygon ring). eps is
+    bound at construction so the Arrow batch carries only geometry."""
+
+    @F.pandas_udf(T.BinaryType())
+    def st_simplify(geom_wkb: pd.Series) -> pd.Series:
+        codes, uniques = pd.factorize(geom_wkb)
+        outs = []
+        for buf in uniques:
+            if buf is None:
+                outs.append(None)
+                continue
+            parts = W.from_wkb(bytes(buf))
+            gtype, rings = parts[0]
+            gtype, rings = G.simplify_geom(gtype, rings, eps)
+            outs.append(W.to_wkb(gtype, rings))
+        return pd.Series([outs[c] if c >= 0 else None for c in codes])
+
+    return st_simplify
+
+
+@F.pandas_udf(T.BinaryType())
+def st_convex_hull(geom_wkb: pd.Series) -> pd.Series:
+    """WKB→WKB convex hull (monotone chain over every vertex of every
+    ring/part). Output is a closed CCW POLYGON ring (degenerate ≤2-
+    point hulls return a POINT / LINESTRING)."""
+    codes, uniques = pd.factorize(geom_wkb)
+    outs = []
+    for buf in uniques:
+        if buf is None:
+            outs.append(None)
+            continue
+        pts = np.vstack(
+            [r for _, rings in W.from_wkb(bytes(buf)) for r in rings]
+        )
+        h = G.convex_hull(pts)
+        if len(h) == 1:
+            outs.append(W.to_wkb(W.POINT, [h]))
+        elif len(h) == 2:
+            outs.append(W.to_wkb(W.LINESTRING, [h]))
+        else:
+            outs.append(W.to_wkb(W.POLYGON, [np.vstack([h, h[:1]])]))
+    return pd.Series([outs[c] if c >= 0 else None for c in codes])
