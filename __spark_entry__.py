@@ -858,10 +858,12 @@ def q_doc_repetition(spark, sf_dir):
 
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id % 13 != 0)
-    sharing ≥1 byte 5-shingle with the held-out benchmark split
-    (doc_id % 13 = 0). The benchmark shingle table is broadcast — the
-    corpus side never shuffles. Oracle recomputes the same injective
-    base-257 byte shingles in SQL."""
+    sharing ≥1 word 8-gram with the held-out benchmark split
+    (doc_id % 13 = 0). The benchmark gram table is broadcast — the
+    corpus side never shuffles; zero Python on either side. Oracle
+    recomputes the same md5 60-bit gram hashes in SQL. (Byte
+    5-shingles were the first design; they join on stop-word-common
+    keys and exploded quadratically at sf1 — dedup.decontaminate.)"""
     docs = TB.load(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 13 != 0)
     bench = docs.where(F.col("doc_id") % 13 == 0)
@@ -1613,10 +1615,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS rep_ratio FROM g"
         ),
         "decontam_overlap": (
-            f"WITH {_shingle_ctes()}, "
-            "corp AS (SELECT doc_id, unnest(hs) AS h FROM shs "
+            # WORD 8-grams (rare by construction) — NOT byte shingles:
+            # common 5-byte shingles blew the corpus×bench join up
+            # quadratically at sf1 (see operators/dedup.decontaminate)
+            "WITH ws AS (SELECT doc_id, regexp_split_to_array("
+            r"lower(trim(COALESCE(text, ''))), '\s+') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8 "
+            "THEN [CAST(('0x' || substr(md5(array_to_string("
+            "w[i:i+7], ' ')), 3, 15)) AS BIGINT) "
+            "for i in range(1, len(w) - 6)] ELSE [] END) AS hs FROM ws), "
+            "corp AS (SELECT doc_id, unnest(hs) AS h FROM g "
             "WHERE doc_id % 13 <> 0), "
-            "ben AS (SELECT doc_id AS bench_id, unnest(hs) AS h FROM shs "
+            "ben AS (SELECT doc_id AS bench_id, unnest(hs) AS h FROM g "
             "WHERE doc_id % 13 = 0) "
             "SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared, "
             "COUNT(DISTINCT b.bench_id) AS n_bench_docs "

@@ -15,10 +15,7 @@ from pyspark.sql import functions as F
 from workstealing_spatial_join_spark.functions import geom as G
 from workstealing_spatial_join_spark.functions import wkt as W
 from workstealing_spatial_join_spark.operators import textops as TX
-from workstealing_spatial_join_spark.operators.dedup import (
-    _shingle_hashes,
-    decontaminate,
-)
+from workstealing_spatial_join_spark.operators.dedup import decontaminate
 from workstealing_spatial_join_spark.operators.temporal import asof_join
 from workstealing_spatial_join_spark.operators.tiles import (
     compact_cells,
@@ -175,17 +172,30 @@ def test_repetition_ratio(spark):
 # ----------------------------------------------------- decontaminate
 
 
+def _wordgram_hashes_py(text: str, w: int = 8) -> set:
+    import hashlib
+
+    words = text.lower().strip().split()
+    out = set()
+    for i in range(len(words) - w + 1):
+        g = " ".join(words[i:i + w])
+        out.add(int(hashlib.md5(g.encode()).hexdigest()[2:17], 16))
+    return out
+
+
 def test_decontaminate_counts(spark):
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     corpus = spark.createDataFrame(
         [
-            Row(doc_id=1, text="the quick brown fox"),
-            Row(doc_id=2, text="zzzzzz yyyyy xxxxx"),  # no overlap
+            Row(doc_id=1, text=f"prefix words here {leak} suffix"),
+            Row(doc_id=2, text="no overlap with anything benchy at all "
+                               "one two three four five six seven"),
         ]
     )
     bench = spark.createDataFrame(
         [
-            Row(doc_id=100, text="the quick red fox"),
-            Row(doc_id=101, text="quick brown dogs"),
+            Row(doc_id=100, text=f"{leak} completely different tail"),
+            Row(doc_id=101, text=f"another head {leak}"),
         ]
     )
     out = {
@@ -193,17 +203,16 @@ def test_decontaminate_counts(spark):
         for r in decontaminate(corpus, bench).collect()
     }
     assert set(out) == {1}
-    n_shared, n_bench = out[1]
-    # independent recomputation with the same shingle family
-    c1 = set(_shingle_hashes("the quick brown fox").tolist())
+    # independent python recomputation of the same md5 gram family
+    c1 = _wordgram_hashes_py(f"prefix words here {leak} suffix")
     b = [
-        set(_shingle_hashes("the quick red fox").tolist()),
-        set(_shingle_hashes("quick brown dogs").tolist()),
+        _wordgram_hashes_py(f"{leak} completely different tail"),
+        _wordgram_hashes_py(f"another head {leak}"),
     ]
     exp_shared = len(c1 & (b[0] | b[1]))
     exp_docs = sum(1 for s in b if c1 & s)
-    assert (n_shared, n_bench) == (exp_shared, exp_docs)
-    assert n_shared > 0 and exp_docs == 2
+    assert out[1] == (exp_shared, exp_docs)
+    assert exp_shared >= 3 and exp_docs == 2
 
 
 # -------------------------------------------------- area / centroid

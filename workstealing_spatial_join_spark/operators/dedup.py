@@ -887,39 +887,70 @@ def shingle_set_udf(shingle_k: int = SHINGLE_K):
     return sh
 
 
+def wordgram_hashes_col(text, w: int = 8):
+    """Distinct 60-bit hashes of the word ``w``-grams of ``text`` —
+    pure Catalyst (split / slice / array_join / md5 / conv), zero
+    Python. 60 bits = first 15 hex chars of md5, the same convention
+    as the SimHash and HLL twins (bit-identical in DuckDB)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    grams = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(w - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(words, i, w), " ")), 3, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(grams)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingle_k: int = SHINGLE_K,
+    w: int = 8,
 ) -> DataFrame:
     """Benchmark decontamination: which corpus documents share at
-    least one byte k-shingle with any held-out benchmark document
-    (the n-gram-overlap test-set-leak check every training-data
-    pipeline runs before a pretraining dump).
+    least one word ``w``-gram (default 8 — the GPT-3/Dolma-style
+    overlap unit) with any held-out benchmark document — the
+    test-set-leak check every training-data pipeline runs before a
+    pretraining dump.
 
     Output: ``(doc_id, n_shared:long, n_bench_docs:long)`` for
-    CONTAMINATED corpus docs only — n_shared distinct shingle codes
-    in common with the benchmark union, n_bench_docs distinct
-    benchmark docs hit.
+    CONTAMINATED corpus docs only — n_shared distinct gram hashes in
+    common with the benchmark union, n_bench_docs distinct benchmark
+    docs hit.
+
+    Why WORD 8-grams and not the byte 5-shingles the dedup family
+    uses: the join key must be RARE for the equi-join to stay linear.
+    A 5-byte shingle like " the " occurs in essentially every
+    document, so corpus×benchmark matching on it degenerates to an
+    all-pairs blowup — observed directly at sf1, where one ubiquitous
+    shingle alone produced ~1.8·10^8 join rows and the first version
+    of this oracle ran for half an hour before being killed. An
+    8-word gram is shared only by genuinely duplicated passages, so
+    join fanout is bounded by real contamination, not by stop-words.
 
     Scale shape: the benchmark side is small by construction (eval
-    sets, not the corpus), so its exploded distinct shingle table is
-    BROADCAST — the 100-TB corpus is never shuffled, each partition
-    shingles its own documents (Arrow UDF) and probes the broadcast
-    hash set; the only aggregation is per contaminated doc (a tiny
-    fraction). The corpus→benchmark direction is an equi-join on the
-    shingle code, never an all-pairs scan.
+    sets, not the corpus), so its exploded distinct gram table is
+    BROADCAST — the 100-TB corpus is never shuffled; each partition
+    hashes its own documents (pure Catalyst, no Python at all) and
+    probes the broadcast table; the only shuffle is the per-doc
+    aggregation of the contaminated sliver.
     """
-    sh = shingle_set_udf(shingle_k)
+    grams = wordgram_hashes_col(F.col(text_col), w)
     corp = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(sh(F.col(text_col))).alias("h"),
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("h")
     )
     bench = benchmark.select(
-        F.col(id_col).alias("bench_id"),
-        F.explode(sh(F.col(text_col))).alias("h"),
+        F.col(id_col).alias("bench_id"), F.explode(grams).alias("h")
     ).distinct()
     return (
         corp.join(F.broadcast(bench), on="h")
