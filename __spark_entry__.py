@@ -66,7 +66,14 @@ from workstealing_spatial_join_spark.operators.dedup import (
     simhash60,
     simhash_dedup,
 )
-from workstealing_spatial_join_spark.operators.sketch import sql_hll_distinct
+from workstealing_spatial_join_spark.operators.layout import (
+    sql_geohash,
+    sql_zorder_key,
+)
+from workstealing_spatial_join_spark.operators.sketch import (
+    sql_cms_heavy,
+    sql_hll_distinct,
+)
 from workstealing_spatial_join_spark.operators.temporal import asof_join
 from workstealing_spatial_join_spark.operators.knn import knn_join
 from workstealing_spatial_join_spark.operators.similarity import (
@@ -86,6 +93,13 @@ from workstealing_spatial_join_spark.sources import tables as TB
 
 CELL = GRID.DEFAULT_CELL_DEG  # 1.0°
 ZOOM = 6
+CMS_HEAVY_THRESHOLD = 70  # ≈ mean events/user at every sf (66)
+SAMPLE_PERMILLE = {"en": 200, "zh": 800}  # lang → keep-permille
+SAMPLE_DEFAULT_PERMILLE = 500
+QUANTILE_PS = (0.5, 0.9, 0.99)
+IMG_STATS_ZOOM = 5
+_IMAGES_META_PATH = "/root/repo/bench_data/images_meta"
+_IMG_TX, _IMG_TY = sql_tile_xy("lon", "lat", IMG_STATS_ZOOM)
 
 
 # --------------------------------------------------------------- entry
@@ -337,6 +351,7 @@ def _ensure_all_fixtures():
     # gen_degenerate_fixture writes BOTH the degenerate and lines dirs
     _ensure_fixture(_DEGEN_DIR, "gen_degenerate_fixture.py")
     _ensure_fixture(_LINES_DIR, "gen_degenerate_fixture.py")
+    _ensure_fixture(_IMAGES_META_PATH, "gen_images_meta.py")
 
 
 def q_degenerate_intersection_numpoints(spark, sf_dir):
@@ -907,6 +922,143 @@ def q_polygon_area_centroid(spark, sf_dir):
     )
 
 
+def q_events_cms_heavy(spark, sf_dir):
+    """Count-Min-sketch heavy hitters over events.user_id: the
+    sketch (≤ depth·width counter rows, mergeable by SUM) replaces
+    an exact per-key count shuffle at 10^12 rows; probes take min
+    over the row counters. Output keeps the exact count alongside so
+    the CMS over-estimate bound is visible. Integer-exact md5 bucket
+    arithmetic — the oracle recomputes sketch, probes, and truth
+    from scratch."""
+    from workstealing_spatial_join_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = TB.load(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id")
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    est = cms_estimate(counters, ev.select("user_id"), "user_id")
+    return (
+        est.join(truth, "user_id")
+        .filter(F.col("cms_est") >= CMS_HEAVY_THRESHOLD)
+        .select(
+            F.col("user_id").alias("k"), "cms_est", "true_cnt"
+        )
+    )
+
+
+def q_points_zorder(spark, sf_dir):
+    """Z-order (Morton) key + geohash per point — the data-LAYOUT
+    operator: range-partition + sort by zkey before writing and each
+    parquet file covers a compact spatial window, so min/max stats
+    prune file reads for windowed queries (operators/layout.py;
+    clustering effect pytest-measured in tests/test_layout.py). Both
+    encodings are pure Catalyst integer bit-interleaves emitted by
+    the same generator as the DuckDB twin."""
+    from workstealing_spatial_join_spark.operators.layout import (
+        geohash_expr,
+        zorder_key,
+    )
+
+    pts = TB.customer_points(spark, sf_dir)
+    return pts.select(
+        "point_id",
+        zorder_key(F.col("lon"), F.col("lat")).alias("zkey"),
+        geohash_expr("lon", "lat").alias("geohash"),
+    )
+
+
+def q_doc_tfidf_top(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf·(N/df) — raw
+    inverse document frequency, not log-damped, so the score is one
+    exact int→double product + one deterministic IEEE division and
+    the oracle hash-matches it (ln() is not bit-portable across
+    JVM/libm). Plan: tokenize → two hash aggs → broadcast df join →
+    per-doc top-k window."""
+    docs = TB.load(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, k=3)
+
+
+def q_docs_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (training-mixture
+    primitive): keep a document iff md5(doc_id) mod 1000 < its
+    language's keep-permille. Pure map-side filter — no shuffle, no
+    RNG state, retry/resume-stable, and nested (raising a rate
+    yields a superset)."""
+    docs = TB.load(spark, sf_dir, "documents")
+    return TX.stratified_sample_hash(
+        docs, "lang", SAMPLE_PERMILLE, SAMPLE_DEFAULT_PERMILLE
+    ).select("doc_id", "lang", "sample_bucket")
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Discrete per-group quantiles (p50/p90/p99 of event value):
+    the k-th order statistic via one row_number window — selected
+    VALUES are actual elements, so no float summation and the result
+    is hash-exact regardless of tie order among equal values. At
+    scale this is one shuffle on the group key; for heavier groups
+    swap in the t-digest-style two-level approximation, keeping this
+    as the exact twin."""
+    from pyspark.sql.window import Window
+
+    ev = TB.load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    probes = F.explode(
+        F.array(*[F.lit(p) for p in QUANTILE_PS])
+    ).alias("p")
+    return (
+        ranked.select("event_type", "value", "rn", "n", probes)
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("p") * F.col("n")).cast("long")
+        )
+        .select("event_type", "p", F.col("value").alias("q_value"))
+    )
+
+
+def q_tile_image_stats(spark, sf_dir):
+    """The north-rule integration rollup: images (input_hint schema)
+    assigned to slippy tiles, then per-tile count / pixel volume /
+    distinct-phash — the manifest a tile-serving or dedup pass reads
+    instead of the 10^12-row image table. Integer aggregates only.
+    Both engines read the SAME materialized metadata fixture
+    (bench_data/images_meta; deterministic, bytes elided) so the
+    oracle recomputes tile ids from raw lon/lat independently."""
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    tx, ty = tile_xy_cols(F.col("lon"), F.col("lat"), IMG_STATS_ZOOM)
+    return (
+        img.select(
+            F.concat(
+                F.lit(f"z{IMG_STATS_ZOOM}/"),
+                tx.cast("string"),
+                F.lit("/"),
+                ty.cast("string"),
+            ).alias("tile_id"),
+            "w",
+            "h",
+            "phash",
+        )
+        .groupBy("tile_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(
+                F.col("w").cast("long") * F.col("h").cast("long")
+            ).alias("sum_pixels"),
+            F.count_distinct("phash").alias("n_phash"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -961,6 +1113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "polygon_area_centroid": q_polygon_area_centroid,
         "events_hll_users": q_events_hll_users,
+        "events_cms_heavy": q_events_cms_heavy,
+        "points_zorder": q_points_zorder,
+        "doc_tfidf_top": q_doc_tfidf_top,
+        "docs_sample": q_docs_sample,
+        "events_quantiles": q_events_quantiles,
+        "tile_image_stats": q_tile_image_stats,
     }
 
 
@@ -1654,5 +1812,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(f * cny) AS DOUBLE) / "
             "((3.0 * CAST(SUM(f * s) AS DOUBLE)) * 1000.0) AS cy "
             "FROM n GROUP BY poly_id"
+        ),
+        "events_cms_heavy": sql_cms_heavy(
+            "events", "user_id", CMS_HEAVY_THRESHOLD
+        ),
+        "points_zorder": (
+            f"WITH p AS ({_PTS}) SELECT point_id, "
+            f"{sql_zorder_key('lon', 'lat')} AS zkey, "
+            f"{sql_geohash('lon', 'lat')} AS geohash FROM p"
+        ),
+        "doc_tfidf_top": TX.sql_tfidf_top_terms(3),
+        "docs_sample": TX.sql_stratified_sample(
+            SAMPLE_PERMILLE, SAMPLE_DEFAULT_PERMILLE
+        ),
+        "events_quantiles": (
+            "WITH w AS (SELECT event_type, value, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) "
+            "AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n "
+            "FROM events), "
+            "pr AS (SELECT unnest(CAST("
+            f"{list(QUANTILE_PS)} AS DOUBLE[])) AS p) "
+            "SELECT event_type, p, value AS q_value FROM w CROSS JOIN pr "
+            "WHERE rn = CAST(CEIL(p * n) AS BIGINT)"
+        ),
+        "tile_image_stats": (
+            "WITH img AS (SELECT lon, lat, w, h, phash FROM "
+            f"read_parquet('{_IMAGES_META_PATH}/*.parquet')) "
+            f"SELECT CONCAT('z{IMG_STATS_ZOOM}/', "
+            f"CAST({_IMG_TX} AS VARCHAR), '/', "
+            f"CAST({_IMG_TY} AS VARCHAR)) AS tile_id, "
+            "COUNT(*) AS n_images, "
+            "CAST(SUM(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS BIGINT) "
+            "AS sum_pixels, "
+            "COUNT(DISTINCT phash) AS n_phash "
+            "FROM img GROUP BY tile_id"
         ),
     }

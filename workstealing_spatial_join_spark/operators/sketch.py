@@ -132,3 +132,110 @@ def sql_hll_distinct(
         f"SELECT {alias}, n_registers_used, harmonic_scaled, "
         f"{num} / CAST(harmonic_scaled AS DOUBLE) AS hll_raw FROM agg"
     )
+
+
+# ------------------------------------------------ Count-Min sketch
+#
+# Heavy-hitter counting at 10^12 rows: exact per-key counts shuffle
+# every key; a Count-Min sketch shuffles at most depth×width counter
+# rows (mergeable by SUM — partial aggregation and cross-dataset
+# unions compose), and over-estimates each key's count by at most
+# e·N/width with probability 1-(1/2)^depth. Like the HLL above, the
+# whole sketch is integer arithmetic on md5-derived indices, so the
+# DuckDB oracle reproduces it bit-for-bit.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_hash_idx(key: Column, row: Column, width: int = CMS_WIDTH) -> Column:
+    """Bucket index for one (row, key): md5 of 'row:key' → 60-bit
+    int → mod width. Row-salting the string gives CMS_DEPTH
+    independent hash functions from one md5 family."""
+    h = F.md5(F.concat(row.cast("string"), F.lit(":"), key.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width)
+    ).cast("int")
+
+
+def cms_counters(
+    df: DataFrame,
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The sketch itself: ``(row, idx, cnt)`` — ≤ depth·width rows
+    total regardless of input size. The explode is absorbed by
+    map-side partial aggregation (≤ depth·width groups per task).
+    Merge two sketches by union + groupBy(row, idx).sum(cnt)."""
+    row = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    return (
+        df.select(F.col(key).alias("_k"))
+        .select(row, F.col("_k"))
+        .select(
+            "row", cms_hash_idx(F.col("_k"), F.col("row"), width).alias("idx")
+        )
+        .groupBy("row", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``probes``: the
+    estimate is min over rows of the addressed counter (0 when the
+    bucket is empty — only possible for never-inserted keys). The
+    probe side explodes ×depth then equi-joins the tiny counter
+    table (broadcast-able by size: ≤ depth·width rows)."""
+    row = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    addressed = probes.select(F.col(key)).distinct().select(
+        F.col(key), row
+    ).select(
+        F.col(key),
+        F.col("row"),
+        cms_hash_idx(F.col(key), F.col("row"), width).alias("idx"),
+    )
+    joined = addressed.join(
+        F.broadcast(counters), on=["row", "idx"], how="left"
+    )
+    return joined.groupBy(key).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )
+
+
+def sql_cms_heavy(
+    src: str,
+    key_expr: str,
+    threshold: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of the heavy-hitters query built from
+    cms_counters + cms_estimate + an exact-count join: emits
+    ``(key, cms_est, true_cnt)`` for keys whose CMS estimate meets
+    the threshold. Same md5 row-salted bucket hash, same integer
+    counters."""
+    idx = (
+        f"CAST(CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || "
+        f"CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {width} AS INT)"
+    )
+    return (
+        f"WITH items AS (SELECT {key_expr} AS k FROM {src}), "
+        f"ins AS (SELECT r.j AS row, {idx} AS idx FROM items, "
+        f"range({depth}) r(j)), "
+        f"counters AS (SELECT row, idx, COUNT(*) AS cnt FROM ins "
+        f"GROUP BY row, idx), "
+        f"probes AS (SELECT DISTINCT k FROM items), "
+        f"addr AS (SELECT k, r.j AS row, {idx} AS idx FROM probes, "
+        f"range({depth}) r(j)), "
+        f"est AS (SELECT k, MIN(COALESCE(cnt, 0)) AS cms_est FROM addr "
+        f"LEFT JOIN counters USING (row, idx) GROUP BY k), "
+        f"truth AS (SELECT k, COUNT(*) AS true_cnt FROM items GROUP BY k) "
+        f"SELECT k, cms_est, true_cnt FROM est JOIN truth USING (k) "
+        f"WHERE cms_est >= {threshold}"
+    )

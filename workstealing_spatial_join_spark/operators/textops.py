@@ -183,3 +183,134 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score_col(t).alias("quality"),
         fingerprint64(t).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------- TF-IDF top terms
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·(N/df).
+
+    The idf factor is the RAW inverse document frequency N/df — NOT
+    log-damped — because ln() is not bit-portable across engines
+    (JVM vs libm) and for a fixed tf the ordering by N/df equals the
+    ordering by log(N/df) anyway. Score arithmetic is one exact
+    int→double product (tf·N < 2^53) and one deterministic IEEE
+    division, so the driver oracle hash-matches it.
+
+    Plan shape at scale: tokenize → two hash aggregations (tf on
+    (doc, term); df on term) → broadcast-able df table joined back →
+    per-doc top-k window. The only wide exchanges are on term and
+    doc — no all-pairs anything.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def sql_tfidf_top_terms(k: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` over `documents`."""
+    return (
+        "WITH toks AS (SELECT doc_id, tk AS term FROM (SELECT doc_id, "
+        r"unnest(regexp_split_to_array(lower(text), '\s+')) AS tk "
+        "FROM documents) WHERE tk <> ''), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+        "GROUP BY doc_id, term), "
+        "dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY term), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), "
+        "scored AS (SELECT doc_id, term, tf, df, "
+        "CAST(tf * n_docs AS DOUBLE) / df AS score FROM tf "
+        "JOIN dft USING (term) CROSS JOIN n), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, term ASC) AS rank FROM scored) "
+        f"SELECT doc_id, term, tf, df, score, "
+        f"CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+# ----------------------------------- deterministic stratified sample
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    permille: dict[str, int],
+    default_permille: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling for corpus mixing: keep
+    a row iff md5(id) mod 1000 < the stratum's keep-permille.
+
+    This is the reproducible-training-mixture primitive: a pure
+    map-side filter (NO shuffle, NO RNG state), stable under retries
+    and resumes because membership depends only on the row id, and
+    composable — re-running with a higher permille yields a strict
+    superset (nested samples)."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(1000),
+    )
+    rate = F.lit(default_permille)
+    for key, val in sorted(permille.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(val)).otherwise(rate)
+    return df.withColumn("sample_bucket", bucket.cast("int")).filter(
+        F.col("sample_bucket") < rate
+    )
+
+
+def sql_stratified_sample(
+    permille: dict[str, int], default_permille: int
+) -> str:
+    """DuckDB twin of :func:`stratified_sample_hash` over `documents`
+    (strata = lang, id = doc_id)."""
+    whens = " ".join(
+        f"WHEN lang = '{key}' THEN {val}"
+        for key, val in sorted(permille.items())
+    )
+    return (
+        "WITH b AS (SELECT *, CAST(CAST(('0x' || "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 1000 AS INT) AS sample_bucket FROM documents) "
+        "SELECT doc_id, lang, sample_bucket FROM b "
+        f"WHERE sample_bucket < (CASE {whens} "
+        f"ELSE {default_permille} END)"
+    )
