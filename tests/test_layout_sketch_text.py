@@ -248,3 +248,24 @@ def test_quantiles_match_numpy(spark):
         k = int(np.ceil(p * len(vals)))
         assert grp.q_value.iloc[0] == vals[k - 1]
         assert len(grp) == 1
+
+
+def test_cms_and_tfidf_broadcast_small_sides(spark):
+    """The sketch/df tables are tiny by construction — the plans must
+    broadcast them, never shuffle the big probe/tf side."""
+    import __spark_entry__ as E
+
+    cms_plan = (
+        E.q_events_cms_heavy(spark, SF001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in cms_plan
+    tfidf_plan = (
+        E.q_doc_tfidf_top(spark, SF001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in tfidf_plan

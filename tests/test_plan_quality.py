@@ -228,6 +228,13 @@ def test_driver_query_python_node_budgets(spark):
         "lines_union_numpoints": 1,
         "degenerate_intersection_numpoints": 1,
         "degenerate_union_numpoints": 1,
+        # round-5 second batch: all pure Catalyst
+        "events_cms_heavy": 0,
+        "points_zorder": 0,
+        "doc_tfidf_top": 0,
+        "docs_sample": 0,
+        "events_quantiles": 0,
+        "tile_image_stats": 0,
     }
     qs = E.queries()
     sf = "/root/testdata/sf0.001"
