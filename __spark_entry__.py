@@ -74,6 +74,9 @@ from workstealing_spatial_join_spark.operators.sketch import (
     sql_cms_heavy,
     sql_hll_distinct,
 )
+from workstealing_spatial_join_spark.operators.graph import (
+    sql_connected_components,
+)
 from workstealing_spatial_join_spark.operators.temporal import asof_join
 from workstealing_spatial_join_spark.operators.knn import knn_join
 from workstealing_spatial_join_spark.operators.similarity import (
@@ -1059,6 +1062,27 @@ def q_tile_image_stats(spark, sf_dir):
     )
 
 
+def q_neardup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERS, not just pairs: hash-min label
+    propagation over the MinHash near-dup edge list (transitive
+    closure — a~b, b~c groups all three even without an a~c edge).
+    This is the step that makes dedup deletion-correct: keep the
+    min-id representative per component. The oracle computes the
+    exact closure with a recursive CTE over the identical
+    (recomputed-from-scratch) edge list, so the iterative schedule
+    itself is verified against a schedule-free definition."""
+    from workstealing_spatial_join_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = TB.load(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.5)
+    comp = connected_components(pairs, "doc_id_a", "doc_id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -1119,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample": q_docs_sample,
         "events_quantiles": q_events_quantiles,
         "tile_image_stats": q_tile_image_stats,
+        "neardup_components": q_neardup_components,
     }
 
 
@@ -1846,5 +1871,13 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_pixels, "
             "COUNT(DISTINCT phash) AS n_phash "
             "FROM img GROUP BY tile_id"
+        ),
+        "neardup_components": (
+            f"WITH RECURSIVE {_minhash_ctes()}, "
+            + sql_connected_components(
+                "SELECT da AS a, db AS b FROM ver WHERE jaccard >= 0.5"
+            )
+            + "SELECT src AS doc_id, MIN(dst) AS component "
+            "FROM reach GROUP BY src"
         ),
     }
