@@ -71,6 +71,7 @@ from workstealing_spatial_join_spark.operators.layout import (
     sql_zorder_key,
 )
 from workstealing_spatial_join_spark.operators.sketch import (
+    sql_bloom_semijoin_stats,
     sql_cms_heavy,
     sql_hll_distinct,
 )
@@ -953,6 +954,54 @@ def q_events_cms_heavy(spark, sf_dir):
     )
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join pruning: build an m-bit filter from one
+    customer segment's keys, broadcast it, and prune the orders fact
+    table map-side before any real join. At 10^12 fact rows this
+    replaces a full shuffle of the fact side with k array probes per
+    row against a broadcast of ≤m integers — only survivors (true
+    matches + a bounded false-positive tail) reach the join. The
+    query reports (n_orders, n_pass, n_true, n_false_pos) so the FP
+    rate is visible; no false negatives by construction (asserted:
+    n_pass ≥ n_true, and pytest checks every true key passes).
+    Integer md5 bit positions — the DuckDB oracle rebuilds the filter
+    bit-for-bit (operators/sketch.py)."""
+    from workstealing_spatial_join_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = TB.load(spark, sf_dir, "customer")
+    orders = TB.load(spark, sf_dir, "orders")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    bloom = bloom_build(seg, "c_custkey")
+    probed = (
+        orders.select("o_orderkey", "o_custkey")
+        .crossJoin(F.broadcast(bloom))
+        .join(
+            F.broadcast(seg.withColumn("truth", F.lit(True))),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .select(
+            bloom_might_contain(
+                F.col("bloom"), F.col("o_custkey")
+            ).alias("pass"),
+            F.coalesce(F.col("truth"), F.lit(False)).alias("truth"),
+        )
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("pass") & ~F.col("truth"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+
+
 def q_points_zorder(spark, sf_dir):
     """Z-order (Morton) key + geohash per point — the data-LAYOUT
     operator: range-partition + sort by zkey before writing and each
@@ -1138,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_area_centroid": q_polygon_area_centroid,
         "events_hll_users": q_events_hll_users,
         "events_cms_heavy": q_events_cms_heavy,
+        "bloom_semijoin": q_bloom_semijoin,
         "points_zorder": q_points_zorder,
         "doc_tfidf_top": q_doc_tfidf_top,
         "docs_sample": q_docs_sample,
@@ -1841,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cms_heavy": sql_cms_heavy(
             "events", "user_id", CMS_HEAVY_THRESHOLD
         ),
+        "bloom_semijoin": sql_bloom_semijoin_stats(),
         "points_zorder": (
             f"WITH p AS ({_PTS}) SELECT point_id, "
             f"{sql_zorder_key('lon', 'lat')} AS zkey, "

@@ -269,3 +269,95 @@ def test_cms_and_tfidf_broadcast_small_sides(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in tfidf_plan
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key inserted into the filter must pass the probe — the
+    Bloom contract has no false negatives, ever."""
+    from workstealing_spatial_join_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = TB.load(spark, SF001, "customer")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    bloom = bloom_build(seg, "c_custkey")
+    missed = (
+        seg.crossJoin(F.broadcast(bloom))
+        .filter(
+            ~bloom_might_contain(F.col("bloom"), F.col("c_custkey"))
+        )
+        .count()
+    )
+    assert missed == 0
+
+
+def test_bloom_merge_is_array_union(spark):
+    """Two half-filters merged with array_union equal the filter
+    built over the whole key set — the mergeability contract that
+    lets 1000 executors build partial filters and OR them."""
+    from workstealing_spatial_join_spark.operators.sketch import (
+        bloom_build,
+    )
+
+    cust = TB.load(spark, SF001, "customer")
+    keys = cust.select("c_custkey")
+    full = bloom_build(keys, "c_custkey").collect()[0].bloom
+    a = bloom_build(
+        keys.filter(F.col("c_custkey") % 2 == 0), "c_custkey"
+    )
+    b = bloom_build(
+        keys.filter(F.col("c_custkey") % 2 == 1), "c_custkey"
+    )
+    merged = (
+        a.crossJoin(b.withColumnRenamed("bloom", "bloom_b"))
+        .select(
+            F.sort_array(
+                F.array_union(F.col("bloom"), F.col("bloom_b"))
+            ).alias("bloom")
+        )
+        .collect()[0]
+        .bloom
+    )
+    assert merged == full
+
+
+def test_bloom_fp_rate_bounded(spark):
+    """Observed false-positive rate stays within 3x the analytic
+    (1-e^{-kn/m})^k for the driver query's build/probe sizes."""
+    import math
+
+    import __spark_entry__ as E
+    from workstealing_spatial_join_spark.operators.sketch import (
+        BLOOM_BITS,
+        BLOOM_K,
+    )
+
+    row = E.q_bloom_semijoin(spark, SF001).collect()[0]
+    assert row.n_pass >= row.n_true  # no false negatives
+    n_keys = (
+        TB.load(spark, SF001, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .count()
+    )
+    p = (1.0 - math.exp(-BLOOM_K * n_keys / BLOOM_BITS)) ** BLOOM_K
+    non_matching = row.n_orders - row.n_true
+    assert row.n_false_pos <= max(10, 3 * p * non_matching)
+
+
+def test_bloom_query_pure_catalyst_and_broadcast(spark):
+    """The semi-join demo must stay JVM-side and broadcast both the
+    one-row filter and the truth key set — a shuffle of the fact
+    side would defeat the operator's purpose."""
+    import __spark_entry__ as E
+
+    df = E.q_bloom_semijoin(spark, SF001)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt
+    assert "Broadcast" in txt
+    assert "SortMergeJoin" not in txt

@@ -230,6 +230,7 @@ def test_driver_query_python_node_budgets(spark):
         "degenerate_union_numpoints": 1,
         # round-5 second batch: all pure Catalyst
         "events_cms_heavy": 0,
+        "bloom_semijoin": 0,
         "points_zorder": 0,
         "doc_tfidf_top": 0,
         "docs_sample": 0,

@@ -239,3 +239,90 @@ def sql_cms_heavy(
         f"SELECT k, cms_est, true_cnt FROM est JOIN truth USING (k) "
         f"WHERE cms_est >= {threshold}"
     )
+
+
+# ----------------------------------------------- Bloom-filter semi-join
+#
+# Selective-join pruning at 10^12 rows: filtering a huge fact table
+# by a key subset normally shuffles the fact side; a Bloom filter of
+# the build keys broadcasts as m bits and prunes fact rows map-side,
+# with false-positive rate ~(1-e^{-kn/m})^k and NO false negatives —
+# only survivors reach the real join. (Spark's own runtime row-group
+# bloom pruning covers simple equi-joins; this operator makes the
+# structure explicit, mergeable, and reusable across stages/queries.)
+# The filter is represented as the sorted int array of set bit
+# positions — integer md5 arithmetic, so the DuckDB oracle rebuilds
+# it bit-for-bit; merge two filters by array_union.
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def bloom_position(key: Column, j: Column, m: int = BLOOM_BITS) -> Column:
+    """Bit position for hash j of key — md5('j#key') mod m."""
+    h = F.md5(F.concat(j.cast("string"), F.lit("#"), key.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(m)
+    ).cast("int")
+
+
+def bloom_build(
+    keys: DataFrame, key: str, m: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """One-row DataFrame ``(bloom: array<int>)`` — the sorted set-bit
+    positions of all build keys. Aggregates map-side to ≤m distinct
+    positions per task; broadcast the single row to probe."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    return (
+        keys.select(F.col(key).alias("_k"))
+        .select(F.col("_k"), j)
+        .select(bloom_position(F.col("_k"), F.col("j"), m).alias("pos"))
+        .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+    )
+
+
+def bloom_might_contain(
+    bloom_arr: Column, key: Column, m: int = BLOOM_BITS, k: int = BLOOM_K
+) -> Column:
+    """True iff every hash position of ``key`` is set (no false
+    negatives). Pure Catalyst — k array_contains probes."""
+    cond = F.lit(True)
+    for j in range(k):
+        cond = cond & F.array_contains(
+            bloom_arr, bloom_position(key, F.lit(j), m)
+        )
+    return cond
+
+
+def sql_bloom_semijoin_stats(
+    m: int = BLOOM_BITS, k: int = BLOOM_K, segment: str = "BUILDING"
+) -> str:
+    """DuckDB twin of the driver's bloom semi-join demo: build the
+    filter from one customer segment, probe every order, report
+    (n_orders, n_pass, n_true, n_false_pos)."""
+
+    def pos(key, j):
+        return (
+            f"CAST(CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || '#' || "
+            f"CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % {m} AS INT)"
+        )
+
+    probes = " AND ".join(
+        f"list_contains(bloom, {pos('o.o_custkey', j)})" for j in range(k)
+    )
+    return (
+        f"WITH seg AS (SELECT c_custkey FROM customer "
+        f"WHERE c_mktsegment = '{segment}'), "
+        f"bits AS (SELECT DISTINCT {pos('c_custkey', 'r.j')} AS pos "
+        f"FROM seg, range({k}) r(j)), "
+        "bl AS (SELECT list_sort(list(pos)) AS bloom FROM bits), "
+        "probed AS (SELECT o.o_orderkey, "
+        f"({probes}) AS pass, "
+        "(o.o_custkey IN (SELECT c_custkey FROM seg)) AS truth "
+        "FROM orders o CROSS JOIN bl) "
+        "SELECT COUNT(*) AS n_orders, "
+        "CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, "
+        "CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true, "
+        "CAST(SUM(CASE WHEN pass AND NOT truth THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_false_pos FROM probed"
+    )
