@@ -70,6 +70,9 @@ from workstealing_spatial_join_spark.operators.layout import (
     sql_geohash,
     sql_zorder_key,
 )
+from workstealing_spatial_join_spark.operators.setsim import (
+    sql_setsim_join,
+)
 from workstealing_spatial_join_spark.operators.sketch import (
     sql_bloom_semijoin_stats,
     sql_cms_heavy,
@@ -954,6 +957,33 @@ def q_events_cms_heavy(spark, sf_dir):
     )
 
 
+def q_setsim_exact_pairs(spark, sf_dir):
+    """EXACT set-similarity self-join (AllPairs prefix filtering,
+    Bayardo et al. WWW'07) — the zero-false-negative, zero-false-
+    positive complement to minhash_neardup: all document pairs with
+    word-4-gram-set Jaccard ≥ 1/2. Candidates come from an equi-join
+    on each doc's RAREST grams only (prefix lemma makes that
+    lossless); verification is integer cross-multiplication — no
+    floats, no probability, no all-pairs stage at any scale. The
+    oracle runs the same prefix-filtered plan relationally
+    (operators/setsim.py)."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        wordgram_hashes_col,
+    )
+    from workstealing_spatial_join_spark.operators.setsim import (
+        setsim_join,
+    )
+
+    docs = TB.load(spark, sf_dir, "documents")
+    return setsim_join(
+        docs,
+        id_col="doc_id",
+        tokens=wordgram_hashes_col(F.col("text"), 4),
+        num=1,
+        den=2,
+    )
+
+
 def q_bloom_semijoin(spark, sf_dir):
     """Bloom-filter semi-join pruning: build an m-bit filter from one
     customer segment's keys, broadcast it, and prune the orders fact
@@ -1188,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_users": q_events_hll_users,
         "events_cms_heavy": q_events_cms_heavy,
         "bloom_semijoin": q_bloom_semijoin,
+        "setsim_exact_pairs": q_setsim_exact_pairs,
         "points_zorder": q_points_zorder,
         "doc_tfidf_top": q_doc_tfidf_top,
         "docs_sample": q_docs_sample,
@@ -1892,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", CMS_HEAVY_THRESHOLD
         ),
         "bloom_semijoin": sql_bloom_semijoin_stats(),
+        "setsim_exact_pairs": sql_setsim_join(1, 2, 4),
         "points_zorder": (
             f"WITH p AS ({_PTS}) SELECT point_id, "
             f"{sql_zorder_key('lon', 'lat')} AS zkey, "

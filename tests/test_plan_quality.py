@@ -231,6 +231,7 @@ def test_driver_query_python_node_budgets(spark):
         # round-5 second batch: all pure Catalyst
         "events_cms_heavy": 0,
         "bloom_semijoin": 0,
+        "setsim_exact_pairs": 0,
         "points_zorder": 0,
         "doc_tfidf_top": 0,
         "docs_sample": 0,
