@@ -957,6 +957,45 @@ def q_events_cms_heavy(spark, sf_dir):
     )
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual-hash Hamming distance
+    ≤ 3 over the input_hint-shaped metadata fixture — the image twin
+    of simhash_dedup, promoted from pytest-only to the oracle
+    contract: pigeonhole 16-bit chunk equi-join (any pair within
+    distance 3 shares one of 4 exact chunks — zero recall loss, never
+    all-pairs), then bit_count(xor) verify. 63-bit hashes keep >>
+    arithmetic identical in both engines (dedup.phash_neardup)."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        phash_neardup,
+    )
+
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    return phash_neardup(img, max_hamming=3)
+
+
+def sql_phash_neardup(max_hamming: int = 3) -> str:
+    """DuckDB twin of q_phash_neardup: same chunk candidate
+    generation (never all-pairs — tractable on the full fixture),
+    same xor popcount verify."""
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    mask = (1 << width) - 1
+    return (
+        "WITH m AS (SELECT image_id, phash FROM read_parquet("
+        f"'{_IMAGES_META_PATH}/*.parquet')), "
+        "ch AS (SELECT image_id, phash, c.j AS chunk_idx, "
+        f"(phash >> (c.j * {width})) & {mask} AS chunk "
+        f"FROM m, range({nchunks}) c(j)), "
+        "cand AS (SELECT DISTINCT a.image_id AS image_id_a, "
+        "b.image_id AS image_id_b, a.phash AS pa, b.phash AS pb "
+        "FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx "
+        "AND a.chunk = b.chunk AND a.image_id < b.image_id) "
+        "SELECT image_id_a, image_id_b, "
+        "CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(pa, pb)) <= {max_hamming}"
+    )
+
+
 def q_setsim_exact_pairs(spark, sf_dir):
     """EXACT set-similarity self-join (AllPairs prefix filtering,
     Bayardo et al. WWW'07) — the zero-false-negative, zero-false-
@@ -1219,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_heavy": q_events_cms_heavy,
         "bloom_semijoin": q_bloom_semijoin,
         "setsim_exact_pairs": q_setsim_exact_pairs,
+        "phash_neardup": q_phash_neardup,
         "points_zorder": q_points_zorder,
         "doc_tfidf_top": q_doc_tfidf_top,
         "docs_sample": q_docs_sample,
@@ -1924,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_semijoin": sql_bloom_semijoin_stats(),
         "setsim_exact_pairs": sql_setsim_join(1, 2, 4),
+        "phash_neardup": sql_phash_neardup(3),
         "points_zorder": (
             f"WITH p AS ({_PTS}) SELECT point_id, "
             f"{sql_zorder_key('lon', 'lat')} AS zkey, "

@@ -237,6 +237,9 @@ def test_driver_query_python_node_budgets(spark):
         "docs_sample": 0,
         "events_quantiles": 0,
         "tile_image_stats": 0,
+        # phash is already a materialized integer column — the chunk
+        # explode, equi-join and bit_count verify are all Catalyst
+        "phash_neardup": 0,
     }
     qs = E.queries()
     sf = "/root/testdata/sf0.001"
