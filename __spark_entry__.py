@@ -863,6 +863,73 @@ def q_events_asof(spark, sf_dir):
     return asof_join(ev, left_type="click", right_type="view")
 
 
+INTERVAL_BIN_US = 4 * 3600 * 1_000_000  # 4 h — near the max duration
+
+
+def _event_intervals(ev):
+    """Deterministic closed interval per event: start = the event's
+    timestamp, duration 1 s..4 h derived from md5(event_id) (the
+    engine-wide md5→integer convention — sketch.py), so both engines
+    rebuild identical int64 [start_us, end_us] with zero float time
+    math."""
+    dur_us = (
+        F.lit(1)
+        + F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(14400)
+    ) * F.lit(1_000_000)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + dur_us).alias(
+            "end_us"
+        ),
+    )
+
+
+def q_events_interval_overlap(spark, sf_dir):
+    """Interval (range) self-join: pairs of same-user events whose
+    derived time intervals overlap — the 1-D temporal twin of the
+    spatial grid-cell join. Spark plans the naive range predicate as
+    a per-key nested loop; this is bin decomposition instead: explode
+    over 4-hour bins, ONE equi-join on (user_id, bin), and the
+    responsible-bin rule (bin of greatest(start_a, start_b)) emits
+    each pair exactly once with no DISTINCT shuffle. The oracle runs
+    the plain quadratic range join — a genuinely different plan
+    verifying the decomposition."""
+    from workstealing_spatial_join_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = TB.load(spark, sf_dir, "events")
+    return interval_overlap_join(
+        _event_intervals(ev), bin_us=INTERVAL_BIN_US
+    )
+
+
+def sql_events_interval_overlap() -> str:
+    """DuckDB twin: same md5-derived intervals, but the candidate
+    generation is the straight per-user range join (IEJoin) — no bin
+    decomposition, so the responsible-bin dedup is verified against a
+    schedule-free definition."""
+    return (
+        "WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + (1 + (CAST(('0x' || substr(md5(CAST(event_id "
+        "AS VARCHAR)), 1, 15)) AS BIGINT) % 14400)) * 1000000 AS en "
+        "FROM events) "
+        "SELECT a.event_id AS event_id_a, b.event_id AS event_id_b, "
+        "a.user_id AS user_id, "
+        "least(a.en, b.en) - greatest(a.s, b.s) AS overlap_us "
+        "FROM iv a JOIN iv b ON a.user_id = b.user_id "
+        "AND a.event_id < b.event_id "
+        "AND a.s <= b.en AND b.s <= a.en"
+    )
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signal: duplicate word-3-gram counts
     and ratio per document — pure Catalyst higher-order functions;
@@ -1251,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_density_rollup": q_tile_density_rollup,
         "cell_compact": q_cell_compact,
         "events_asof": q_events_asof,
+        "events_interval_overlap": q_events_interval_overlap,
         "doc_repetition": q_doc_repetition,
         "decontam_overlap": q_decontam_overlap,
         "polygon_area_centroid": q_polygon_area_centroid,
@@ -1890,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tile_density_rollup": _rollup_sql(ZOOM, 0),
         "cell_compact": _compact_sql(COMPACT_ZOOM, 0),
+        "events_interval_overlap": sql_events_interval_overlap(),
         "events_asof": (
             "WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
             "event_type FROM events WHERE event_type IN ('click', 'view')), "

@@ -240,6 +240,9 @@ def test_driver_query_python_node_budgets(spark):
         # phash is already a materialized integer column — the chunk
         # explode, equi-join and bit_count verify are all Catalyst
         "phash_neardup": 0,
+        # bin-decomposed interval join: explode + equi-join + integer
+        # verify, all Catalyst
+        "events_interval_overlap": 0,
     }
     qs = E.queries()
     sf = "/root/testdata/sf0.001"
