@@ -199,3 +199,56 @@ def test_kafka_projection_plan_parity_with_file_source(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="[kK]afka"):
         read_image_stream_kafka(spark, "broker:9092", "images").count()
+
+
+def test_stream_exact_dedup_within_and_across_runs(spark, tmp_path):
+    """First-writer-wins streaming dedup: duplicates inside one run's
+    backlog are dropped; the hash state survives a restart so a
+    duplicate arriving in a SECOND availableNow run is also dropped;
+    distinct texts all pass."""
+    import datetime as dt
+
+    from workstealing_spatial_join_spark.streaming.ingest import (
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(specs):
+        return spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(minutes=m), txt)
+                for i, (m, txt) in enumerate(specs)
+            ],
+            "doc_id long, ts timestamp, text string",
+        )
+
+    # run 1: two files, a duplicate of "alpha" in each
+    rows([(0, "alpha"), (1, "beta")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    rows([(2, "alpha"), (3, "gamma")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_exact_dedup(spark, src, out, ckpt)
+    got1 = {r.text for r in spark.read.parquet(out).collect()}
+    assert got1 == {"alpha", "beta", "gamma"}
+    assert spark.read.parquet(out).count() == 3
+
+    # run 2 (restart): a new file with one dup (within the 1h
+    # watermark horizon of the originals) and one new text
+    rows([(4, "beta"), (5, "delta")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_exact_dedup(spark, src, out, ckpt)
+    result = spark.read.parquet(out)
+    assert result.count() == 4
+    assert {r.text for r in result.collect()} == {
+        "alpha",
+        "beta",
+        "gamma",
+        "delta",
+    }

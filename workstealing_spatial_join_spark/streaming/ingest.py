@@ -275,3 +275,57 @@ def stream_point_in_polygon(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "doc_id long, ts timestamp, text string"
+    ),
+    hash_cols: tuple[str, ...] = ("text",),
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """STREAMING twin of the batch ``exact_dedup`` (operators/dedup.py):
+    first-writer-wins exact deduplication of a continuously arriving
+    corpus — the ingest-time gate a 10^12-document training pipeline
+    puts in front of its store so duplicates never land at all.
+
+    The dedup key is the SAME md5-of-content convention as the batch
+    operator; state is bounded by ``dropDuplicatesWithinWatermark``:
+    a duplicate arriving within the watermark horizon of its original
+    is dropped, and the state store evicts hashes older than the
+    horizon instead of growing forever (a plain streaming
+    ``dropDuplicates`` keeps EVERY hash — unbounded state, wrong shape
+    at scale; late duplicates beyond the horizon are the batch
+    compaction pass's job, which is exactly how production pipelines
+    split the work). Exactly-once append via the parquet sink +
+    checkpoint; a later availableNow run resumes the hash state from
+    the state store, so a duplicate in a NEW file of a SECOND run is
+    still dropped (tested).
+    """
+    rec = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withColumn(
+            "content_hash", F.md5(F.concat_ws("\x1f", *hash_cols))
+        )
+        .withWatermark(event_time_col, watermark)
+    )
+    deduped = rec.dropDuplicatesWithinWatermark(["content_hash"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
