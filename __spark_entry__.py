@@ -930,6 +930,36 @@ def sql_events_interval_overlap() -> str:
     )
 
 
+def q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour/day/month event
+    counts + integer-cent sums in ONE scan via native GROUPING SETS
+    (single Expand + map-side partial agg — the temporal twin of
+    tile_density_rollup's pyramid). Calendar-correct buckets via
+    date_trunc; the cents measure keeps partial-sum arithmetic
+    order-independent, so the SQL twin is bit-identical."""
+    from workstealing_spatial_join_spark.operators.temporal import (
+        time_rollup,
+    )
+
+    ev = TB.load(spark, sf_dir, "events")
+    return time_rollup(ev)
+
+
+def sql_events_time_rollup() -> str:
+    """DuckDB twin: the same GROUPING SETS over date_trunc buckets."""
+    return (
+        "WITH b AS (SELECT epoch_us(date_trunc('hour', ts)) AS h, "
+        "epoch_us(date_trunc('day', ts)) AS d, "
+        "epoch_us(date_trunc('month', ts)) AS m, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' "
+        "WHEN GROUPING(d) = 0 THEN 'day' ELSE 'month' END AS level, "
+        "coalesce(h, d, m) AS bucket_us, "
+        "count(*) AS n_events, sum(cents) AS sum_cents "
+        "FROM b GROUP BY GROUPING SETS ((h), (d), (m))"
+    )
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signal: duplicate word-3-gram counts
     and ratio per document — pure Catalyst higher-order functions;
@@ -1319,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "events_asof": q_events_asof,
         "events_interval_overlap": q_events_interval_overlap,
+        "events_time_rollup": q_events_time_rollup,
         "doc_repetition": q_doc_repetition,
         "decontam_overlap": q_decontam_overlap,
         "polygon_area_centroid": q_polygon_area_centroid,
@@ -1959,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_density_rollup": _rollup_sql(ZOOM, 0),
         "cell_compact": _compact_sql(COMPACT_ZOOM, 0),
         "events_interval_overlap": sql_events_interval_overlap(),
+        "events_time_rollup": sql_events_time_rollup(),
         "events_asof": (
             "WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
             "event_type FROM events WHERE event_type IN ('click', 'view')), "

@@ -243,6 +243,8 @@ def test_driver_query_python_node_budgets(spark):
         # bin-decomposed interval join: explode + equi-join + integer
         # verify, all Catalyst
         "events_interval_overlap": 0,
+        # grouping-sets rollup: one Expand, zero Python
+        "events_time_rollup": 0,
     }
     qs = E.queries()
     sf = "/root/testdata/sf0.001"

@@ -511,3 +511,53 @@ def test_simplify_hull_vs_shapely_if_available():
         sh = np.asarray(MultiPoint(pts).convex_hull.exterior.coords)[:-1]
         # same vertex set (rotation/orientation may differ)
         assert {tuple(p) for p in hull} == {tuple(p) for p in sh}
+
+
+def test_time_rollup_calendar_correct(spark):
+    """Hour/day/month buckets over a month boundary; integer-cent
+    sums; every level's totals must agree (aggregate-of-aggregate
+    consistency, the temporal analog of test_rollup_levels_consistent)."""
+    from datetime import datetime
+
+    from workstealing_spatial_join_spark.operators.temporal import time_rollup
+
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=datetime(2024, 1, 15, 3, 30), value=1.25),
+            Row(event_id=2, ts=datetime(2024, 1, 15, 3, 45), value=0.75),
+            Row(event_id=3, ts=datetime(2024, 1, 15, 22, 0), value=2.00),
+            Row(event_id=4, ts=datetime(2024, 2, 1, 0, 0), value=2.50),
+        ]
+    )
+    rows = {
+        (r.level, r.bucket_us): (r.n_events, r.sum_cents)
+        for r in time_rollup(ev).collect()
+    }
+    us = lambda *a: int(datetime(*a).timestamp() * 0) + int(
+        (datetime(*a) - datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    assert rows[("hour", us(2024, 1, 15, 3))] == (2, 200)
+    assert rows[("hour", us(2024, 1, 15, 22))] == (1, 200)
+    assert rows[("day", us(2024, 1, 15))] == (3, 400)
+    assert rows[("month", us(2024, 1, 1))] == (3, 400)
+    assert rows[("month", us(2024, 2, 1))] == (1, 250)
+    # level-total consistency
+    for lv in ("hour", "day", "month"):
+        tot = [v for (l, _), v in rows.items() if l == lv]
+        assert sum(n for n, _ in tot) == 4 and sum(s for _, s in tot) == 650
+
+
+def test_time_rollup_plan_one_scan(spark, tmp_path):
+    from datetime import datetime
+
+    from workstealing_spatial_join_spark.operators.temporal import time_rollup
+
+    path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [Row(event_id=i, ts=datetime(2024, 1, 1 + i % 20), value=1.0)
+         for i in range(50)]
+    ).write.parquet(path)
+    p = _plan(time_rollup(spark.read.parquet(path)))
+    assert p.count("Scan parquet") == 1  # single scan feeds the Expand
+    assert "Expand" in p
+    assert "Python" not in p

@@ -157,3 +157,70 @@ def interval_overlap_join(
             ).alias("overlap_us"),
         )
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    levels: tuple[str, ...] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts and sums at
+    EVERY time granularity in ONE scan — the temporal twin of the tile
+    density pyramid (operators/tiles.tile_density_rollup, which
+    rejected the per-level ladder after `.explain` showed one base
+    scan per level). Native GROUPING SETS gives the same single-scan
+    Expand plan with map-side partial aggregation; calendar-correct
+    buckets via ``date_trunc`` (months are not fixed-width, so this is
+    NOT the fixed-bin arithmetic the interval join uses).
+
+    The measure is ``round(value*100)`` as int64 cents — bit-portable
+    partial-sum arithmetic (double summation is order-dependent; an
+    integer SUM is exact in any order, the same rule every sketch in
+    operators/sketch.py follows).
+
+    Returns ``(level, bucket_us, n_events, sum_cents)``; at 100 TB
+    this is one shuffle whose fanout is ``len(levels)`` — and because
+    partial aggregation runs map-side BEFORE the exchange, the rows
+    shuffled per level are the distinct buckets, not the events.
+    """
+    base = events.select(
+        F.col(ts).cast("timestamp").alias("_ts"),
+        F.round(F.col(value) * 100).cast("long").alias("_cents"),
+    )
+    bcols = [
+        F.unix_micros(F.date_trunc(lv, F.col("_ts"))).alias(f"_b_{lv}")
+        for lv in levels
+    ]
+    df = base.select(*bcols, "_cents")
+    # BOUND column refs (df[...]), not unresolved F.col: with
+    # unresolved names in the sets list, Spark 4.1's groupingSets
+    # mis-matches set members against the grouping columns and
+    # silently DROPS result rows (observed: 5 of 6 rows, varying per
+    # run; the SQL GROUPING SETS twin of the same plan returns all 6)
+    sets = [[df[f"_b_{lv}"]] for lv in levels]
+    # grouping() is only legal inside the aggregate, so the level
+    # label is computed as an agg expression over the grouping flags
+    level_expr = None
+    for lv in levels:
+        cond = F.grouping(df[f"_b_{lv}"]) == 0
+        level_expr = (
+            F.when(cond, F.lit(lv))
+            if level_expr is None
+            else level_expr.when(cond, F.lit(lv))
+        )
+    grouped = df.groupingSets(
+        sets, *[df[f"_b_{lv}"] for lv in levels]
+    ).agg(
+        level_expr.alias("level"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_cents").alias("sum_cents"),
+    )
+    return grouped.select(
+        "level",
+        F.coalesce(*[F.col(f"_b_{lv}") for lv in levels]).alias(
+            "bucket_us"
+        ),
+        "n_events",
+        "sum_cents",
+    )
