@@ -82,10 +82,18 @@ def sql_connected_components(
     """DuckDB twin: exact transitive closure by recursive CTE over
     the SAME edge list, min-reduced — independent of the iterative
     schedule. ``pairs_sql_body`` is a SELECT yielding columns
-    ``(a, b)`` (may itself contain a nested WITH inside parens)."""
+    ``(a, b)`` (may itself contain a nested WITH inside parens).
+
+    ``pairs``/``e2`` are forced MATERIALIZED: both are reachable from
+    the recursive term, and without the hint DuckDB may inline the
+    whole upstream edge derivation into EVERY recursion iteration —
+    with the MinHash pipeline as the edge source that turned a
+    ~1-minute sf1 oracle into a 45+-minute one (observed; the hint
+    bounds the edge pipeline to one evaluation)."""
     return (
-        f"pairs AS ({pairs_sql_body}), "
-        f"e2 AS (SELECT {a} AS a, {b} AS b FROM pairs WHERE {a} <> {b} "
+        f"pairs AS MATERIALIZED ({pairs_sql_body}), "
+        f"e2 AS MATERIALIZED (SELECT {a} AS a, {b} AS b FROM pairs "
+        f"WHERE {a} <> {b} "
         f"UNION SELECT {b}, {a} FROM pairs WHERE {a} <> {b}), "
         "nodes AS (SELECT DISTINCT a AS n FROM e2), "
         "reach(src, dst) AS (SELECT n, n FROM nodes "
