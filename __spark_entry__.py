@@ -1298,6 +1298,123 @@ def q_neardup_components(spark, sf_dir):
     )
 
 
+def q_zonal_image_stats(spark, sf_dir):
+    """Zonal statistics — the geospatial×image integration operator:
+    every geo-referenced image is assigned to the polygon zones that
+    contain it (same filter+refine PIP join as the headline query,
+    measure columns riding the probe side via point_payload — no
+    second join back to the image table), then per-zone integer
+    aggregates: image count, pixel volume, png count, distinct
+    perceptual hashes. The manifest a region-level curation pass
+    reads instead of the raw image table."""
+    from workstealing_spatial_join_spark.operators.zonal import zonal_stats
+
+    imgs = spark.read.parquet(_IMAGES_META_PATH).select(
+        "image_id", "lon", "lat", "w", "h", "fmt", "phash"
+    )
+    zones = TB.rects_with_geom(TB.supplier_rects(spark, sf_dir))
+    return zonal_stats(
+        imgs,
+        zones,
+        aggs=[
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(
+                F.col("w").cast("long") * F.col("h").cast("long")
+            ).alias("sum_pixels"),
+            F.sum(
+                F.when(F.col("fmt") == "png", F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_png"),
+            F.count_distinct("phash").alias("n_phash"),
+        ],
+        point_id="image_id",
+        zone_id="rect_id",
+        payload=("w", "h", "fmt", "phash"),
+        cell_deg=CELL,
+    ).withColumnRenamed("rect_id", "zone_id")
+
+
+Q3_CUTOFF = "1995-03-15"
+
+
+def q_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape (3-way join + agg + top-k): BUILDING-segment
+    customers' orders placed before the cutoff, revenue from
+    lineitems shipped after it, top 10 orders by revenue. Revenue is
+    summed in integer cent·percent units (price cents × (100 −
+    discount %)) so the sum AND the top-k ranking are bit-exact in
+    both engines — float revenue flips ranks at expected probability
+    on ties. Plan shape at scale: the selective customer filter
+    broadcast-semi-joins into orders, lineitem shuffles once on
+    orderkey; ties broken by orderkey for determinism."""
+    cust = (
+        TB.load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        TB.load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.to_date(F.lit(Q3_CUTOFF)))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    li = TB.load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(Q3_CUTOFF + " 00:00:00"))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_cc"))
+        .orderBy(F.col("revenue_cc").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "revenue_cc",
+        )
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping character chunking (context-window prep):
+    closed-form chunk count → Catalyst sequence explode → substr.
+    Map-side only; the oracle re-derives every chunk with
+    generate_series + substr."""
+    docs = TB.load(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs)
+
+
+def q_docs_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (write the corpus as ~2000-token
+    training shards): per-source deterministic order + running token
+    sum; a doc starts a new shard when the budget before it is full.
+    One shuffle on the group key; windows never serialize globally."""
+    docs = TB.load(spark, sf_dir, "documents")
+    return TX.pack_shards(docs, budget_tokens=2000)
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (anti-join surface): the new batch
+    (source='src0') keeps only documents whose content hash does NOT
+    already exist in the standing corpus (every other source) — a
+    LEFT ANTI join on md5(text). At scale: one shuffle on the hash
+    (or broadcast when the day's corpus-delta hash set is small);
+    first-writer-wins matches the streaming ingest gate's
+    convention."""
+    docs = TB.load(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    batch = docs.where(F.col("source") == "src0").select(
+        "doc_id", h.alias("h")
+    )
+    corpus = docs.where(F.col("source") != "src0").select(h.alias("h"))
+    return (
+        batch.join(corpus, "h", "left_anti")
+        .select("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -1364,6 +1481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "tile_image_stats": q_tile_image_stats,
         "neardup_components": q_neardup_components,
+        "zonal_image_stats": q_zonal_image_stats,
+        "q3_shipping": q_q3_shipping,
+        "doc_chunks": q_doc_chunks,
+        "docs_pack_shards": q_docs_pack_shards,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2104,5 +2226,39 @@ def oracle_sql() -> dict[str, str]:
             )
             + "SELECT src AS doc_id, MIN(dst) AS component "
             "FROM reach GROUP BY src"
+        ),
+        "zonal_image_stats": (
+            "WITH img AS (SELECT lon, lat, w, h, fmt, phash FROM "
+            f"read_parquet('{_IMAGES_META_PATH}/*.parquet')) "
+            f"SELECT r.rect_id AS zone_id, "
+            "COUNT(*) AS n_images, "
+            "CAST(SUM(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS BIGINT) "
+            "AS sum_pixels, "
+            "CAST(SUM(CASE WHEN fmt = 'png' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_png, "
+            "COUNT(DISTINCT phash) AS n_phash "
+            f"FROM img p JOIN ({_SUP}) r "
+            "ON p.lon BETWEEN r.minx AND r.maxx "
+            "AND p.lat BETWEEN r.miny AND r.maxy "
+            "GROUP BY r.rect_id"
+        ),
+        "q3_shipping": (
+            "SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, "
+            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_cc "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            f"AND o_orderdate < DATE '{Q3_CUTOFF}' "
+            f"AND l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_cc DESC, l_orderkey LIMIT 10"
+        ),
+        "doc_chunks": TX.sql_chunk_documents(),
+        "docs_pack_shards": TX.sql_pack_shards(budget_tokens=2000),
+        "dedup_incremental": (
+            "SELECT doc_id FROM documents b WHERE b.source = 'src0' "
+            "AND NOT EXISTS (SELECT 1 FROM documents c "
+            "WHERE c.source <> 'src0' AND md5(c.text) = md5(b.text))"
         ),
     }

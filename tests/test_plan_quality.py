@@ -245,6 +245,13 @@ def test_driver_query_python_node_budgets(spark):
         "events_interval_overlap": 0,
         # grouping-sets rollup: one Expand, zero Python
         "events_time_rollup": 0,
+        # round-5 third batch: all pure Catalyst (zonal rides the
+        # rect-layer catalyst shortcut like pip_count)
+        "zonal_image_stats": 0,
+        "q3_shipping": 0,
+        "doc_chunks": 0,
+        "docs_pack_shards": 0,
+        "dedup_incremental": 0,
     }
     qs = E.queries()
     sf = "/root/testdata/sf0.001"

@@ -238,6 +238,7 @@ def point_in_polygon_join(
     probe_partitions: int | str | None = "auto",
     refine_transport: str = "auto",  # auto | wkb | broadcast
     broadcast_dict_rows: int = 500_000,
+    point_payload: tuple[str, ...] = (),
 ) -> DataFrame:
     """Point-in-polygon spatial join (north_rule primary query).
 
@@ -248,12 +249,22 @@ def point_in_polygon_join(
     A point lies in exactly one cell, so results are duplicate-free
     without any dedup shuffle. ``mode='percell'`` keeps the polygon's
     cell replication visible (reference §3.2 parity diagnostics).
+
+    ``point_payload`` names extra point columns carried THROUGH the
+    join (``mode='pairs'`` only) so a downstream per-zone aggregate
+    (operators.zonal) needs no second join back to the point table —
+    at scale that second equi-join would be a full extra shuffle of
+    the pair table. Payload names must not collide with the polygon
+    layer's ``minx..maxy`` / ``geom_wkb`` / ``poly_id`` columns.
     """
+    if point_payload and mode != "pairs":
+        raise ValueError("point_payload requires mode='pairs'")
     pts = tessellate_points(
         points.select(
             F.col(point_id).alias("point_id"),
             F.col(lon).alias("px"),
             F.col(lat).alias("py"),
+            *[F.col(c) for c in point_payload],
         ),
         lon="px",
         lat="py",
@@ -279,6 +290,7 @@ def point_in_polygon_join(
             refine, mode, salt, target_pairs_per_task,
             build_small=polygons.n_rows <= BROADCAST_ROW_THRESHOLD,
             build_rows=polygons.n_rows,
+            payload=point_payload,
         )
 
     # Refine transport: per-candidate WKB column vs broadcast polygon
@@ -323,6 +335,7 @@ def point_in_polygon_join(
         pts, polys, contains_udf, refine, mode, salt, target_pairs_per_task,
         build_small=rows is not None,
         build_rows=len(rows) if rows is not None else None,
+        payload=point_payload,
     )
 
 
@@ -336,6 +349,7 @@ def _pip_finish(
     target_pairs_per_task: int,
     build_small: bool = False,
     build_rows: int | None = None,
+    payload: tuple[str, ...] = (),
 ) -> DataFrame:
     if salt:
         # LB1 rebirth: cost-estimated salting of hot cells (see
@@ -404,7 +418,7 @@ def _pip_finish(
         return cand.select("point_id").distinct()
     if mode == "percell":
         return cand.select("point_id", "poly_id", "cell_id")
-    return cand.select("point_id", "poly_id")
+    return cand.select("point_id", "poly_id", *payload)
 
 
 def polygon_join(

@@ -314,3 +314,130 @@ def sql_stratified_sample(
         f"WHERE sample_bucket < (CASE {whens} "
         f"ELSE {default_permille} END)"
     )
+
+
+# --------------------------------------------------- chunking / packing
+
+_SQL_TOKEN_COUNT = (
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE "
+    r"CAST(LENGTH(regexp_split_to_array(TRIM(text), '\s+')) AS INT) END"
+)
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows
+    (the context-window prep step of a training pipeline: every model
+    sample is a chunk, overlap = ``size - stride`` keeps boundary
+    context).
+
+    Chunk count is closed-form — ``ceil(max(len-size,0)/stride)+1``
+    (always ≥1, last chunk may be short but every character is
+    covered and no start position exceeds the text) — so the explode
+    is a Catalyst ``sequence`` with NO data-dependent Python. Pure
+    map-side: scan → explode → substr; no shuffle at any scale.
+    Emits the chunk's md5 rather than its text so the output stays
+    narrow (the common consumer is chunk-level dedup / manifests;
+    re-deriving the text is ``substr`` on the source row).
+    """
+    n = F.length(F.col(text_col))
+    n_chunks = (
+        F.floor((F.greatest(n - F.lit(size), F.lit(0)) + F.lit(stride - 1))
+                / F.lit(stride)) + F.lit(1)
+    )
+    start = (F.col("chunk_idx") * F.lit(stride) + F.lit(1)).cast("int")
+    chunk = F.col(text_col).substr(start, F.lit(size))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            start.cast("long").alias("start_pos"),
+            F.length(chunk).cast("long").alias("chunk_chars"),
+            F.md5(chunk.cast("binary")).alias("chunk_hash"),
+        )
+    )
+
+
+def sql_chunk_documents(size: int = 128, stride: int = 96) -> str:
+    """DuckDB twin of :func:`chunk_documents` over `documents`."""
+    return (
+        "WITH c AS (SELECT doc_id, text, "
+        f"((GREATEST(LENGTH(text) - {size}, 0) + {stride - 1}) "
+        f"// {stride}) + 1 AS n_chunks FROM documents) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        f"CAST(i * {stride} + 1 AS BIGINT) AS start_pos, "
+        f"CAST(LENGTH(substr(text, CAST(i * {stride} + 1 AS INT), {size})) "
+        "AS BIGINT) AS chunk_chars, "
+        f"md5(substr(text, CAST(i * {stride} + 1 AS INT), {size})) "
+        "AS chunk_hash "
+        "FROM c, UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) "
+        "AS t(i)"
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int = 2000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to output shards of ~``budget_tokens`` each
+    (the "write the corpus as N-token training shards" step).
+
+    Deterministic pseudo-shuffle order inside each group —
+    ``ORDER BY md5(id), id`` — then a running token sum; a document
+    starts a new shard when the tokens BEFORE it fill the budget
+    (``shard = floor((cumsum - tok)/budget)``), so shard boundaries
+    never split a document and assignment is integer-exact.
+
+    Scale shape: ONE shuffle on the group key; the running sum is a
+    window inside each group partition (groups = sources / dump
+    slices, thousands of docs each — the natural unit a corpus is
+    already organized by). A single global ordering would serialize
+    on one partition; per-group packing is how shard writers
+    parallelize at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    tok = token_count_col(F.col(text_col))
+    okey = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(okey, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        tok.cast("long").alias("token_count"),
+        F.floor((cum - tok) / F.lit(budget_tokens)).alias("shard_ord"),
+    )
+
+
+def sql_pack_shards(budget_tokens: int = 2000) -> str:
+    """DuckDB twin of :func:`pack_shards` over `documents`
+    (group = source, id = doc_id)."""
+    return (
+        f"WITH t AS (SELECT doc_id, source, {_SQL_TOKEN_COUNT} AS tok, "
+        "md5(CAST(doc_id AS VARCHAR)) AS okey FROM documents), "
+        "c AS (SELECT doc_id, source, tok, "
+        "SUM(tok) OVER (PARTITION BY source ORDER BY okey, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+        "SELECT doc_id, source, CAST(tok AS BIGINT) AS token_count, "
+        f"CAST((cum - tok) // {budget_tokens} AS BIGINT) AS shard_ord "
+        "FROM c"
+    )
