@@ -1415,6 +1415,55 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_spatial_cluster_images(spark, sf_dir):
+    """Grid-density spatial clustering (DBSCAN-style) of the
+    geo-referenced image corpus: 1° cells with ≥2 images are dense;
+    touching dense cells merge via connected components over the
+    CELL graph (bounded by the grid, not the point count). Capture
+    hot-spot discovery — the other half of the geospatial×image
+    integration next to zonal_image_stats. Oracle: same dense-cell
+    derivation + exact recursive-CTE closure."""
+    from workstealing_spatial_join_spark.operators.cluster import (
+        grid_density_clusters,
+    )
+
+    imgs = spark.read.parquet(_IMAGES_META_PATH).select("lon", "lat")
+    return grid_density_clusters(
+        imgs, cell_deg=CLUSTER_CELL_DEG, min_pts=CLUSTER_MIN_PTS
+    )
+
+
+CLUSTER_CELL_DEG = 1.0
+CLUSTER_MIN_PTS = 2
+ROLL_WINDOW_S = 3600
+
+
+def q_events_rolling(spark, sf_dir):
+    """Range-frame rolling window (the time-series primitive the
+    ROWS-frame family can't express): per event_type, the count and
+    integer-cent sum of events in the trailing hour at every event —
+    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW over epoch seconds,
+    so timestamp ties (peers) are included identically in both
+    engines regardless of tie order. One shuffle on the partition
+    key; integer cents keep the running sums bit-exact."""
+    from pyspark.sql import Window
+
+    ev = TB.load(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch)
+        .rangeBetween(-(ROLL_WINDOW_S - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum(cents).over(w).alias("roll_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -1486,7 +1535,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "docs_pack_shards": q_docs_pack_shards,
         "dedup_incremental": q_dedup_incremental,
+        "spatial_cluster_images": q_spatial_cluster_images,
+        "events_rolling": q_events_rolling,
     }
+
+
+def _sql_spatial_cluster_images() -> str:
+    from workstealing_spatial_join_spark.operators.cluster import (
+        sql_grid_density_clusters,
+    )
+
+    return sql_grid_density_clusters(
+        f"SELECT lon, lat FROM read_parquet('{_IMAGES_META_PATH}/*.parquet')",
+        cell_deg=CLUSTER_CELL_DEG,
+        min_pts=CLUSTER_MIN_PTS,
+    )
 
 
 # ---------------------------------------------------------- oracle SQL
@@ -2260,5 +2323,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents b WHERE b.source = 'src0' "
             "AND NOT EXISTS (SELECT 1 FROM documents c "
             "WHERE c.source <> 'src0' AND md5(c.text) = md5(b.text))"
+        ),
+        "spatial_cluster_images": _sql_spatial_cluster_images(),
+        "events_rolling": (
+            "SELECT event_id, event_type, "
+            "COUNT(*) OVER w AS roll_n, "
+            "SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS roll_cents "
+            "FROM events WINDOW w AS (PARTITION BY event_type "
+            "ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) "
+            f"RANGE BETWEEN {ROLL_WINDOW_S - 1} PRECEDING "
+            "AND CURRENT ROW)"
         ),
     }

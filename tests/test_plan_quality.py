@@ -252,6 +252,11 @@ def test_driver_query_python_node_budgets(spark):
         "doc_chunks": 0,
         "docs_pack_shards": 0,
         "dedup_incremental": 0,
+        # round-5 fourth batch: density clustering is groupBy + cell
+        # equi-join + checkpointed label propagation; rolling window
+        # is one native RANGE frame — both pure Catalyst
+        "spatial_cluster_images": 0,
+        "events_rolling": 0,
     }
     qs = E.queries()
     sf = "/root/testdata/sf0.001"
