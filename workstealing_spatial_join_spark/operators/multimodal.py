@@ -50,6 +50,8 @@ def decode_stats(images: DataFrame, jpeg_decoder=None) -> DataFrame:
             rows = []
             for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
+                    if data is None:  # NULL payload → null stats row
+                        raise ValueError("null payload")
                     arr = IMG.decode_image(
                         bytes(data), jpeg_decoder=jpeg_decoder
                     ).astype(np.float64)
@@ -86,13 +88,16 @@ def resize_images(
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_bytes, phashes = [], []
-            for data in pdf["bytes"]:
+            keep, out_bytes, phashes = [], [], []
+            for i, data in enumerate(pdf["bytes"]):
+                if data is None:
+                    continue  # NULL payload → row dropped, not a batch abort
                 arr = IMG.decode_image(bytes(data), jpeg_decoder=jpeg_decoder)
                 small = _block_mean_resize(arr, out_w, out_h)
+                keep.append(i)
                 out_bytes.append(IMG.png_encode(small))
                 phashes.append(IMG.phash64(small))
-            res = pdf[["image_id", "caption"]].copy()
+            res = pdf.iloc[keep][["image_id", "caption"]].copy()
             res["bytes"] = pd.Series(out_bytes, dtype=object)
             res["w"] = np.int32(out_w)
             res["h"] = np.int32(out_h)
@@ -118,6 +123,9 @@ def patch_features(
         for pdf in batches:
             feats = []
             for data in pdf["bytes"]:
+                if data is None:
+                    feats.append(None)  # NULL payload → null embedding
+                    continue
                 arr = IMG.decode_image(bytes(data), jpeg_decoder=jpeg_decoder)
                 gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
                 small = _block_mean_resize(
