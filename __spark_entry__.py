@@ -51,7 +51,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from workstealing_spatial_join_spark.functions import grid as GRID
@@ -1464,6 +1464,99 @@ def q_events_rolling(spark, sf_dir):
     )
 
 
+def q_tile_best_image(spark, sf_dir):
+    """Per-tile representative selection (mosaic / thumbnail pick):
+    the argmax image per slippy tile by pixel volume, ties broken by
+    image_id — the op a tile-server or preview pipeline runs instead
+    of scanning every image in the tile. One shuffle on tile_id, a
+    row_number window, integer sort keys only (bit-exact)."""
+    from pyspark.sql import Window
+
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    tx, ty = tile_xy_cols(F.col("lon"), F.col("lat"), IMG_STATS_ZOOM)
+    base = img.select(
+        F.concat(
+            F.lit(f"z{IMG_STATS_ZOOM}/"),
+            tx.cast("string"),
+            F.lit("/"),
+            ty.cast("string"),
+        ).alias("tile_id"),
+        "image_id",
+        (F.col("w") * F.col("h")).cast("long").alias("pixels"),
+    )
+    w = Window.partitionBy("tile_id").orderBy(
+        F.col("pixels").desc(), F.col("image_id").asc()
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("tile_id", "image_id", "pixels")
+    )
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-document selection — the step after clustering that
+    makes near-dup removal actionable: within every MinHash near-dup
+    component, keep the LONGEST member (n_chars desc, doc_id asc —
+    integer keys, so the choice is bit-exact), mark the rest for
+    deletion. canonical_id rides a full-frame first_value window on
+    the same component shuffle — no join back to a ranked copy. The
+    oracle recomputes the exact closure (recursive CTE) and the same
+    window over the identical edge list."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        canonicalize_components,
+    )
+    from workstealing_spatial_join_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = TB.load(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.5)
+    comp = connected_components(pairs, "doc_id_a", "doc_id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    return canonicalize_components(comp, docs.select("doc_id", "n_chars"))
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): per user,
+    the earliest view, the earliest click STRICTLY AFTER that view,
+    and the earliest purchase strictly after that click — the
+    sequence-matching analytics op a plain conditional groupBy cannot
+    express (each stage's window opens where the previous one
+    landed). Three conditional min-aggregates, every exchange on
+    user_id so the ladder stays in one shuffle footprint; timestamps
+    compare at full microsecond precision and surface as floored
+    epoch seconds (the events_rolling convention)."""
+    from workstealing_spatial_join_spark.operators.temporal import (
+        conversion_funnel,
+    )
+
+    ev = TB.load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fun = conversion_funnel(ev, stages=("view", "click", "purchase"))
+
+    def _s(c: str) -> Column:
+        return F.col(c).cast("timestamp").cast("long")
+
+    return fun.select(
+        "user_id",
+        _s("t_view").alias("t_view_s"),
+        _s("t_click").alias("t_click_s"),
+        _s("t_purchase").alias("t_purchase_s"),
+        "funnel_depth",
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the corpus for a fixed query — top-10 docs,
+    bit-portable scoring (integer-cleared tf-saturation fraction, raw
+    N/df idf, fixed-order double sum; see textops.bm25_topk_docs).
+    Plan: one map-side tf/dl pass, ONE broadcast global-stats row,
+    distributed TakeOrdered — no wide exchange."""
+    docs = TB.load(spark, sf_dir, "documents")
+    return TX.bm25_topk_docs(docs, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -1537,6 +1630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "spatial_cluster_images": q_spatial_cluster_images,
         "events_rolling": q_events_rolling,
+        "tile_best_image": q_tile_best_image,
+        "dedup_canonical": q_dedup_canonical,
+        "events_funnel": q_events_funnel,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2334,4 +2431,55 @@ def oracle_sql() -> dict[str, str]:
             f"RANGE BETWEEN {ROLL_WINDOW_S - 1} PRECEDING "
             "AND CURRENT ROW)"
         ),
+        "tile_best_image": (
+            "WITH img AS (SELECT image_id, lon, lat, "
+            "CAST(w * h AS BIGINT) AS pixels FROM "
+            f"read_parquet('{_IMAGES_META_PATH}/*.parquet')), "
+            f"t AS (SELECT CONCAT('z{IMG_STATS_ZOOM}/', "
+            f"CAST({_IMG_TX} AS VARCHAR), '/', "
+            f"CAST({_IMG_TY} AS VARCHAR)) AS tile_id, "
+            "image_id, pixels FROM img) "
+            "SELECT tile_id, image_id, pixels FROM t "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY tile_id "
+            "ORDER BY pixels DESC, image_id ASC) = 1"
+        ),
+        "dedup_canonical": (
+            f"WITH RECURSIVE {_minhash_ctes()}, "
+            + sql_connected_components(
+                "SELECT da AS a, db AS b FROM ver WHERE jaccard >= 0.5"
+            )
+            + ", comp AS (SELECT src AS doc_id, MIN(dst) AS component "
+            "FROM reach GROUP BY src), "
+            "sized AS (SELECT c.doc_id, c.component, d.n_chars "
+            "FROM comp c JOIN documents d USING (doc_id)), "
+            "canon AS (SELECT doc_id, component, "
+            "FIRST_VALUE(doc_id) OVER (PARTITION BY component "
+            "ORDER BY n_chars DESC, doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "AS canonical_id FROM sized) "
+            "SELECT doc_id, component, canonical_id, "
+            "doc_id = canonical_id AS keep FROM canon"
+        ),
+        "events_funnel": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e "
+            "JOIN v ON e.user_id = v.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > v.t_view "
+            "GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e "
+            "JOIN c ON e.user_id = c.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > c.t_click "
+            "GROUP BY e.user_id) "
+            "SELECT v.user_id, "
+            "CAST(FLOOR(epoch(v.t_view)) AS BIGINT) AS t_view_s, "
+            "CAST(FLOOR(epoch(c.t_click)) AS BIGINT) AS t_click_s, "
+            "CAST(FLOOR(epoch(p.t_purchase)) AS BIGINT) AS t_purchase_s, "
+            "CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS INT) AS funnel_depth "
+            "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+            "LEFT JOIN p ON v.user_id = p.user_id"
+        ),
+        "bm25_topk": TX.sql_bm25_topk(k=10),
     }

@@ -960,3 +960,37 @@ def decontaminate(
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+def canonicalize_components(
+    components: DataFrame,
+    sizes: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Pick the canonical (kept) member of every near-dup component:
+    the LARGEST by ``size_col``, ties broken by smallest id — integer
+    sort keys, so the choice is deterministic and bit-portable.
+
+    ``components`` is (id_col, comp_col) as produced by
+    :func:`~workstealing_spatial_join_spark.operators.graph.connected_components`
+    (renamed); ``sizes`` maps id_col -> size_col. The canonical id
+    rides a full-frame ``first_value`` window on the same component
+    shuffle — no ranked self-join. Output adds ``canonical_id`` and
+    ``keep`` (true exactly once per component)."""
+    from pyspark.sql.window import Window
+
+    sized = components.join(sizes.select(id_col, size_col), id_col)
+    w = (
+        Window.partitionBy(comp_col)
+        .orderBy(F.col(size_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    canonical = F.first(id_col).over(w)
+    return sized.select(
+        id_col,
+        comp_col,
+        canonical.alias("canonical_id"),
+        (F.col(id_col) == canonical).alias("keep"),
+    )

@@ -224,3 +224,62 @@ def time_rollup(
         "n_events",
         "sum_cents",
     )
+
+
+def conversion_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest stage-1
+    event, then for each later stage the earliest event STRICTLY
+    AFTER the previous stage's landing time.
+
+    This is sequence matching, not conditional aggregation — a single
+    ``groupBy`` with per-type mins can't express "click after THAT
+    view" (a user whose only clicks precede their first view must
+    not convert). Each stage is one min-aggregate keyed on the user,
+    inner-joined to the previous stage's result and filtered to the
+    open window; users drop out of later stages but stage 1's frame
+    is kept as the left spine, so the output has one row per user
+    who reached stage 1, with NULL timestamps past their depth.
+
+    All exchanges hash on ``user_col`` — the stage ladder reuses one
+    shuffle footprint — and the per-stage frames shrink
+    monotonically. ``funnel_depth`` counts reached stages.
+    """
+    if len(stages) < 2:
+        raise ValueError("conversion_funnel needs at least 2 stages")
+    cols = [f"t_{i}" for i in range(len(stages))]
+    spine = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(cols[0]))
+    )
+    prev = spine
+    laddered = [spine]
+    for i, stage in enumerate(stages[1:], start=1):
+        prev = (
+            events.filter(F.col(type_col) == stage)
+            .join(prev.select(user_col, cols[i - 1]), user_col)
+            .filter(F.col(ts_col) > F.col(cols[i - 1]))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(cols[i]))
+        )
+        laddered.append(prev)
+    out = laddered[0]
+    for step in laddered[1:]:
+        out = out.join(step, user_col, "left")
+    depth = F.lit(1)
+    for c in cols[1:]:
+        depth = depth + F.col(c).isNotNull().cast("int")
+    return out.select(
+        user_col,
+        *[
+            F.col(c).alias(f"t_{stage}")
+            for c, stage in zip(cols, stages)
+        ],
+        depth.alias("funnel_depth"),
+    )

@@ -441,3 +441,133 @@ def sql_pack_shards(budget_tokens: int = 2000) -> str:
         f"CAST((cum - tok) // {budget_tokens} AS BIGINT) AS shard_ord "
         "FROM c"
     )
+
+
+# --------------------------------------------------- BM25 retrieval
+
+# k1 = 6/5, b = 3/4 expressed as the integer coefficients that fall
+# out of clearing denominators (see bm25_topk_docs): with k1 = 6/5
+# and b = 3/4, multiplying the classic tf-saturation fraction
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))        avgdl = TT/ND
+# through by 20*TT gives the all-integer pair
+#   num = 44*tf*TT          den = 20*tf*TT + 6*TT + 18*dl*ND
+BM25_QUERY_TERMS = ("filter", "hash", "join", "scan", "vector")
+
+
+def bm25_topk_docs(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a fixed query under BM25 (k1=1.2, b=0.75),
+    bit-portable across engines.
+
+    Two portability moves make the score hash-exact vs a SQL oracle:
+
+    * **Integer-exact saturation.** The tf-saturation fraction is
+      cleared to a ratio of two int64s (``44*tf*TT`` over
+      ``20*tf*TT + 6*TT + 18*dl*ND`` — TT = corpus token count, ND =
+      doc count), so the only float ops are one correctly-rounded
+      division, one for the raw-idf factor ``ND/df`` (raw, not
+      log-damped — ln() is not bit-portable, and per-term ordering is
+      unchanged), and one multiply: identical bits in any IEEE engine.
+      The int64 products hold while ``44*tf*TT < 2^53`` (~2e11 corpus
+      tokens with tf≤1e3); beyond that, scale TT to kilotokens on
+      both sides.
+    * **Fixed-order summation.** Per-term scores live in separate
+      columns (one map-side ``size(filter(split(...)))`` per term —
+      no explode, no shuffle) and are added in sorted-term literal
+      order, so the double sum is order-deterministic — a plain
+      SUM-over-exploded-terms would hash-differently run to run.
+
+    Plan shape at scale: one map-side pass computes tf/dl per doc,
+    ONE tiny global aggregate row (TT, ND, per-term df) is
+    cross-joined back (broadcast), and the top-k is a distributed
+    TakeOrdered — no wide exchange anywhere.
+    """
+    terms = tuple(sorted(terms))
+    toks = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+
+    # NB: the lambda must take exactly ONE parameter — F.filter treats
+    # a second parameter as the element-index request, so the usual
+    # `lambda x, t=t:` capture idiom silently changes semantics.
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
+        F.col(id_col),
+        token_count_col(F.col(text_col)).cast("long").alias("dl"),
+        *[
+            _tf(t).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    totals = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("dl").alias("tt"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(totals))
+    parts = []
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        num = (F.lit(44) * tf * F.col("tt")).cast("double")
+        den = (
+            F.lit(20) * tf * F.col("tt")
+            + F.lit(6) * F.col("tt")
+            + F.lit(18) * F.col("dl") * F.col("nd")
+        ).cast("double")
+        idf = F.col("nd").cast("double") / df.cast("double")
+        parts.append(
+            F.when((tf > 0) & (df > 0), (num / den) * idf).otherwise(
+                F.lit(0.0)
+            )
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return (
+        scored.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sql_bm25_topk(
+    terms: tuple[str, ...] = BM25_QUERY_TERMS, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`bm25_topk_docs` over `documents` — same
+    integer-cleared fraction, same fixed-order double sum."""
+    terms = tuple(sorted(terms))
+    tf_cols = ", ".join(
+        "CAST(LENGTH(list_filter(regexp_split_to_array(lower(text), "
+        rf"'\s+'), x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 AND df_{i} > 0 THEN "
+        f"(CAST(44 * tf_{i} * tt AS DOUBLE) / "
+        f"CAST(20 * tf_{i} * tt + 6 * tt + 18 * dl * nd AS DOUBLE)) "
+        f"* (CAST(nd AS DOUBLE) / CAST(df_{i} AS DOUBLE)) "
+        "ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return (
+        f"WITH per_doc AS (SELECT doc_id, "
+        f"CAST({_SQL_TOKEN_COUNT} AS BIGINT) AS dl, {tf_cols} "
+        "FROM documents), "
+        "totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, "
+        f"CAST(SUM(dl) AS BIGINT) AS tt, {df_cols} FROM per_doc) "
+        f"SELECT doc_id, ({score_terms}) AS score "
+        "FROM per_doc CROSS JOIN totals "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
