@@ -77,9 +77,16 @@ from workstealing_spatial_join_spark.operators.sketch import (
     sql_bloom_semijoin_stats,
     sql_cms_heavy,
     sql_hll_distinct,
+    sql_value_histogram,
 )
 from workstealing_spatial_join_spark.operators.graph import (
+    pagerank_int,
     sql_connected_components,
+    sql_pagerank_int,
+)
+from workstealing_spatial_join_spark.operators.frontier import (
+    pareto_front_2d,
+    sql_pareto_front_2d,
 )
 from workstealing_spatial_join_spark.operators.temporal import asof_join
 from workstealing_spatial_join_spark.operators.knn import knn_join
@@ -1557,6 +1564,75 @@ def q_bm25_topk(spark, sf_dir):
     return TX.bm25_topk_docs(docs, k=10)
 
 
+def q_pip_anti(spark, sf_dir):
+    """Spatial ANTI-join: customers inside NO supplier rectangle —
+    the negative-sample / out-of-coverage filter (ocean masking at
+    10^12 images). Same filter+refine join as pip_pairs plus ONE
+    left_anti shuffle on point_id; the rect layer rides the pure-
+    Catalyst bounds shortcut, so the whole plan is zero-Python."""
+    return _pip(spark, sf_dir, "anti").select(
+        F.col("point_id").alias("c_custkey")
+    )
+
+
+_PR_K = "CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)"
+
+
+def q_events_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank over the event-transition graph
+    (per-user consecutive props.k values become src→dst edges).
+    Bit-exact by construction — every step is int64 floor
+    arithmetic, so partial-sum ORDER cannot flip near-tied ranks
+    (graph.pagerank_int); the oracle replays the same unrolled
+    iteration as chained CTEs. Per round: one shuffle on src, one
+    map-side-combinable sum on dst."""
+    from pyspark.sql import Window
+
+    ev = TB.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "props"
+    )
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(k.alias("k"), F.lag(k).over(w).alias("pk"))
+    edges = seq.where(
+        F.col("pk").isNotNull() & (F.col("pk") != F.col("k"))
+    ).select(F.col("pk").alias("src"), F.col("k").alias("dst"))
+    return pagerank_int(edges, iters=6)
+
+
+def q_events_pareto(spark, sf_dir):
+    """Pareto-front (skyline) over per-user (total spend, activity):
+    the users not beaten on BOTH axes — selection without a single
+    total order (§2.5 top-k family). Two-stage sort-based prune
+    (frontier.pareto_front_2d): a per-partition window pass with NO
+    shuffle, then the same windows over the tiny survivor set. The
+    oracle is the quadratic NOT-EXISTS dominance filter — a
+    different plan shape cross-checking the prune."""
+    ev = TB.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return pareto_front_2d(agg, "total_cents", "n_events").select(
+        "user_id", "total_cents", "n_events"
+    )
+
+
+def q_events_value_hist(spark, sf_dir):
+    """Equi-width histogram of the event value distribution (5-dollar
+    bins, integer cents) + cumulative counts: the per-batch
+    distribution profile a pipeline sidecar emits to spot drift. One
+    map-side-combinable groupBy on the bin key; the cumulative sum
+    rides a single-task window over the bounded bin table."""
+    from workstealing_spatial_join_spark.operators.sketch import (
+        value_histogram,
+    )
+
+    ev = TB.load(spark, sf_dir, "events")
+    return value_histogram(ev, F.round(F.col("value") * 100), 500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -1634,6 +1710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "events_funnel": q_events_funnel,
         "bm25_topk": q_bm25_topk,
+        "pip_anti": q_pip_anti,
+        "events_pagerank": q_events_pagerank,
+        "events_pareto": q_events_pareto,
+        "events_value_hist": q_events_value_hist,
     }
 
 
@@ -2482,4 +2562,36 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN p ON v.user_id = p.user_id"
         ),
         "bm25_topk": TX.sql_bm25_topk(k=10),
+        "pip_anti": (
+            f"SELECT point_id AS c_custkey FROM ({_PTS}) p "
+            f"WHERE NOT EXISTS (SELECT 1 FROM ({_SUP}) r "
+            "WHERE p.lon BETWEEN r.minx AND r.maxx "
+            "AND p.lat BETWEEN r.miny AND r.maxy)"
+        ),
+        "events_pagerank": (
+            "WITH "
+            + sql_pagerank_int(
+                "SELECT pk AS src, k AS dst FROM ("
+                f"SELECT {_PR_K} AS k, "
+                f"LAG({_PR_K}) OVER (PARTITION BY user_id "
+                "ORDER BY ts, event_id) AS pk FROM events) "
+                "WHERE pk IS NOT NULL AND pk <> k",
+                iters=6,
+            )
+            + " SELECT node, rank FROM r6"
+        ),
+        "events_pareto": sql_pareto_front_2d(
+            "SELECT user_id, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents, COUNT(*) AS n_events "
+            "FROM events GROUP BY user_id",
+            "total_cents",
+            "n_events",
+            cols="user_id, total_cents, n_events",
+        ),
+        "events_value_hist": sql_value_histogram(
+            "SELECT value FROM events",
+            "CAST(ROUND(value * 100) AS BIGINT)",
+            500,
+        ),
     }

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HLL_B = 8
@@ -325,4 +325,58 @@ def sql_bloom_semijoin_stats(
         "CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true, "
         "CAST(SUM(CASE WHEN pass AND NOT truth THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_false_pos FROM probed"
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    cents: Column,
+    width_cents: int = 500,
+) -> DataFrame:
+    """Equi-width histogram over a NON-NEGATIVE integer-cents measure:
+    ``(bin, lo_cents, n, sum_cents, cum_n)`` with
+    ``bin = cents div width`` — the distribution profile a pipeline
+    sidecar emits per ingest batch (spotting drift/truncation before
+    training sees it).
+
+    Scale shape: one map-side-combinable groupBy on the bin key (bin
+    count is bounded by the value range, not the row count), then the
+    cumulative count rides a single-task window over the tiny bin
+    table. Integer floor-division bins require cents ≥ 0: Spark's
+    ``div`` truncates toward zero while negative floors differ, so
+    callers with signed measures must shift first (asserted here via
+    a documented convention, not a runtime scan).
+    """
+    binned = (
+        df.select(cents.cast("long").alias("_c"))
+        .groupBy(F.expr(f"_c div {width_cents}").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").alias("sum_cents"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return binned.select(
+        "bin",
+        (F.col("bin") * width_cents).alias("lo_cents"),
+        "n",
+        "sum_cents",
+        F.sum("n").over(w).alias("cum_n"),
+    )
+
+
+def sql_value_histogram(
+    body_sql: str, cents_expr: str, width_cents: int = 500
+) -> str:
+    """DuckDB twin of :func:`value_histogram` (``//`` floors, but the
+    non-negative convention makes it identical to Spark's ``div``)."""
+    return (
+        f"WITH src AS ({body_sql}), "
+        f"b AS (SELECT ({cents_expr}) // {width_cents} AS bin, "
+        "COUNT(*) AS n, "
+        f"CAST(SUM({cents_expr}) AS BIGINT) AS sum_cents "
+        "FROM src GROUP BY 1) "
+        f"SELECT bin, bin * {width_cents} AS lo_cents, n, sum_cents, "
+        "CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n FROM b"
     )

@@ -230,7 +230,7 @@ def point_in_polygon_join(
     lon: str = "lon",
     lat: str = "lat",
     cell_deg: float = GRID.DEFAULT_CELL_DEG,
-    mode: str = "pairs",  # pairs | count | semi | percell
+    mode: str = "pairs",  # pairs | count | semi | percell | anti
     refine: bool = True,
     broadcast: str | bool = "auto",
     salt: bool = False,
@@ -416,6 +416,21 @@ def _pip_finish(
         return cand.agg(F.count(F.lit(1)).alias("join_count"))
     if mode == "semi":
         return cand.select("point_id").distinct()
+    if mode == "anti":
+        # spatial ANTI-join: points inside NO polygon (ocean/extent
+        # filtering, negative-sample mining). A point lives in exactly
+        # one cell, so `pts` is one row per point; the distinct()s are
+        # no-ops there but keep the semantics exact under salted runs.
+        # Cost at scale: the same filter+refine join plus ONE extra
+        # shuffle on point_id for the left_anti — there is no cheaper
+        # shape, because "no match" is only known after all of a
+        # point's candidate cells resolve.
+        matched = cand.select("point_id").distinct()
+        return (
+            pts.select("point_id")
+            .distinct()
+            .join(matched, "point_id", "left_anti")
+        )
     if mode == "percell":
         return cand.select("point_id", "poly_id", "cell_id")
     return cand.select("point_id", "poly_id", *payload)
