@@ -92,6 +92,7 @@ from workstealing_spatial_join_spark.operators.temporal import asof_join
 from workstealing_spatial_join_spark.operators.knn import knn_join
 from workstealing_spatial_join_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    sql_kmeans_step_int,
 )
 from workstealing_spatial_join_spark.operators.spatial_join import (
     point_in_polygon_join,
@@ -1633,6 +1634,61 @@ def q_events_value_hist(spark, sf_dir):
     return value_histogram(ev, F.round(F.col("value") * 100), 500)
 
 
+def q_kmeans_step(spark, sf_dir):
+    """One EXACT k-means iteration over the embedding corpus (assign
+    to the nearest of 8 deterministic seeds + centroid update) — the
+    clustering workhorse of embedding-based data curation. Dyadic
+    1/1024 quantization makes squared L2 distances int64, so the
+    argmin can never rank-flip between engines; centroid components
+    are floor(sum/n) with (n, sum_q) also emitted exact. Plan:
+    broadcast seed frame, map-side distance fold, ONE min(struct)
+    aggregation, k·dim output rows (similarity.kmeans_step_int)."""
+    from workstealing_spatial_join_spark.operators.similarity import (
+        kmeans_step_int,
+    )
+
+    emb = TB.load(spark, sf_dir, "embeddings")
+    return kmeans_step_int(emb, k=8)
+
+
+def q_doc_pmi_top(spark, sf_dir):
+    """Top-20 word pairs by document-level PMI (collocation mining).
+    Integer cross-multiplied score — (c_ab·N·10^6) div (c_a·c_b) —
+    is monotone in real PMI for fixed N and bit-exact across
+    engines; (score, wa, wb) tie-break keeps the cut deterministic
+    (textops.pmi_top_pairs). Per-doc distinct-token self-join, one
+    combinable pair count, broadcast unigram + corpus-size frames,
+    TakeOrdered top-k."""
+    docs = TB.load(spark, sf_dir, "documents")
+    return TX.pmi_top_pairs(docs, k=20)
+
+
+def q_phash_knn(spark, sf_dir):
+    """Per-image top-3 nearest neighbors within hamming radius 3 of
+    the perceptual hash — ranked near-dup retrieval over the
+    input_hint-shaped image metadata fixture. The radius bound keeps
+    the pigeonhole chunk join recall-exact, so the ranking is exact
+    over that neighborhood (dedup.phash_knn)."""
+    from workstealing_spatial_join_spark.operators.dedup import phash_knn
+
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    return phash_knn(img, k=3, max_hamming=3)
+
+
+def _sql_phash_knn(k: int = 3, max_hamming: int = 3) -> str:
+    return (
+        f"WITH pairs AS ({sql_phash_neardup(max_hamming)}), "
+        "sym AS (SELECT image_id_a AS image_id, image_id_b AS "
+        "neighbor_id, hamming FROM pairs "
+        "UNION ALL SELECT image_id_b, image_id_a, hamming FROM pairs), "
+        "r AS (SELECT image_id, neighbor_id, hamming, "
+        "row_number() OVER (PARTITION BY image_id "
+        "ORDER BY hamming, neighbor_id) AS rk FROM sym) "
+        "SELECT image_id, neighbor_id, hamming, CAST(rk AS BIGINT) AS rk "
+        f"FROM r WHERE rk <= {k}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -1714,6 +1770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pagerank": q_events_pagerank,
         "events_pareto": q_events_pareto,
         "events_value_hist": q_events_value_hist,
+        "kmeans_step": q_kmeans_step,
+        "doc_pmi_top": q_doc_pmi_top,
+        "phash_knn": q_phash_knn,
     }
 
 
@@ -2594,4 +2653,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(value * 100) AS BIGINT)",
             500,
         ),
+        "kmeans_step": sql_kmeans_step_int(k=8),
+        "doc_pmi_top": TX.sql_pmi_top_pairs(k=20),
+        "phash_knn": _sql_phash_knn(k=3, max_hamming=3),
     }

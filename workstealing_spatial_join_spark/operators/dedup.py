@@ -50,7 +50,7 @@ import weakref
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -993,4 +993,45 @@ def canonicalize_components(
         comp_col,
         canonical.alias("canonical_id"),
         (F.col(id_col) == canonical).alias("keep"),
+    )
+
+
+def phash_knn(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    k: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Per-image top-k nearest neighbors WITHIN a hamming radius —
+    ``(image_id, neighbor_id, hamming, rk)``: the ranked variant of
+    :func:`phash_neardup` (pick the closest variants of each image,
+    not just "a near-dup exists"). The radius bound is what keeps it
+    LSH-exact: the pigeonhole chunk join has zero recall loss inside
+    ``max_hamming``, so the ranking is exact over that neighborhood
+    by construction (an unbounded hamming kNN would need all-pairs).
+    Ties break on the neighbor id. Scale shape: the pair join from
+    phash_neardup plus ONE window partitioned by image_id — no new
+    wide exchange beyond the symmetrize shuffle.
+    """
+    pairs = phash_neardup(
+        images, id_col=id_col, phash_col=phash_col, max_hamming=max_hamming
+    )
+    a, b = "image_id_a", "image_id_b"
+    sym = pairs.select(
+        F.col(a).alias("image_id"),
+        F.col(b).alias("neighbor_id"),
+        "hamming",
+    ).unionByName(
+        pairs.select(
+            F.col(b).alias("image_id"),
+            F.col(a).alias("neighbor_id"),
+            "hamming",
+        )
+    )
+    w = Window.partitionBy("image_id").orderBy("hamming", "neighbor_id")
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("image_id", "neighbor_id", "hamming", F.col("rk").cast("long").alias("rk"))
     )

@@ -228,3 +228,102 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def kmeans_step_int(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1024,
+) -> DataFrame:
+    """One EXACT k-means iteration (assign + centroid update) over
+    dyadically quantized embeddings — ``(cluster, dim, n, sum_q,
+    centroid_q)``, one row per centroid component.
+
+    Same determinism doctrine as the ANN contract: components are
+    floored to integer ``1/quant`` units (``quant`` a power of two ⇒
+    ``x * quant`` is exact in doubles), so squared L2 distances are
+    int64 and the argmin can never rank-flip between engines or
+    runs; ties break on the lower seed id. Seeds are the rows with
+    ``id_col < k`` — deterministic, no driver collect. The centroid
+    component is ``floor(sum_q / n)`` via double division (exact
+    while ``|sum_q| < 2^53``); ``(n, sum_q)`` are also emitted so a
+    caller chaining iterations can keep exact sums.
+
+    Scale shape: the seed frame is broadcast (k rows), assignment is
+    a map-side cross join + int64 fold (``zip_with``/``aggregate`` —
+    JVM higher-order functions, zero Python), the argmin is ONE
+    ``min(struct(dist, sid, vec))`` aggregation on the point id (no
+    window, map-side combinable), and the update is a posexplode +
+    groupBy on (cluster, dim) — k·dim output rows regardless of
+    input size. A full Lloyd loop re-enters with the new centroids
+    as the seed frame.
+    """
+    q = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * quant).cast("long"),
+        ).alias("qe"),
+    )
+    seeds = F.broadcast(
+        q.where(F.col("vid") < k).select(
+            F.col("vid").alias("sid"), F.col("qe").alias("qs")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qs"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        q.crossJoin(seeds)
+        .select("vid", "qe", "sid", dist.alias("dist"))
+        .groupBy("vid")
+        .agg(F.min(F.struct("dist", "sid", "qe")).alias("m"))
+        .select(F.col("m.sid").alias("cluster"), F.col("m.qe").alias("qe"))
+    )
+    return (
+        assigned.select("cluster", F.posexplode("qe").alias("pos", "v"))
+        .groupBy("cluster", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_q"),
+        )
+        .select(
+            "cluster",
+            "dim",
+            "n",
+            "sum_q",
+            F.floor(F.col("sum_q").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("centroid_q"),
+        )
+    )
+
+
+def sql_kmeans_step_int(k: int = 8, quant: int = 1024) -> str:
+    """DuckDB twin of :func:`kmeans_step_int` over the ``embeddings``
+    view — same quantization, int64 distances, (dist, sid) argmin via
+    row_number, 1-based dims."""
+    return (
+        "WITH q AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * "
+        f"{quant}) AS BIGINT) for x in embedding] AS qe "
+        "FROM embeddings), "
+        f"s AS (SELECT vec_id AS sid, qe AS qs FROM q WHERE vec_id < {k}), "
+        "d AS (SELECT q.vec_id, s.sid, q.qe, CAST(list_sum("
+        "[(q.qe[i] - s.qs[i]) * (q.qe[i] - s.qs[i]) "
+        "for i in range(1, len(q.qe) + 1)]) AS BIGINT) AS dist "
+        "FROM q CROSS JOIN s), "
+        "a AS (SELECT vec_id, qe, sid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn "
+        "FROM d), "
+        "w AS (SELECT sid AS cluster, qe FROM a WHERE rn = 1), "
+        "x AS (SELECT cluster, r.i AS dim, qe[r.i] AS v FROM w, "
+        "LATERAL (SELECT unnest(generate_series(1, len(w.qe))) AS i) r) "
+        "SELECT cluster, dim, COUNT(*) AS n, "
+        "CAST(SUM(v) AS BIGINT) AS sum_q, "
+        "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) "
+        "AS centroid_q FROM x GROUP BY cluster, dim"
+    )

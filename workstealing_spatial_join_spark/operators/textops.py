@@ -571,3 +571,97 @@ def sql_bm25_topk(
         "FROM per_doc CROSS JOIN totals "
         f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
     )
+
+
+def pmi_top_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k word pairs by document-level PMI — the collocation /
+    topic-seed miner (which terms co-occur far above chance). PMI is
+    ranked on the INTEGER cross-multiplied ratio
+    ``(c_ab · N · scale) div (c_a · c_b)`` (monotone in the real PMI
+    for fixed N; no logs, no floats), so the top-k is bit-exact in
+    both engines; full (score, wa, wb) tie-break keeps the cut
+    deterministic.
+
+    Scale shape: per-doc DISTINCT tokens explode once; the pair
+    generation is a per-doc self-join (bounded by the per-doc
+    distinct-word count squared, NOT the corpus size — cap upstream
+    for pathological documents), pair counting is one
+    map-side-combinable groupBy, and the unigram table joins in as a
+    broadcast (vocabulary-sized). Top-k is a TakeOrdered — no global
+    sort exchange. Overflow: keep ``N² · scale < 2^63``
+    (c_ab ≤ N ≤ the doc count).
+    """
+    tk = (
+        docs.select(
+            F.col(id_col).alias("d"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+                )
+            ).alias("tk"),
+        )
+        .where(F.col("tk") != "")
+        .localCheckpoint(eager=True)
+    )
+    # corpus size as a broadcast ONE-ROW frame (the bm25_topk_docs
+    # convention) — no driver-side count() action at plan time
+    nd = F.broadcast(docs.agg(F.count(F.lit(1)).alias("nd")))
+    uni = tk.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        tk.alias("a")
+        .join(tk.alias("b"), "d")
+        .where(F.col("a.tk") < F.col("b.tk"))
+        .groupBy(
+            F.col("a.tk").alias("wa"), F.col("b.tk").alias("wb")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("tk").alias("wa"), F.col("c").alias("ca"))),
+            "wa",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tk").alias("wb"), F.col("c").alias("cb"))),
+            "wb",
+        )
+        .crossJoin(nd)
+        .select(
+            "wa",
+            "wb",
+            "c_ab",
+            F.expr(f"(c_ab * nd * {scale}L) div (ca * cb)").alias(
+                "pmi_scaled"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_scaled").desc(), "wa", "wb"
+    ).limit(k)
+
+
+def sql_pmi_top_pairs(k: int = 20, scale: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`pmi_top_pairs` on the ``documents``
+    view — same tokenization, same integer score, same tie-break."""
+    return (
+        "WITH tk AS (SELECT DISTINCT doc_id, tk FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+        r"'\s+')) AS tk FROM documents) WHERE tk <> ''), "
+        "n AS (SELECT COUNT(*) AS nd FROM documents), "
+        "w AS (SELECT tk, COUNT(*) AS c FROM tk GROUP BY tk), "
+        "p AS (SELECT a.tk AS wa, b.tk AS wb, COUNT(*) AS c_ab "
+        "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tk < b.tk "
+        "GROUP BY 1, 2) "
+        "SELECT wa, wb, c_ab, "
+        f"CAST((c_ab * nd * {scale}) // (ca.c * cb.c) AS BIGINT) "
+        "AS pmi_scaled "
+        "FROM p CROSS JOIN n "
+        "JOIN w ca ON ca.tk = p.wa JOIN w cb ON cb.tk = p.wb "
+        f"ORDER BY pmi_scaled DESC, wa, wb LIMIT {k}"
+    )
