@@ -1689,6 +1689,178 @@ def _sql_phash_knn(k: int = 3, max_hamming: int = 3) -> str:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape (5-way join + selective region filter +
+    same-nation supplier constraint): revenue by nation for ASIA
+    customers in 1996, where the lineitem's supplier sits in the
+    customer's own nation. Exercises Catalyst join ordering across
+    region→nation→customer→orders→lineitem→supplier with the tiny
+    dimensions broadcast; revenue in integer cent·percent units (the
+    q3_shipping convention) keeps the sums bit-exact."""
+    region = TB.load(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = TB.load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = TB.load(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    orders = (
+        TB.load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    supp = TB.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    li = TB.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cc"))
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Per-user event-type crosstab via the DataFrame PIVOT surface —
+    long→wide reshaping with an EXPLICIT category list (no
+    distinct-scan job to discover columns; at 10^12 rows that scan
+    would be a full extra pass). One shuffle on user_id; each
+    category becomes a conditional count the oracle mirrors with
+    CASE aggregates."""
+    ev = TB.load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def q_rel_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit — the data-quality gate a pipeline
+    runs before training joins: FK orphans (child rows whose parent
+    is missing) AND childless parents, one labeled count per
+    relation. Four left_anti joins, each one shuffle on its key (or
+    a broadcast when the parent key set is small); the zeros are as
+    load-bearing as the non-zeros (they PROVE the FK invariants)."""
+    li = TB.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = TB.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = TB.load(spark, sf_dir, "customer").select("c_custkey")
+    supp = TB.load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def labeled(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("relation"), "n_rows"
+        )
+
+    return (
+        labeled(
+            "lineitem_orphans",
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"),
+        )
+        .unionByName(
+            labeled(
+                "orders_orphans",
+                orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti"),
+            )
+        )
+        .unionByName(
+            labeled(
+                "customers_without_orders",
+                cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"),
+            )
+        )
+        .unionByName(
+            labeled(
+                "suppliers_without_lineitems",
+                supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti"),
+            )
+        )
+    )
+
+
+def q_events_mad(spark, sf_dir):
+    """Per-group robust dispersion: exact median + median absolute
+    deviation of the integer-cents value per event_type — the
+    outlier-threshold primitive (flag rows beyond med ± k·MAD)
+    computed without any float summation. Two order-statistic
+    passes: the events_quantiles row_number machinery for the
+    median, then the same machinery over |c − med| after a broadcast
+    join of the 5-row median table. Selected values are actual
+    elements, so equal-value tie order cannot change the result."""
+    from pyspark.sql.window import Window
+
+    ev = TB.load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+
+    def med_of(df, col):
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(col),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+            )
+            .select("event_type", "n", F.col(col).alias(f"med_{col}"))
+        )
+
+    med = med_of(ev, "c")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        F.col("med_c"),
+        F.abs(F.col("c") - F.col("med_c")).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    return (
+        dev.select(
+            "event_type",
+            "n",
+            "med_c",
+            "d",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"))
+        .select(
+            "event_type",
+            "n",
+            F.col("med_c").alias("med_cents"),
+            F.col("d").alias("mad_cents"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -1773,6 +1945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_step": q_kmeans_step,
         "doc_pmi_top": q_doc_pmi_top,
         "phash_knn": q_phash_knn,
+        "q5_region_revenue": q_q5_region_revenue,
+        "events_pivot": q_events_pivot,
+        "rel_integrity_audit": q_rel_integrity_audit,
+        "events_mad": q_events_mad,
     }
 
 
@@ -2656,4 +2832,58 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_step": sql_kmeans_step_int(k=8),
         "doc_pmi_top": TX.sql_pmi_top_pairs(k=20),
         "phash_knn": _sql_phash_knn(k=3, max_hamming=3),
+        "q5_region_revenue": (
+            "SELECT n_name, CAST(SUM("
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+            ") AS BIGINT) AS revenue_cc "
+            "FROM region JOIN nation ON n_regionkey = r_regionkey "
+            "JOIN customer ON c_nationkey = n_nationkey "
+            "JOIN orders ON o_custkey = c_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "AND s_nationkey = c_nationkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+            "GROUP BY n_name"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                "CAST(COUNT(CASE WHEN event_type = "
+                f"'{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+                for t in EVENT_TYPES
+            )
+            + " FROM events GROUP BY user_id"
+        ),
+        "rel_integrity_audit": (
+            "SELECT 'lineitem_orphans' AS relation, (SELECT COUNT(*) "
+            "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey)) AS n_rows "
+            "UNION ALL SELECT 'orders_orphans', (SELECT COUNT(*) "
+            "FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = o.o_custkey)) "
+            "UNION ALL SELECT 'customers_without_orders', "
+            "(SELECT COUNT(*) FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) "
+            "UNION ALL SELECT 'suppliers_without_lineitems', "
+            "(SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))"
+        ),
+        "events_mad": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS c FROM events), "
+            "r AS (SELECT event_type, c, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY c) AS rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n FROM e), "
+            "m AS (SELECT event_type, n, c AS med FROM r "
+            "WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)), "
+            "d AS (SELECT e.event_type, m.n, m.med, "
+            "ABS(e.c - m.med) AS dv FROM e JOIN m USING (event_type)), "
+            "r2 AS (SELECT event_type, n, med, dv, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY dv) AS rn FROM d) "
+            "SELECT event_type, n, med AS med_cents, dv AS mad_cents "
+            "FROM r2 WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)"
+        ),
     }
