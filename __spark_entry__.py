@@ -1861,6 +1861,88 @@ def q_events_mad(spark, sf_dir):
     )
 
 
+def q_events_melt(spark, sf_dir):
+    """Wide→long UNPIVOT surface: melt the per-user pivot crosstab
+    back to (user_id, event_type, n) rows via DataFrame.unpivot —
+    the pivot↔melt round-trip equals a direct two-key groupBy, which
+    is exactly what the oracle computes (a genuinely different
+    plan). Zero-count cells are dropped to match. Melt is a
+    zero-shuffle Expand over the wide frame."""
+    piv = q_events_pivot(spark, sf_dir)
+    melted = piv.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n",
+    )
+    return melted.where(F.col("n") > 0).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n",
+    )
+
+
+def q_events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — users grouped by FIRST-active DAY,
+    counted on every later day they return (the product-analytics
+    staple; day granularity because the synthetic event stream spans
+    ~one month at every sf — month cohorts would be a 1-row
+    degenerate matrix). Day arithmetic on the integer epoch-day
+    index so offsets are exact in both engines; activity is the
+    DISTINCT (user, day) set, so the per-(cohort, offset) count
+    needs no count_distinct — one distinct shuffle, one
+    min-aggregate for the cohort, one join back on user_id, one
+    final groupBy."""
+    ev = TB.load(spark, sf_dir, "events")
+    di = F.datediff(
+        F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    am = ev.select("user_id", di.alias("di")).distinct()
+    cohort = am.groupBy("user_id").agg(F.min("di").alias("c"))
+    return (
+        am.join(cohort, "user_id")
+        .groupBy(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("c").cast("int"))
+            .cast("string")
+            .alias("cohort_day"),
+            (F.col("di") - F.col("c")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SPLIT_TRAIN_LT = 900  # md5-permille cut points: 90/5/5
+SPLIT_VAL_LT = 950
+
+
+def q_docs_split(spark, sf_dir):
+    """Deterministic train/val/test split AUDIT: assign every doc by
+    the md5-permille bucket (the docs_sample convention — map-side,
+    resume-stable, no RNG state) and emit per-(split, lang) counts +
+    char volume. The audit is what a pipeline materializes to prove
+    the split is stratification-safe before training."""
+    docs = TB.load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(1000),
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -1949,6 +2031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "rel_integrity_audit": q_rel_integrity_audit,
         "events_mad": q_events_mad,
+        "events_melt": q_events_melt,
+        "events_cohort_retention": q_events_cohort_retention,
+        "docs_split": q_docs_split,
     }
 
 
@@ -2885,5 +2970,29 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY event_type ORDER BY dv) AS rn FROM d) "
             "SELECT event_type, n, med AS med_cents, dv AS mad_cents "
             "FROM r2 WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)"
+        ),
+        "events_melt": (
+            "SELECT user_id, event_type, COUNT(*) AS n "
+            "FROM events GROUP BY user_id, event_type"
+        ),
+        "events_cohort_retention": (
+            "WITH am AS (SELECT DISTINCT user_id, "
+            "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) "
+            "AS BIGINT) AS di FROM events), "
+            "ch AS (SELECT user_id, MIN(di) AS c FROM am GROUP BY user_id) "
+            "SELECT strftime(DATE '1970-01-01' + to_days(CAST(c AS INT)), "
+            "'%Y-%m-%d') AS cohort_day, "
+            "CAST(di - c AS BIGINT) AS offset, COUNT(*) AS n_users "
+            "FROM am JOIN ch USING (user_id) GROUP BY 1, 2"
+        ),
+        "docs_split": (
+            "WITH b AS (SELECT lang, n_chars, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 1000 AS bucket FROM documents) "
+            "SELECT CASE WHEN bucket < 900 THEN 'train' "
+            "WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split, "
+            "lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM b GROUP BY 1, 2"
         ),
     }
