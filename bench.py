@@ -281,10 +281,14 @@ def main():
             release_dedup_caches as _release,
         )
 
+        # the two heaviest-variance queries get a third rep: measured
+        # cache-released reps on this host span 4.4-33 s for minhash
+        # under neighbor spikes while the isolated-idle floor is
+        # ~2.7-3 s — min-of-3 keeps the record closer to the engine
         timed(
             name,
             lambda n=name: qs[n](spark, SF_DIR).count(),
-            reps=2,
+            reps=3 if name in ("minhash_neardup", "decontam_overlap") else 2,
             between=_release,
         )
 
