@@ -1943,6 +1943,54 @@ def q_docs_split(spark, sf_dir):
     )
 
 
+def q_points_hexbin(spark, sf_dir):
+    """Hexagonal-bin density surface over the point layer — the
+    choropleth/heat-surface primitive at an H3-like granularity. The
+    honeycomb is built as the Voronoi diagram of two interleaved
+    integer lattices (the matplotlib-hexbin construction), so the
+    whole tessellation is int64 arithmetic emitted by ONE generator
+    for both engines: bit-exact with no float step anywhere. Pure
+    Catalyst map-side assignment; the only exchange is the (hx, hy)
+    groupBy."""
+    from workstealing_spatial_join_spark.operators.layout import (
+        hexbin_density,
+    )
+
+    return hexbin_density(TB.customer_points_milli(spark, sf_dir))
+
+
+def q_nearest_line(spark, sf_dir):
+    """Snap each point to its nearest road segment within 4° (the
+    map-matching primitive): grid filter phase (one covering cell
+    per point, ≤9 per r-expanded segment bbox, equi-join) + a refine
+    RANKED BY AN EXACT INTEGER — floor(cross²·2^20 / len2) in
+    decimal(38,0), mirrored as HUGEINT in DuckDB — so no float
+    enters the candidate ranking and the argmin can never flip
+    between engines. Zero Python in the plan; one agg exchange. The
+    oracle runs a genuinely different candidate plan (brute bbox
+    range join), validating the cell decomposition itself."""
+    from workstealing_spatial_join_spark.operators.linesnap import (
+        nearest_segment_join,
+    )
+
+    return nearest_segment_join(
+        TB.customer_points_milli(spark, sf_dir),
+        TB.supplier_segments(spark, sf_dir),
+    )
+
+
+def q_doc_dup_spans(spark, sf_dir):
+    """Cross-document repeated-span detector (the exact-substring
+    half of training-data dedup, Lee et al. 2022): 60-char windows
+    every 20 chars, md5'd map-side; a hash in ≥2 distinct docs is a
+    verbatim duplicated span. The distinct-count is two hash aggs on
+    the same key prefix (map-side combinable) instead of an
+    Expand-based count_distinct."""
+    from workstealing_spatial_join_spark.operators.textops import dup_spans
+
+    return dup_spans(TB.load(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -2034,6 +2082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_melt": q_events_melt,
         "events_cohort_retention": q_events_cohort_retention,
         "docs_split": q_docs_split,
+        "points_hexbin": q_points_hexbin,
+        "nearest_line": q_nearest_line,
+        "doc_dup_spans": q_doc_dup_spans,
     }
 
 
@@ -2259,6 +2310,37 @@ def _compact_sql(zoom: int, min_zoom: int = 0) -> str:
             )
         parts.append(sel)
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
+def _sql_points_hexbin() -> str:
+    from workstealing_spatial_join_spark.operators.layout import (
+        sql_hexbin_center,
+    )
+
+    hx, hy = sql_hexbin_center("mx", "my", dialect="duckdb")
+    return (
+        f"WITH p AS ({TB.SQL_POINTS_MILLI}) "
+        f"SELECT {hx} AS hx, {hy} AS hy, COUNT(*) AS n_points, "
+        f"MIN(point_id) AS min_point FROM p GROUP BY 1, 2"
+    )
+
+
+def _sql_nearest_line() -> str:
+    from workstealing_spatial_join_spark.operators.linesnap import (
+        sql_nearest_segment,
+    )
+
+    return sql_nearest_segment(
+        TB.SQL_POINTS_MILLI, TB.SQL_SUPPLIER_SEGMENTS
+    )
+
+
+def _sql_doc_dup_spans() -> str:
+    from workstealing_spatial_join_spark.operators.textops import (
+        sql_dup_spans,
+    )
+
+    return sql_dup_spans()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2995,4 +3077,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM b GROUP BY 1, 2"
         ),
+        "points_hexbin": _sql_points_hexbin(),
+        "nearest_line": _sql_nearest_line(),
+        "doc_dup_spans": _sql_doc_dup_spans(),
     }

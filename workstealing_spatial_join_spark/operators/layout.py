@@ -157,3 +157,90 @@ def geohash_expr(
     return F.expr(
         sql_geohash(lon_sql, lat_sql, dialect="spark", precision=precision)
     )
+
+
+# ------------------------------------------------- hexagonal binning
+#
+# A honeycomb is the Voronoi diagram of two interleaved rectangular
+# lattices: lattice A at (2i·sx, 2j·sy), lattice B offset by (sx, sy).
+# Assigning a point to the nearer of its two candidate centers (one
+# per lattice, in the metric that stretches x by 1/sx and y by 1/sy)
+# tessellates the plane into hexagons — the same construction
+# matplotlib's hexbin uses to fit hexagons to an arbitrary viewport
+# aspect. With sy/sx = √3 the hexagons are regular; the defaults
+# below use the closest INTEGER ratio (20784/12000 = 1.732) so every
+# step — the round-to-nearest-center, the two distance forms, the
+# winner CASE — is int64 arithmetic, identical in Spark and DuckDB,
+# with no float rounding to reason about. Magnitudes: |mx-cx| ≤ sx,
+# so each distance term is ≤ (sx·sy)² ≈ 6.2e16 — comfortably int64.
+#
+# At 10^12 rows this is the density-surface / choropleth primitive:
+# the center assignment is a map-side projection inside whole-stage
+# codegen and the only exchange is the groupBy on (hx, hy).
+
+HEXBIN_SX = 12_000  # half-pitch x, millidegrees
+HEXBIN_SY = 20_784  # half-pitch y ≈ √3·sx → near-regular hexagons
+
+
+def _sql_floordiv(a: str, b: int, dialect: str) -> str:
+    """Floor division of a possibly-negative int by a positive int,
+    spelled with % so both engines share the semantics (both define
+    % with the dividend's sign); the final division is exact (the
+    numerator is a multiple of b), so truncating `div` (Spark) and
+    `//` (DuckDB) agree."""
+    m = f"(((({a}) % {b}) + {b}) % {b})"
+    op = "//" if dialect == "duckdb" else "div"
+    return f"((({a}) - {m}) {op} {b})"
+
+
+def sql_hexbin_center(
+    mx: str,
+    my: str,
+    dialect: str = "duckdb",
+    sx: int = HEXBIN_SX,
+    sy: int = HEXBIN_SY,
+) -> tuple[str, str]:
+    """(hx, hy) center expressions of the hexagon owning integer
+    point (mx, my) — same generator for both engines. Boundary ties
+    go to lattice A (da <= db), deterministically in both."""
+    axa = f"({2 * sx} * {_sql_floordiv(f'({mx}) + {sx}', 2 * sx, dialect)})"
+    aya = f"({2 * sy} * {_sql_floordiv(f'({my}) + {sy}', 2 * sy, dialect)})"
+    bxb = f"({2 * sx} * {_sql_floordiv(mx, 2 * sx, dialect)} + {sx})"
+    byb = f"({2 * sy} * {_sql_floordiv(my, 2 * sy, dialect)} + {sy})"
+
+    def dist(cx: str, cy: str) -> str:
+        dx = f"(({mx}) - {cx})"
+        dy = f"(({my}) - {cy})"
+        return f"({dx} * {dx} * {sy * sy} + {dy} * {dy} * {sx * sx})"
+
+    da, db = dist(axa, aya), dist(bxb, byb)
+    hx = f"(CASE WHEN {da} <= {db} THEN {axa} ELSE {bxb} END)"
+    hy = f"(CASE WHEN {da} <= {db} THEN {aya} ELSE {byb} END)"
+    return hx, hy
+
+
+def hexbin_density(
+    pts: DataFrame,
+    mx: str = "mx",
+    my: str = "my",
+    id_col: str = "point_id",
+    sx: int = HEXBIN_SX,
+    sy: int = HEXBIN_SY,
+) -> DataFrame:
+    """Per-hexagon density over integer-millidegree points: center
+    coords, point count, min id (a stable exemplar). Pure Catalyst —
+    the center assignment never leaves the scan's codegen stage and
+    the single exchange is the (hx, hy) groupBy."""
+    hx, hy = sql_hexbin_center(mx, my, dialect="spark", sx=sx, sy=sy)
+    return (
+        pts.select(
+            F.expr(hx).alias("hx"),
+            F.expr(hy).alias("hy"),
+            F.col(id_col),
+        )
+        .groupBy("hx", "hy")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(id_col).alias("min_point"),
+        )
+    )

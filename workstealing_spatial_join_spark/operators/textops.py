@@ -665,3 +665,89 @@ def sql_pmi_top_pairs(k: int = 20, scale: int = 1_000_000) -> str:
         "JOIN w ca ON ca.tk = p.wa JOIN w cb ON cb.tk = p.wb "
         f"ORDER BY pmi_scaled DESC, wa, wb LIMIT {k}"
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    length: int = 60,
+    stride: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated long-span detector — the exact-substring half of
+    training-data dedup (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better" finds verbatim ≥50-token
+    spans shared across documents; this is the distributed analog
+    over fixed character windows).
+
+    Windows of ``length`` chars every ``stride`` chars, hashed; a
+    span hash seen in ≥2 DISTINCT documents is a cross-document
+    duplicated span. Output: (span_hash, n_docs, n_occ).
+
+    Alignment caveat (inherent to strided fingerprints): two copies
+    of a region are guaranteed to collide only when their offsets
+    are congruent mod ``stride`` — whole-document copies, shared
+    prefixes, and fixed-position boilerplate (the dominant dup
+    classes) always are; an arbitrarily-shifted quote is caught with
+    probability ~1/stride per window. The alignment-robust upgrade
+    is winnowing (Schleimer et al. 2003): stride-1 windows + a
+    local-min selection — same linear plan shape, ~stride× the
+    map-side hash work.
+
+    Plan: the window explode and md5 are map-side Catalyst
+    (sequence → substring → md5 — character semantics, identical in
+    Spark and DuckDB for any Unicode input); then ONE logical
+    distinct-aggregate done as two hash aggs on the SAME key prefix
+    — groupBy (hash, doc) then groupBy hash — so the heavy first agg
+    gets map-side partial combine instead of an Expand-based
+    count_distinct. Linear in corpus size ×(1/stride); never
+    all-pairs."""
+    spans = (
+        df.where(F.length(F.col(text_col)) >= length)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    (F.length(F.col(text_col)) - F.lit(length - 1)).cast(
+                        "int"
+                    ),
+                    F.lit(stride),
+                )
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.expr(f"substring({text_col}, pos, {length})").cast("binary")
+            ).alias("span_hash"),
+        )
+    )
+    per_doc = spans.groupBy("span_hash", id_col).agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        per_doc.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def sql_dup_spans(length: int = 60, stride: int = 20) -> str:
+    """DuckDB twin of :func:`dup_spans` over `documents`."""
+    return (
+        "WITH spans AS (SELECT doc_id, "
+        f"md5(substr(text, CAST(pos AS INT), {length})) AS span_hash "
+        "FROM documents, UNNEST(generate_series("
+        f"1, LENGTH(text) - {length - 1}, {stride})) AS t(pos) "
+        f"WHERE LENGTH(text) >= {length}), "
+        "per_doc AS (SELECT span_hash, doc_id, COUNT(*) AS occ "
+        "FROM spans GROUP BY span_hash, doc_id) "
+        "SELECT span_hash, COUNT(*) AS n_docs, "
+        "CAST(SUM(occ) AS BIGINT) AS n_occ "
+        "FROM per_doc GROUP BY span_hash HAVING COUNT(*) >= 2"
+    )

@@ -121,3 +121,63 @@ SQL_PART_RECTS = (
     "(-90.0 + (p_partkey * 92821 % 180000) / 1000.0) + (0.5 + (p_partkey % 3) / 2.0) AS maxy "
     "FROM part"
 )
+
+
+# ------------------------------------------------ integer-milli layers
+#
+# Exact INTEGER millidegree twins of the float derivations above.
+# Operators whose cross-engine contract is "bit-exact by construction"
+# (hexbin tessellation, nearest-segment snap) never touch a float:
+# every coordinate below is int64 in both engines, so there is no IEEE
+# step to reason about at all.
+
+
+def customer_points_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → integer-millidegree points (same congruence as
+    :func:`customer_points`, kept in int64 instead of /1000.0)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") * 9973 % 360000 - 180000)
+        .cast("long")
+        .alias("mx"),
+        (F.col("c_custkey") * 7919 % 180000 - 90000)
+        .cast("long")
+        .alias("my"),
+    )
+
+
+def supplier_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → integer-millidegree line SEGMENTS (road-network
+    stand-in for the snap/nearest-line family): one segment per
+    supplier, start point from the rect-center congruences, offset
+    bounded to ±4000 milli (±4°) so every segment is short relative
+    to the domain — the shape a tiled road layer has."""
+    s = load(spark, sf_dir, "supplier")
+    x1 = (F.col("s_suppkey") * 7817 % 360000 - 180000).cast("long")
+    y1 = (F.col("s_suppkey") * 6271 % 180000 - 90000).cast("long")
+    return s.select(
+        F.col("s_suppkey").alias("seg_id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + (F.col("s_suppkey") * 31 % 8001 - 4000)).cast("long").alias("x2"),
+        (y1 + (F.col("s_suppkey") * 43 % 8001 - 4000)).cast("long").alias("y2"),
+    )
+
+
+SQL_POINTS_MILLI = (
+    "SELECT c_custkey AS point_id, "
+    "CAST(c_custkey * 9973 % 360000 - 180000 AS BIGINT) AS mx, "
+    "CAST(c_custkey * 7919 % 180000 - 90000 AS BIGINT) AS my "
+    "FROM customer"
+)
+
+SQL_SUPPLIER_SEGMENTS = (
+    "SELECT s_suppkey AS seg_id, x1, y1, "
+    "CAST(x1 + (s_suppkey * 31 % 8001 - 4000) AS BIGINT) AS x2, "
+    "CAST(y1 + (s_suppkey * 43 % 8001 - 4000) AS BIGINT) AS y2 FROM ("
+    "SELECT s_suppkey, "
+    "CAST(s_suppkey * 7817 % 360000 - 180000 AS BIGINT) AS x1, "
+    "CAST(s_suppkey * 6271 % 180000 - 90000 AS BIGINT) AS y1 "
+    "FROM supplier) t"
+)
