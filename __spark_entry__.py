@@ -1991,6 +1991,94 @@ def q_doc_dup_spans(spark, sf_dir):
     return dup_spans(TB.load(spark, sf_dir, "documents"))
 
 
+def q_doc_winnow_dups(spark, sf_dir):
+    """Winnowing fingerprints shared across ≥2 documents — the
+    alignment-ROBUST dedup detector (Schleimer et al., SIGMOD 2003):
+    stride-1 k-gram hashes + a rolling (hash, pos)-min selection per
+    window, so any shared substring of length ≥ k+window-1 is caught
+    REGARDLESS of copy alignment (the guarantee doc_dup_spans's
+    strided grid lacks). One doc-local window pass (single shuffle on
+    doc_id), then the same two same-prefix hash aggs."""
+    from workstealing_spatial_join_spark.operators.textops import (
+        winnow_dup_grams,
+    )
+
+    return winnow_dup_grams(TB.load(spark, sf_dir, "documents"))
+
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 SHAPE (per-group argmin join): for every part, the
+    cheapest supplier offering it — lineitem stands in for partsupp
+    (l_extendedprice as the offer). The argmin rides ONE aggregate as
+    min(struct(price_cents, suppkey)) — integer cents so ranking is
+    bit-exact, suppkey tiebreak so it is deterministic — with NO
+    join-back (the classic correlated-subquery plan needs a second
+    pass over the offers table; the struct-min needs zero). Supplier
+    → nation names attach by broadcast after the agg."""
+    li = TB.load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    best = (
+        li.select(
+            "l_partkey",
+            F.struct(
+                cents.alias("price_cents"), F.col("l_suppkey").alias("sk")
+            ).alias("offer"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("offer").alias("best"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("best.sk").alias("s_suppkey"),
+            F.col("best.price_cents").alias("min_price_cents"),
+        )
+    )
+    sup = TB.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = TB.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(sup), "s_suppkey")
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "min_price_cents",
+            F.col("n_name").alias("supplier_nation"),
+        )
+    )
+
+
+Q18_MIN_QTY = 250
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (HAVING-gated semi-join): orders whose total
+    lineitem quantity exceeds the threshold, with their customer.
+    Quantities are integer-valued doubles — cast long BEFORE the sum
+    so the aggregate and the HAVING cut are exact integers in both
+    engines. Plan: one lineitem agg on orderkey (map-side
+    combinable), the small survivor set joins orders then customer."""
+    li = TB.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    orders = TB.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey").alias("o_orderkey"),
+            "total_qty",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -2085,6 +2173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_hexbin": q_points_hexbin,
         "nearest_line": q_nearest_line,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_winnow_dups": q_doc_winnow_dups,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q18_large_orders": q_q18_large_orders,
     }
 
 
@@ -2341,6 +2432,14 @@ def _sql_doc_dup_spans() -> str:
     )
 
     return sql_dup_spans()
+
+
+def _sql_doc_winnow_dups() -> str:
+    from workstealing_spatial_join_spark.operators.textops import (
+        sql_winnow_dup_grams,
+    )
+
+    return sql_winnow_dup_grams()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3080,4 +3179,25 @@ def oracle_sql() -> dict[str, str]:
         "points_hexbin": _sql_points_hexbin(),
         "nearest_line": _sql_nearest_line(),
         "doc_dup_spans": _sql_doc_dup_spans(),
+        "doc_winnow_dups": _sql_doc_winnow_dups(),
+        "q2_min_cost_supplier": (
+            "WITH best AS (SELECT l_partkey AS p_partkey, "
+            "ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY "
+            "CAST(round(l_extendedprice * 100) AS BIGINT), l_suppkey) "
+            "AS rn, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "AS min_price_cents, l_suppkey AS s_suppkey FROM lineitem) "
+            "SELECT p_partkey, s_suppkey, min_price_cents, "
+            "n_name AS supplier_nation "
+            "FROM best JOIN supplier USING (s_suppkey) "
+            "JOIN nation ON s_nationkey = n_nationkey WHERE rn = 1"
+        ),
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey "
+            f"HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY}) "
+            "SELECT o_custkey AS c_custkey, o_orderkey, total_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey"
+        ),
     }

@@ -751,3 +751,102 @@ def sql_dup_spans(length: int = 60, stride: int = 20) -> str:
         "CAST(SUM(occ) AS BIGINT) AS n_occ "
         "FROM per_doc GROUP BY span_hash HAVING COUNT(*) >= 2"
     )
+
+
+def winnow_dup_grams(
+    df: DataFrame,
+    k: int = 32,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints shared across documents — the
+    alignment-ROBUST upgrade of :func:`dup_spans` (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003: "Winnowing: local algorithms for
+    document fingerprinting").
+
+    Every k-gram is hashed (stride 1); for each window of ``window``
+    consecutive gram hashes the minimum (hash, pos) — leftmost on
+    hash ties — is SELECTED. Selection depends only on the window's
+    contents, so two copies of any substring of length ≥
+    k + window - 1 select an identical gram in BOTH documents
+    regardless of how the copies are aligned — the guarantee the
+    strided grid of dup_spans cannot give. Trailing windows shorter
+    than ``window`` (near end-of-text) also select; that only ADDS
+    fingerprints and is applied identically in both engines.
+
+    Plan: gram explode + md5 are map-side; the rolling min is ONE
+    window pass (single shuffle on doc_id — at 10^12 docs this
+    partitions perfectly since every window is doc-local); the
+    (hash, pos) tuple rides the window as a zero-pad-encoded string
+    so the frame min IS the lexicographic tuple min in both engines.
+    Output: (gram_hash, n_docs, n_sel) for grams selected in ≥2
+    distinct docs.
+    """
+    from pyspark.sql.window import Window
+
+    n = F.length(F.col(text_col))
+    grams = df.where(n >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), (n - F.lit(k - 1)).cast("int"))
+        ).alias("pos"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.md5(
+            F.expr(f"substring({text_col}, pos, {k})").cast("binary")
+        ).alias("h"),
+    )
+    enc = F.concat(
+        F.col("h"), F.lit("|"), F.lpad(F.col("pos").cast("string"), 12, "0")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    selected = (
+        grams.select(F.col(id_col), F.min(enc).over(w).alias("sel"))
+        .select(
+            F.col(id_col),
+            F.substring("sel", 1, 32).alias("gram_hash"),
+            F.substring("sel", 34, 12).cast("long").alias("sel_pos"),
+        )
+        .distinct()
+    )
+    per_doc = selected.groupBy("gram_hash", id_col).agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    return (
+        per_doc.groupBy("gram_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pos").alias("n_sel"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def sql_winnow_dup_grams(k: int = 32, window: int = 16) -> str:
+    """DuckDB twin of :func:`winnow_dup_grams` over `documents`."""
+    return (
+        "WITH grams AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+        f"md5(substr(text, CAST(pos AS INT), {k})) AS h "
+        "FROM documents, UNNEST(generate_series("
+        f"1, LENGTH(text) - {k - 1})) AS t(pos) "
+        f"WHERE LENGTH(text) >= {k}), "
+        "sel AS (SELECT DISTINCT doc_id, "
+        "substr(s, 1, 32) AS gram_hash, "
+        "CAST(substr(s, 34, 12) AS BIGINT) AS sel_pos FROM ("
+        "SELECT doc_id, MIN(h || '|' || lpad(CAST(pos AS VARCHAR), 12, '0')) "
+        "OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS s "
+        "FROM grams) t), "
+        "per_doc AS (SELECT gram_hash, doc_id, COUNT(*) AS n_pos "
+        "FROM sel GROUP BY 1, 2) "
+        "SELECT gram_hash, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_pos) AS BIGINT) AS n_sel "
+        "FROM per_doc GROUP BY gram_hash HAVING COUNT(*) >= 2"
+    )
