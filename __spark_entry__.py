@@ -2079,6 +2079,40 @@ def q_q18_large_orders(spark, sf_dir):
     )
 
 
+def q_seg_clip_zones(spark, sf_dir):
+    """Liang–Barsky segment×zone clip-fraction join — "how much of
+    each road crosses each zone", the lineal twin of zonal stats.
+    Everything is int64: per-axis clip bounds over |d| denominators,
+    interval intersection on the common denominator D = |dx|·|dy|
+    (bounded ≤1.6e7 by the layers' extents), fraction emitted as the
+    exact floor((thi-tlo)·2^20 / D). Grid filter phase on both sides
+    with REFERENCE-POINT pair dedup (no DISTINCT shuffle); the
+    oracle's candidates come from a brute bbox range join instead, so
+    the contract validates the decomposition AND the refine."""
+    from workstealing_spatial_join_spark.operators.lineclip import (
+        clip_fraction_join,
+    )
+
+    return clip_fraction_join(
+        TB.supplier_segments(spark, sf_dir),
+        TB.part_rects_milli(spark, sf_dir),
+    )
+
+
+def q_doc_copy_pairs(spark, sf_dir):
+    """MOSS-style pairwise copy detection: document pairs ranked by
+    shared winnowing fingerprints (Stanford MOSS = winnowing +
+    pairwise shared counts). Equi-join on the fingerprint, never
+    all-pairs; boilerplate grams selected in more than the cap's
+    worth of docs are excluded (the hot-bucket convention the LSH
+    families use), and the oracle applies the identical cap."""
+    from workstealing_spatial_join_spark.operators.textops import (
+        doc_copy_pairs,
+    )
+
+    return doc_copy_pairs(TB.load(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -2176,6 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_dups": q_doc_winnow_dups,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q18_large_orders": q_q18_large_orders,
+        "seg_clip_zones": q_seg_clip_zones,
+        "doc_copy_pairs": q_doc_copy_pairs,
     }
 
 
@@ -2440,6 +2476,24 @@ def _sql_doc_winnow_dups() -> str:
     )
 
     return sql_winnow_dup_grams()
+
+
+def _sql_seg_clip_zones() -> str:
+    from workstealing_spatial_join_spark.operators.lineclip import (
+        sql_clip_fraction,
+    )
+
+    return sql_clip_fraction(
+        TB.SQL_SUPPLIER_SEGMENTS, TB.SQL_PART_RECTS_MILLI
+    )
+
+
+def _sql_doc_copy_pairs() -> str:
+    from workstealing_spatial_join_spark.operators.textops import (
+        sql_doc_copy_pairs,
+    )
+
+    return sql_doc_copy_pairs()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3200,4 +3254,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey AS c_custkey, o_orderkey, total_qty "
             "FROM big JOIN orders ON l_orderkey = o_orderkey"
         ),
+        "seg_clip_zones": _sql_seg_clip_zones(),
+        "doc_copy_pairs": _sql_doc_copy_pairs(),
     }

@@ -783,6 +783,34 @@ def winnow_dup_grams(
     Output: (gram_hash, n_docs, n_sel) for grams selected in ≥2
     distinct docs.
     """
+    selected = winnow_selected_grams(
+        df, k=k, window=window, id_col=id_col, text_col=text_col
+    )
+    per_doc = selected.groupBy("gram_hash", id_col).agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    return (
+        per_doc.groupBy("gram_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pos").alias("n_sel"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def winnow_selected_grams(
+    df: DataFrame,
+    k: int = 32,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The winnowing SELECTION set — distinct (id, gram_hash,
+    sel_pos) fingerprints per document (see winnow_dup_grams for the
+    algorithm and its guarantee). Exposed separately so pairwise
+    copy detection (doc_copy_pairs) and cross-doc gram counts build
+    on the same selection."""
     from pyspark.sql.window import Window
 
     n = F.length(F.col(text_col))
@@ -807,7 +835,7 @@ def winnow_dup_grams(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
-    selected = (
+    return (
         grams.select(F.col(id_col), F.min(enc).over(w).alias("sel"))
         .select(
             F.col(id_col),
@@ -816,16 +844,82 @@ def winnow_dup_grams(
         )
         .distinct()
     )
-    per_doc = selected.groupBy("gram_hash", id_col).agg(
-        F.count(F.lit(1)).alias("n_pos")
-    )
+
+
+COPY_PAIR_MAX_DOCS_PER_GRAM = 50
+COPY_PAIR_MIN_SHARED = 2
+
+
+def doc_copy_pairs(
+    df: DataFrame,
+    k: int = 32,
+    window: int = 16,
+    max_docs_per_gram: int = COPY_PAIR_MAX_DOCS_PER_GRAM,
+    min_shared: int = COPY_PAIR_MIN_SHARED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style pairwise copy detection: document pairs ranked by
+    how many winnowing fingerprints they share (the Stanford MOSS
+    service is exactly winnowing + pairwise shared-fingerprint
+    counts). Output: (doc_a, doc_b, n_shared) with doc_a < doc_b and
+    n_shared ≥ ``min_shared``.
+
+    The self-join is keyed on gram_hash — an equi-join, never
+    all-pairs — and fanout is bounded by ``max_docs_per_gram``: a
+    fingerprint selected in more documents than that is boilerplate
+    (its d·(d-1)/2 pair explosion says nothing pairwise that the
+    gram-level dup classes don't already say) and is EXCLUDED, the
+    same hot-bucket cap convention the MinHash/SimHash families use.
+    The cap is part of the operator's contract and the oracle
+    applies it identically."""
+    sel = winnow_selected_grams(
+        df, k=k, window=window, id_col=id_col, text_col=text_col
+    ).select("gram_hash", F.col(id_col)).distinct()
+    from pyspark.sql.window import Window
+
+    wcnt = Window.partitionBy("gram_hash")
+    capped = sel.withColumn(
+        "n_docs", F.count(F.lit(1)).over(wcnt)
+    ).where(F.col("n_docs") <= max_docs_per_gram)
+    a = capped.select("gram_hash", F.col(id_col).alias("doc_a"))
+    b = capped.select("gram_hash", F.col(id_col).alias("doc_b"))
     return (
-        per_doc.groupBy("gram_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_pos").alias("n_sel"),
-        )
-        .where(F.col("n_docs") >= 2)
+        a.join(b, "gram_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_doc_copy_pairs(
+    k: int = 32,
+    window: int = 16,
+    max_docs_per_gram: int = COPY_PAIR_MAX_DOCS_PER_GRAM,
+    min_shared: int = COPY_PAIR_MIN_SHARED,
+) -> str:
+    """DuckDB twin of :func:`doc_copy_pairs` over `documents`."""
+    return (
+        "WITH grams AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+        f"md5(substr(text, CAST(pos AS INT), {k})) AS h "
+        "FROM documents, UNNEST(generate_series("
+        f"1, LENGTH(text) - {k - 1})) AS t(pos) "
+        f"WHERE LENGTH(text) >= {k}), "
+        "seldoc AS (SELECT DISTINCT doc_id, substr(s, 1, 32) AS gram_hash "
+        "FROM (SELECT doc_id, "
+        "MIN(h || '|' || lpad(CAST(pos AS VARCHAR), 12, '0')) "
+        "OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS s "
+        "FROM grams) t), "
+        "capped AS (SELECT gram_hash, doc_id FROM ("
+        "SELECT gram_hash, doc_id, COUNT(*) OVER (PARTITION BY gram_hash) "
+        f"AS n_docs FROM seldoc) t WHERE n_docs <= {max_docs_per_gram}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "COUNT(*) AS n_shared "
+        "FROM capped a JOIN capped b ON a.gram_hash = b.gram_hash "
+        "AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"
     )
 
 

@@ -181,3 +181,34 @@ SQL_SUPPLIER_SEGMENTS = (
     "CAST(s_suppkey * 6271 % 180000 - 90000 AS BIGINT) AS y1 "
     "FROM supplier) t"
 )
+
+
+def part_rects_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → integer-millidegree zone rectangles (the exact int64
+    twin of :func:`part_rects`: same congruences ×1000)."""
+    p = load(spark, sf_dir, "part")
+    cx = (F.col("p_partkey") * 104729 % 360000 - 180000).cast("long")
+    cy = (F.col("p_partkey") * 92821 % 180000 - 90000).cast("long")
+    hw = (F.lit(500) + (F.col("p_partkey") % 5) * 500).cast("long")
+    hh = (F.lit(500) + (F.col("p_partkey") % 3) * 500).cast("long")
+    return p.select(
+        F.col("p_partkey").alias("zone_id"),
+        (cx - hw).alias("zminx"),
+        (cy - hh).alias("zminy"),
+        (cx + hw).alias("zmaxx"),
+        (cy + hh).alias("zmaxy"),
+    )
+
+
+SQL_PART_RECTS_MILLI = (
+    "SELECT p_partkey AS zone_id, "
+    "CAST((p_partkey * 104729 % 360000 - 180000) "
+    "- (500 + (p_partkey % 5) * 500) AS BIGINT) AS zminx, "
+    "CAST((p_partkey * 92821 % 180000 - 90000) "
+    "- (500 + (p_partkey % 3) * 500) AS BIGINT) AS zminy, "
+    "CAST((p_partkey * 104729 % 360000 - 180000) "
+    "+ (500 + (p_partkey % 5) * 500) AS BIGINT) AS zmaxx, "
+    "CAST((p_partkey * 92821 % 180000 - 90000) "
+    "+ (500 + (p_partkey % 3) * 500) AS BIGINT) AS zmaxy "
+    "FROM part"
+)
