@@ -2113,6 +2113,49 @@ def q_doc_copy_pairs(spark, sf_dir):
     return doc_copy_pairs(TB.load(spark, sf_dir, "documents"))
 
 
+def q_areal_tiles(spark, sf_dir):
+    """Areal interpolation: area-weighted transfer of each zone's
+    integer-cent measure onto the regular tile grid — all int64, one
+    bounded map-side explode, one groupBy exchange, no join (the grid
+    is implicit in the floor arithmetic, like tile_assign)."""
+    from workstealing_spatial_join_spark.operators.areal import (
+        areal_transfer,
+    )
+
+    return areal_transfer(TB.part_zones(spark, sf_dir))
+
+
+def q_grid_bfs(spark, sf_dir):
+    """Exact BFS hop distance from the lexicographically-least cell
+    over the 8-neighbor adjacency graph of the point layer's occupied
+    grid cells (the geodesic structure of the density surface).
+    Frontier rounds are join + anti-join with localCheckpoint-
+    truncated lineage; the recursive-CTE oracle uses UNION (distinct)
+    semantics so the cyclic cell graph stays bounded by
+    nodes × max_hops, never path count."""
+    from workstealing_spatial_join_spark.operators.graph import (
+        bfs_hops,
+        occupied_cell_edges,
+    )
+
+    return bfs_hops(
+        occupied_cell_edges(TB.customer_points_milli(spark, sf_dir))
+    )
+
+
+def q_events_twa(spark, sf_dir):
+    """Per-user time-weighted average under LOCF (TimescaleDB
+    time_weight): exact int64 step-function integral over epoch
+    microseconds × integer cents, floor-divided by the span. One
+    exchange — the lead() window and the groupBy share the user-key
+    partitioning."""
+    from workstealing_spatial_join_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(TB.load(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -2212,6 +2255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "seg_clip_zones": q_seg_clip_zones,
         "doc_copy_pairs": q_doc_copy_pairs,
+        "areal_tiles": q_areal_tiles,
+        "grid_bfs": q_grid_bfs,
+        "events_twa": q_events_twa,
     }
 
 
@@ -2494,6 +2540,31 @@ def _sql_doc_copy_pairs() -> str:
     )
 
     return sql_doc_copy_pairs()
+
+
+def _sql_areal_tiles() -> str:
+    from workstealing_spatial_join_spark.operators.areal import (
+        sql_areal_transfer,
+    )
+
+    return sql_areal_transfer(TB.SQL_PART_ZONES)
+
+
+def _sql_grid_bfs() -> str:
+    from workstealing_spatial_join_spark.operators.graph import (
+        sql_bfs_hops,
+        sql_occupied_cell_edges,
+    )
+
+    return sql_bfs_hops(sql_occupied_cell_edges(TB.SQL_POINTS_MILLI))
+
+
+def _sql_events_twa() -> str:
+    from workstealing_spatial_join_spark.operators.temporal import (
+        sql_time_weighted_avg,
+    )
+
+    return sql_time_weighted_avg()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3256,4 +3327,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "seg_clip_zones": _sql_seg_clip_zones(),
         "doc_copy_pairs": _sql_doc_copy_pairs(),
+        "areal_tiles": _sql_areal_tiles(),
+        "grid_bfs": _sql_grid_bfs(),
+        "events_twa": _sql_events_twa(),
     }

@@ -220,3 +220,175 @@ def sql_pagerank_int(
             "GROUP BY e.dst) s ON s.node = n.node)"
         )
     return ", ".join(parts)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src_cols: tuple[str, str] = ("sx", "sy"),
+    dst_cols: tuple[str, str] = ("dx", "dy"),
+    max_hops: int = 8,
+) -> DataFrame:
+    """Multi-source-free BFS: exact hop distance from the
+    lexicographically-least node to every node reachable within
+    ``max_hops``, over an UNDIRECTED edge set keyed by 2-D integer
+    node ids (the cell-adjacency graph of a spatial network — nodes
+    stay (x, y) pairs end to end, no encode/decode round trip).
+
+    Returns (nx, ny, hop) with hop = the true BFS distance (≤
+    max_hops). Frontier algorithm: each round is ONE join of the
+    frontier against the edge list on the source key (shuffle bounded
+    by the frontier, not the graph) + one anti-join against the
+    settled set — the textbook Pregel round as plain DataFrame ops,
+    ``localCheckpoint`` truncating the growing plan exactly as
+    pagerank_int does. The anti-join is what makes the hop EXACT: a
+    node enters the settled set the first round it is seen, so its
+    recorded hop is the minimum over all paths by construction, and
+    later rediscoveries never shuffle again. Unrolled fixed rounds
+    keep the job count static; rounds after the frontier empties are
+    no-ops on zero-row frames (Spark plans them; they scan nothing).
+
+    Seed: the min node is computed as one ``min(struct(...))``
+    aggregate — a 1-row broadcast frame, never a collect.
+
+    Scale shape: settled-set size ≤ nodes; each round shuffles
+    |frontier ⋈ edges| candidate rows on the node key. At 10^12 edges
+    this is the same plan GraphX/Pregel executes, minus the RDD
+    overhead — and the bounded max_hops keeps the round count (hence
+    scheduler load) static regardless of graph diameter.
+    """
+    sx, sy = src_cols
+    dx, dy = dst_cols
+    fwd = edges.select(
+        F.col(sx).alias("ax"),
+        F.col(sy).alias("ay"),
+        F.col(dx).alias("bx"),
+        F.col(dy).alias("by"),
+    )
+    rev = edges.select(
+        F.col(dx).alias("ax"),
+        F.col(dy).alias("ay"),
+        F.col(sx).alias("bx"),
+        F.col(sy).alias("by"),
+    )
+    und = (
+        fwd.unionByName(rev)
+        .where((F.col("ax") != F.col("bx")) | (F.col("ay") != F.col("by")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("ax").alias("nx"), F.col("ay").alias("ny"))
+        .distinct()
+    )
+    seed = nodes.agg(
+        F.min(F.struct("nx", "ny")).alias("m")
+    ).select(F.col("m.nx").alias("nx"), F.col("m.ny").alias("ny"))
+    settled = seed.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = settled.select("nx", "ny")
+    for r in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(
+                und,
+                (F.col("nx") == F.col("ax")) & (F.col("ny") == F.col("ay")),
+            )
+            .select(F.col("bx").alias("nx"), F.col("by").alias("ny"))
+            .distinct()
+        )
+        fresh = nbrs.join(
+            settled.select("nx", "ny"), ["nx", "ny"], "left_anti"
+        ).withColumn("hop", F.lit(r))
+        settled = settled.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("nx", "ny")
+    return settled.select(
+        "nx", "ny", F.col("hop").cast("int").alias("hop")
+    )
+
+
+def sql_bfs_hops(edges_sql_body: str, max_hops: int = 8) -> str:
+    """DuckDB twin of :func:`bfs_hops`: a recursive CTE with UNION
+    (distinct) semantics — every DISTINCT (node, hop) pair ≤ max_hops
+    is enumerated (bounded by nodes × max_hops, never by path count —
+    UNION ALL would explode exponentially on cyclic cell graphs) and
+    the true BFS distance is MIN(hop). The edge CTE is MATERIALIZED:
+    DuckDB inlines non-materialized CTEs referenced from a recursive
+    term and would re-derive the edge set every iteration."""
+    return (
+        f"WITH RECURSIVE e0 AS MATERIALIZED (SELECT DISTINCT ax, ay, bx, by "
+        f"FROM (SELECT sx AS ax, sy AS ay, dx AS bx, dy AS by "
+        f"FROM ({edges_sql_body}) "
+        f"UNION ALL SELECT dx, dy, sx, sy FROM ({edges_sql_body})) u "
+        f"WHERE ax <> bx OR ay <> by), "
+        f"seed AS (SELECT ax AS nx, ay AS ny FROM e0 "
+        f"ORDER BY ax, ay LIMIT 1), "
+        f"bfs (nx, ny, hop) AS ("
+        f"SELECT nx, ny, 0 FROM seed "
+        f"UNION "
+        f"SELECT e.bx, e.by, b.hop + 1 FROM bfs b "
+        f"JOIN e0 e ON e.ax = b.nx AND e.ay = b.ny "
+        f"WHERE b.hop < {max_hops}) "
+        f"SELECT nx, ny, CAST(MIN(hop) AS INT) AS hop "
+        f"FROM bfs GROUP BY nx, ny"
+    )
+
+
+GRID_GRAPH_CELL = 8_192  # milli
+
+
+def occupied_cell_edges(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Point layer → the 8-neighbor adjacency graph of its OCCUPIED
+    grid cells (the geodesic structure of the density surface — the
+    same cell graph spatial_cluster's component merge walks). Output
+    (sx, sy, dx, dy): one row per ordered pair of adjacent occupied
+    cells.
+
+    Scale shape: one distinct on the cell key (map-side combinable),
+    a bounded ×8 map-side explode of the neighbor offsets, and ONE
+    equi-join back against the occupied set — never a spatial
+    predicate, never a cross product."""
+    fd_x = f"(({x_col}) - (((({x_col}) % {cell}) + {cell}) % {cell})) div {cell}"
+    fd_y = f"(({y_col}) - (((({y_col}) % {cell}) + {cell}) % {cell})) div {cell}"
+    cells = points.select(
+        F.expr(fd_x).alias("cx"), F.expr(fd_y).alias("cy")
+    ).distinct()
+    offs = "array(-1, 0, 1)"
+    nbrs = (
+        cells.withColumn("ox", F.explode(F.expr(offs)))
+        .withColumn("oy", F.explode(F.expr(offs)))
+        .where("ox != 0 OR oy != 0")
+        .select(
+            F.col("cx").alias("sx"),
+            F.col("cy").alias("sy"),
+            (F.col("cx") + F.col("ox")).alias("dx"),
+            (F.col("cy") + F.col("oy")).alias("dy"),
+        )
+    )
+    occupied = cells.select(
+        F.col("cx").alias("dx"), F.col("cy").alias("dy")
+    )
+    return nbrs.join(occupied, ["dx", "dy"])
+
+
+def sql_occupied_cell_edges(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    """DuckDB twin of :func:`occupied_cell_edges` (body fragment —
+    selects (sx, sy, dx, dy))."""
+    fd_x = f"(({x_col}) - (((({x_col}) % {cell}) + {cell}) % {cell})) // {cell}"
+    fd_y = f"(({y_col}) - (((({y_col}) % {cell}) + {cell}) % {cell})) // {cell}"
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"cells AS (SELECT DISTINCT {fd_x} AS cx, {fd_y} AS cy FROM pts), "
+        f"nb AS (SELECT cx AS sx, cy AS sy, cx + ox AS dx, cy + oy AS dy "
+        f"FROM cells, UNNEST([-1, 0, 1]) AS tx(ox), "
+        f"UNNEST([-1, 0, 1]) AS ty(oy) WHERE ox <> 0 OR oy <> 0) "
+        f"SELECT nb.sx, nb.sy, nb.dx, nb.dy FROM nb "
+        f"JOIN cells o ON o.cx = nb.dx AND o.cy = nb.dy"
+    )

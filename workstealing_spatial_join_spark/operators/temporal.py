@@ -283,3 +283,80 @@ def conversion_funnel(
         ],
         depth.alias("funnel_depth"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user TIME-weighted average under last-observation-carried-
+    forward (the TimescaleDB ``time_weight('LOCF')`` primitive): each
+    observation's value holds until the next one, so the average is
+    ``Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first)`` — a step-function
+    integral, not the row average (a sensor emitting one reading per
+    hour overnight must not outweigh one emitting per second at
+    noon).
+
+    Exactness: timestamps become int64 epoch MICROSECONDS
+    (``unix_micros`` / ``epoch_us`` — identical integers in both
+    engines), values integer cents, so the weighted sum is an exact
+    int64 (cents ≤ ~10⁴ × span ≤ ~10¹³ µs per user keeps the sum far
+    below 2^63) and the average is the exact floor division
+    ``wsum div span`` — no float anywhere. Values must be
+    non-negative (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors; they agree only when wsum ≥ 0 — the same convention every
+    integer-division operator in this engine documents). Ties on ts are broken by
+    event_id in the ordering; a tied interval has dt = 0 and
+    contributes nothing, so tie order cannot change the result.
+    Users with a single event (span 0) are excluded — LOCF over a
+    degenerate interval is undefined.
+
+    Output: (user_id, n_events, span_us, wsum, twa_cents) with
+    twa_cents = floor(wsum / span_us).
+
+    Scale shape: ONE exchange on the user key — the lead() window and
+    the groupBy share the same hash partitioning, so Catalyst plans a
+    single shuffle (plan-gated in tests). The window frame is the
+    default growing frame of lead (no buffering beyond one row).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy(user_col).orderBy("us", "event_id")
+    staged = events.select(
+        F.col(user_col), F.col("event_id"), us.alias("us"), cents.alias("cents")
+    ).withColumn("nxt", F.lead("us").over(w))
+    return (
+        staged.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+            F.sum(
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.col("cents") * (F.col("nxt") - F.col("us")),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("wsum"),
+        )
+        .where(F.col("span_us") > 0)
+        .withColumn("twa_cents", F.expr("wsum div span_us"))
+    )
+
+
+def sql_time_weighted_avg() -> str:
+    """DuckDB twin of :func:`time_weighted_avg` over `events`."""
+    return (
+        "WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "l AS (SELECT user_id, us, cents, "
+        "LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) "
+        "AS nxt FROM s), "
+        "a AS (SELECT user_id, COUNT(*) AS n_events, "
+        "MAX(us) - MIN(us) AS span_us, "
+        "CAST(SUM(CASE WHEN nxt IS NOT NULL "
+        "THEN cents * (nxt - us) ELSE 0 END) AS BIGINT) AS wsum "
+        "FROM l GROUP BY user_id) "
+        "SELECT user_id, n_events, span_us, wsum, "
+        "wsum // span_us AS twa_cents FROM a WHERE span_us > 0"
+    )

@@ -212,3 +212,37 @@ SQL_PART_RECTS_MILLI = (
     "+ (500 + (p_partkey % 3) * 500) AS BIGINT) AS zmaxy "
     "FROM part"
 )
+
+
+def part_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → measure-carrying zone rectangles: the part_rects_milli
+    congruences plus an integer-cent measure (p_retailprice), the
+    input shape areal interpolation wants — one projection, no join."""
+    p = load(spark, sf_dir, "part")
+    cx = (F.col("p_partkey") * 104729 % 360000 - 180000).cast("long")
+    cy = (F.col("p_partkey") * 92821 % 180000 - 90000).cast("long")
+    hw = (F.lit(500) + (F.col("p_partkey") % 5) * 500).cast("long")
+    hh = (F.lit(500) + (F.col("p_partkey") % 3) * 500).cast("long")
+    return p.select(
+        F.col("p_partkey").alias("zone_id"),
+        (cx - hw).alias("zminx"),
+        (cy - hh).alias("zminy"),
+        (cx + hw).alias("zmaxx"),
+        (cy + hh).alias("zmaxy"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("measure"),
+    )
+
+
+SQL_PART_ZONES = (
+    "SELECT p_partkey AS zone_id, "
+    "CAST((p_partkey * 104729 % 360000 - 180000) "
+    "- (500 + (p_partkey % 5) * 500) AS BIGINT) AS zminx, "
+    "CAST((p_partkey * 92821 % 180000 - 90000) "
+    "- (500 + (p_partkey % 3) * 500) AS BIGINT) AS zminy, "
+    "CAST((p_partkey * 104729 % 360000 - 180000) "
+    "+ (500 + (p_partkey % 5) * 500) AS BIGINT) AS zmaxx, "
+    "CAST((p_partkey * 92821 % 180000 - 90000) "
+    "+ (500 + (p_partkey % 3) * 500) AS BIGINT) AS zmaxy, "
+    "CAST(round(p_retailprice * 100) AS BIGINT) AS measure "
+    "FROM part"
+)
