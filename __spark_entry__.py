@@ -2156,6 +2156,72 @@ def q_events_twa(spark, sf_dir):
     return time_weighted_avg(TB.load(spark, sf_dir, "events"))
 
 
+def q_idw_surface(spark, sf_dir):
+    """Regularized IDW interpolation of customer balances onto grid
+    nodes — exact int64 weights (W div (ε² + d²)) and a sign-portable
+    floor division so the NEGATIVE balances in the layer stay
+    bit-exact. One bounded map-side explode + one groupBy exchange,
+    no join."""
+    from workstealing_spatial_join_spark.operators.areal import (
+        idw_surface,
+    )
+
+    return idw_surface(TB.customer_point_values(spark, sf_dir))
+
+
+# deterministic snapshot-B mutation constants (shared with the oracle)
+SNAP_DEL_MOD = 97     # keys ≡ 0 deleted in B
+SNAP_UPD_MOD = 13     # keys ≡ 3 get cents + 500 in B
+SNAP_INS_MOD = 31     # keys ≡ 7 cloned at key + 10^12 in B
+SNAP_INS_OFFSET = 1_000_000_000_000
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC diff between the orders table and a deterministically
+    mutated snapshot of it (deletes / updates / inserts by key
+    congruence — synthesized identically in both engines): one
+    full-outer join on the primary key + null-safe payload compare,
+    unchanged keys never materialized."""
+    from workstealing_spatial_join_spark.operators.snapshot import (
+        snapshot_diff,
+    )
+
+    base = TB.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    k = F.col("o_orderkey")
+    mutated = (
+        base.where(k % SNAP_DEL_MOD != 0)
+        .withColumn(
+            "cents",
+            F.when(
+                k % SNAP_UPD_MOD == 3, F.col("cents") + 500
+            ).otherwise(F.col("cents")),
+        )
+        .unionByName(
+            base.where(k % SNAP_INS_MOD == 7).withColumn(
+                "o_orderkey", k + SNAP_INS_OFFSET
+            )
+        )
+    )
+    return snapshot_diff(
+        base, mutated, "o_orderkey", ["o_custkey", "cents", "o_orderstatus"]
+    )
+
+
+def q_focal_density(spark, sf_dir):
+    """FocalSum map-algebra pass over the point-count raster: per
+    cell, own count + 3×3 neighborhood total, emitted over the
+    dilated support. Two groupBy exchanges, bounded explode between
+    them, no join."""
+    from workstealing_spatial_join_spark.operators.tiles import focal_sum
+
+    return focal_sum(TB.customer_points_milli(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -2258,6 +2324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_tiles": q_areal_tiles,
         "grid_bfs": q_grid_bfs,
         "events_twa": q_events_twa,
+        "idw_surface": q_idw_surface,
+        "snapshot_diff": q_snapshot_diff,
+        "focal_density": q_focal_density,
     }
 
 
@@ -2565,6 +2634,47 @@ def _sql_events_twa() -> str:
     )
 
     return sql_time_weighted_avg()
+
+
+def _sql_idw_surface() -> str:
+    from workstealing_spatial_join_spark.operators.areal import (
+        sql_idw_surface,
+    )
+
+    return sql_idw_surface(TB.SQL_POINT_VALUES)
+
+
+def _sql_snapshot_diff() -> str:
+    from workstealing_spatial_join_spark.operators.snapshot import (
+        sql_snapshot_diff,
+    )
+
+    base = (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, "
+        "o_orderstatus FROM orders"
+    )
+    mutated = (
+        f"SELECT o_orderkey, o_custkey, "
+        f"CASE WHEN o_orderkey % {SNAP_UPD_MOD} = 3 THEN cents + 500 "
+        f"ELSE cents END AS cents, o_orderstatus "
+        f"FROM ({base}) b WHERE o_orderkey % {SNAP_DEL_MOD} <> 0 "
+        f"UNION ALL "
+        f"SELECT o_orderkey + {SNAP_INS_OFFSET}, o_custkey, cents, "
+        f"o_orderstatus FROM ({base}) b "
+        f"WHERE o_orderkey % {SNAP_INS_MOD} = 7"
+    )
+    return sql_snapshot_diff(
+        base, mutated, "o_orderkey", ["o_custkey", "cents", "o_orderstatus"]
+    )
+
+
+def _sql_focal_density() -> str:
+    from workstealing_spatial_join_spark.operators.tiles import (
+        sql_focal_sum,
+    )
+
+    return sql_focal_sum(TB.SQL_POINTS_MILLI)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3330,4 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "areal_tiles": _sql_areal_tiles(),
         "grid_bfs": _sql_grid_bfs(),
         "events_twa": _sql_events_twa(),
+        "idw_surface": _sql_idw_surface(),
+        "snapshot_diff": _sql_snapshot_diff(),
+        "focal_density": _sql_focal_density(),
     }

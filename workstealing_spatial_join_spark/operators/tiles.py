@@ -247,3 +247,75 @@ def compact_cells(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def focal_sum(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = 8_192,
+    radius: int = 1,
+) -> DataFrame:
+    """Focal (moving-window) statistics over the sparse raster of
+    point counts — map algebra's FocalSum: for every cell, its own
+    point count plus the total over the (2r+1)² neighborhood. The
+    smoothing pass every density product runs before thresholding
+    (hot-spot maps, heatmap tiles, KDE with a box kernel).
+
+    Sparse-raster convention: a row is emitted for every cell whose
+    NEIGHBORHOOD is non-empty (the dilated support), with own_n = 0
+    for cells that are empty but near occupied ones — that boundary
+    ring is exactly what thresholding needs; restricting to occupied
+    cells would need a join-back, and emitting the full raster
+    extent would be dense-matrix thinking at 10^12 points.
+
+    Scale shape: one groupBy exchange to count per cell, a bounded
+    (2r+1)² map-side explode of the counts, and ONE more groupBy
+    exchange on the target cell. No join; Catalyst keeps both
+    aggregations whole-stage-codegen'd."""
+    fd_x = f"(({x_col}) - (((({x_col}) % {cell}) + {cell}) % {cell})) div {cell}"
+    fd_y = f"(({y_col}) - (((({y_col}) % {cell}) + {cell}) % {cell})) div {cell}"
+    counts = (
+        points.select(F.expr(fd_x).alias("cx"), F.expr(fd_y).alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = f"sequence({-radius}, {radius})"
+    spread = (
+        counts.withColumn("ox", F.explode(F.expr(offs)))
+        .withColumn("oy", F.explode(F.expr(offs)))
+        .select(
+            (F.col("cx") + F.col("ox")).alias("tx"),
+            (F.col("cy") + F.col("oy")).alias("ty"),
+            F.col("n"),
+            F.when(
+                (F.col("ox") == 0) & (F.col("oy") == 0), F.col("n")
+            ).otherwise(F.lit(0)).alias("own"),
+        )
+    )
+    return spread.groupBy("tx", "ty").agg(
+        F.sum("own").cast("long").alias("own_n"),
+        F.sum("n").cast("long").alias("focal_n"),
+    )
+
+
+def sql_focal_sum(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = 8_192,
+    radius: int = 1,
+) -> str:
+    """DuckDB twin of :func:`focal_sum`."""
+    fd_x = f"(({x_col}) - (((({x_col}) % {cell}) + {cell}) % {cell})) // {cell}"
+    fd_y = f"(({y_col}) - (((({y_col}) % {cell}) + {cell}) % {cell})) // {cell}"
+    return (
+        f"WITH c AS (SELECT {fd_x} AS cx, {fd_y} AS cy, COUNT(*) AS n "
+        f"FROM ({points_sql}) p GROUP BY 1, 2), "
+        f"s AS (SELECT cx + ox AS tx, cy + oy AS ty, n, "
+        f"CASE WHEN ox = 0 AND oy = 0 THEN n ELSE 0 END AS own "
+        f"FROM c, UNNEST(generate_series({-radius}, {radius})) AS a(ox), "
+        f"UNNEST(generate_series({-radius}, {radius})) AS b(oy)) "
+        f"SELECT tx, ty, CAST(SUM(own) AS BIGINT) AS own_n, "
+        f"CAST(SUM(n) AS BIGINT) AS focal_n FROM s GROUP BY tx, ty"
+    )

@@ -246,3 +246,25 @@ SQL_PART_ZONES = (
     "CAST(round(p_retailprice * 100) AS BIGINT) AS measure "
     "FROM part"
 )
+
+
+def customer_point_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → measure-carrying points: the milli-coordinate
+    congruences plus integer-cent account balance (which CAN be
+    negative — the IDW operator's sign-portable floor handles it)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") * 9973 % 360000 - 180000).cast("long").alias("mx"),
+        (F.col("c_custkey") * 7919 % 180000 - 90000).cast("long").alias("my"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+
+SQL_POINT_VALUES = (
+    "SELECT c_custkey AS point_id, "
+    "CAST(c_custkey * 9973 % 360000 - 180000 AS BIGINT) AS mx, "
+    "CAST(c_custkey * 7919 % 180000 - 90000 AS BIGINT) AS my, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS cents "
+    "FROM customer"
+)
