@@ -2222,6 +2222,276 @@ def q_focal_density(spark, sf_dir):
     return focal_sum(TB.customer_points_milli(spark, sf_dir))
 
 
+def q_seg_intersections(spark, sf_dir):
+    """Segment×segment intersection join over the dense road layer —
+    which roads cross which, with the classic integer orientation
+    test (CLRS §33.1) as the refine, so the whole join is pure
+    Catalyst: bounded ≤2×2 covering-cell explodes, ONE equi-join on
+    the cell with seg_a < seg_b, reference-point pair dedup (no
+    DISTINCT shuffle), zero Python. The oracle runs a brute bbox
+    range join with the identical predicate — a genuinely different
+    candidate plan, so the contract validates the grid decomposition
+    and the predicate independently."""
+    from workstealing_spatial_join_spark.operators.segjoin import (
+        segment_intersection_join,
+    )
+
+    return segment_intersection_join(
+        TB.supplier_road_segments(spark, sf_dir)
+    )
+
+
+def q_cell_triangles(spark, sf_dir):
+    """Exact per-cell triangle participation over the occupied-cell
+    8-neighbor graph of the point layer (clustering-coefficient
+    numerator — blob-interior cells close 6-8 triangles, filament
+    cells 0-2). Canonical u<v<w wedge join closed against a third
+    edge: two equi-join shuffles + one bounded ×3 corner explode,
+    skew bounded by the max cell degree (≤8 on a grid graph)."""
+    from workstealing_spatial_join_spark.operators.graph import (
+        occupied_cell_edges,
+        triangle_counts,
+    )
+
+    return triangle_counts(
+        occupied_cell_edges(TB.customer_points_milli(spark, sf_dir))
+    )
+
+
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS semi-join + priority distribution):
+    orders placed in 1996Q1 with at least one LATE lineitem
+    (l_shipdate more than 30 days after the order date), counted by
+    priority. One left-semi join on the order key — the lineitem
+    side never carries payload through the shuffle — then a tiny
+    groupBy. The semi-join condition's date arithmetic is exact
+    calendar math in both engines."""
+    orders = TB.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    li = TB.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution INCLUDING
+    the zeros): LEFT JOIN customer→orders, count per customer, then
+    the distribution of those counts. The zeros are the point — an
+    inner join silently drops never-ordered customers, and at 10^12
+    rows nobody eyeballs the missing bucket. Two shuffles (custkey,
+    then the tiny c_count key). No o_comment column in this corpus,
+    so the classic comment-pattern exclusion is omitted."""
+    cust = TB.load(spark, sf_dir, "customer").select("c_custkey")
+    orders = TB.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def ppm_longdiv_sql(dialect: str, p: str = "promo_cc", t: str = "total_cc") -> str:
+    """floor(p·10^6 / t) for positive int64 p ≤ t, WITHOUT the naive
+    p·10^6 product (overflows int64 once t > ~9.2e12): schoolbook
+    base-1000 long division — quotient digit groups of the scaled
+    numerator, every intermediate ≤ t·1000 (int64-safe while
+    t ≤ 9.2e15; at sf1 total_cc ≈ 2.3e15). Same text for both
+    engines modulo the floor-division token; all operands positive,
+    so truncation IS floor on both."""
+    op = "//" if dialect == "duckdb" else "div"
+    return (
+        f"(({p} {op} {t}) * 1000000 "
+        f"+ ((({p} % {t}) * 1000) {op} {t}) * 1000 "
+        f"+ (((({p} % {t}) * 1000) % {t}) * 1000) {op} {t})"
+    )
+
+
+def q_q14_promo_ppm(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share) with the ratio EXACT in
+    int64: revenue in cent·percent units, and promo_ppm computed by
+    schoolbook base-1000 long division —
+
+        ppm = (p div t)·10^6 + ((p % t)·10^3 div t)·10^3
+              + (((p % t)·10^3 % t)·10^3 div t)
+
+    so every intermediate is ≤ t·1000 (≈2.3e18 at sf1 — inside
+    int64; the naive p·10^6 overflows at ~9.2e12 total). All
+    operands positive, so Spark's truncating `div` and DuckDB's
+    flooring `//` agree. One month of lineitems, broadcast-free:
+    part is joined on partkey only to read p_type."""
+    part = TB.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = TB.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+        ).alias("promo_cc"),
+        F.sum(rev).alias("total_cc"),
+    )
+    return agg.select(
+        "promo_cc",
+        "total_cc",
+        F.expr(ppm_longdiv_sql("spark")).alias("promo_ppm"),
+    )
+
+
+Q17_BRAND = "Brand#23"
+
+
+def q_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity orders for one brand): revenue
+    of lineitems whose quantity is below 20% of their part's average.
+    The threshold is CROSS-MULTIPLIED — ``5·qty·cnt < sum_qty`` over
+    int64 — so no float average ever exists to rank-flip the boundary
+    rows. Plan: broadcast the one-brand part list, one shuffle on
+    partkey for the per-part (sum, cnt), join back, filter, global
+    agg; avg_yearly_cc = sum div 7 (positive ints — truncation IS
+    floor, identical in both engines)."""
+    part = (
+        TB.load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = TB.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    li_b = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = li_b.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li_b.join(
+        stats, F.col("l_partkey") == F.col("s_partkey")
+    ).where(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum("price_c").alias("sum_price_c"),
+    ).select(
+        "n_small",
+        "sum_price_c",
+        F.expr("sum_price_c div 7").alias("avg_yearly_cc"),
+    )
+
+
+Q19_BRACKETS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+
+
+def q_q19_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive bracket predicate): revenue from
+    lineitems matching any of three (brand, size-range, qty-range)
+    brackets. The brand IN-list prunes part BEFORE the join, so the
+    build side broadcasts; the OR disjunction is then a residual
+    filter on the joined row — Catalyst keeps the equi-key join and
+    cannot (and should not) split the ORs into three joins. Revenue
+    in exact cent·percent units."""
+    brands = [b for b, *_ in Q19_BRACKETS]
+    part = (
+        TB.load(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin(brands))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = TB.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = None
+    for brand, s_lo, s_hi, q_lo, q_hi in Q19_BRACKETS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("qty").between(q_lo, q_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return j.where(cond).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).alias("revenue_cc"),
+    )
+
+
+Q22_IDLE_CUTOFF = "2000-01-01"
+
+
+def q_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (promising idle customers): per nation, count
+    and total balance of customers whose balance exceeds the average
+    POSITIVE balance and who have placed no RECENT order (none since
+    ``Q22_IDLE_CUTOFF`` — this corpus gives every customer at least
+    one lifetime order, so the faithful never-ordered test is
+    vacuous; recency keeps the anti-join non-trivial at every sf).
+    The average is CROSS-MULTIPLIED — ``bal_c·n_pos > sum_pos_c``
+    over int64 cents — so no float mean exists to flip boundary
+    customers; the global (sum, count) pair is a one-row broadcast,
+    and the recency test is one left_anti shuffle on custkey with the
+    date filter pushed below the exchange."""
+    cust = TB.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    stats = cust.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_pos_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = cust.join(F.broadcast(stats)).where(
+        F.col("bal_c") * F.col("n_pos") > F.col("sum_pos_c")
+    )
+    orders = (
+        TB.load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.to_timestamp(F.lit(Q22_IDLE_CUTOFF))
+        )
+        .select("o_custkey")
+    )
+    idle = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_c").alias("totacctbal_c"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -2327,7 +2597,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_surface": q_idw_surface,
         "snapshot_diff": q_snapshot_diff,
         "focal_density": q_focal_density,
+        "seg_intersections": q_seg_intersections,
+        "cell_triangles": q_cell_triangles,
+        "q4_order_priority": q_q4_order_priority,
+        "q13_custdist": q_q13_custdist,
+        "q14_promo_ppm": q_q14_promo_ppm,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q19_bracket_revenue": q_q19_bracket_revenue,
+        "q22_idle_customers": q_q22_idle_customers,
     }
+
+
+def _sql_seg_intersections() -> str:
+    from workstealing_spatial_join_spark.operators.segjoin import (
+        sql_segment_intersections,
+    )
+
+    return sql_segment_intersections(TB.SQL_SUPPLIER_ROAD_SEGMENTS)
+
+
+def _sql_cell_triangles() -> str:
+    from workstealing_spatial_join_spark.operators.graph import (
+        sql_occupied_cell_edges,
+        sql_triangle_counts,
+    )
+
+    return sql_triangle_counts(
+        sql_occupied_cell_edges(TB.SQL_POINTS_MILLI)
+    )
 
 
 def _sql_spatial_cluster_images() -> str:
@@ -3443,4 +3740,81 @@ def oracle_sql() -> dict[str, str]:
         "idw_surface": _sql_idw_surface(),
         "snapshot_diff": _sql_snapshot_diff(),
         "focal_density": _sql_focal_density(),
+        "seg_intersections": _sql_seg_intersections(),
+        "cell_triangles": _sql_cell_triangles(),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        "q13_custdist": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) t GROUP BY c_count"
+        ),
+        "q14_promo_ppm": (
+            "WITH agg AS (SELECT "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) "
+            "ELSE 0 END) AS BIGINT) AS promo_cc, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+            ") AS BIGINT) AS total_cc "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01') "
+            "SELECT promo_cc, total_cc, "
+            f"CAST({ppm_longdiv_sql('duckdb')} AS BIGINT) AS promo_ppm "
+            "FROM agg"
+        ),
+        "q17_small_qty_revenue": (
+            "WITH li AS (SELECT l_partkey, "
+            "CAST(ROUND(l_quantity) AS BIGINT) AS qty, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE p_brand = '{Q17_BRAND}'), "
+            "stats AS (SELECT l_partkey AS s_partkey, "
+            "CAST(SUM(qty) AS BIGINT) AS sum_qty, "
+            "COUNT(*) AS cnt FROM li GROUP BY l_partkey), "
+            "small AS (SELECT qty, price_c FROM li JOIN stats "
+            "ON l_partkey = s_partkey WHERE 5 * qty * cnt < sum_qty) "
+            "SELECT COUNT(*) AS n_small, "
+            "CAST(SUM(price_c) AS BIGINT) AS sum_price_c, "
+            "CAST(SUM(price_c) // 7 AS BIGINT) AS avg_yearly_cc "
+            "FROM small"
+        ),
+        "q19_bracket_revenue": (
+            "SELECT COUNT(*) AS n_items, CAST(SUM("
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+            ") AS BIGINT) AS revenue_cc "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE "
+            + " OR ".join(
+                f"(p_brand = '{b}' AND p_size BETWEEN {sl} AND {sh} "
+                f"AND CAST(ROUND(l_quantity) AS BIGINT) "
+                f"BETWEEN {ql} AND {qh})"
+                for b, sl, sh, ql, qh in Q19_BRACKETS
+            )
+        ),
+        "q22_idle_customers": (
+            "WITH c AS (SELECT c_custkey, c_nationkey, "
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c "
+            "FROM customer), "
+            "stats AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_pos_c, "
+            "COUNT(*) AS n_pos FROM c WHERE bal_c > 0) "
+            "SELECT c_nationkey, COUNT(*) AS numcust, "
+            "CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c "
+            "FROM c, stats WHERE bal_c * n_pos > sum_pos_c "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            f"AND o_orderdate >= TIMESTAMP '{Q22_IDLE_CUTOFF}') "
+            "GROUP BY c_nationkey"
+        ),
     }

@@ -392,3 +392,70 @@ def sql_occupied_cell_edges(
         f"SELECT nb.sx, nb.sy, nb.dx, nb.dy FROM nb "
         f"JOIN cells o ON o.cx = nb.dx AND o.cy = nb.dy"
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle participation over an undirected graph
+    given as DIRECTED (sx, sy, dx, dy) cell pairs (both directions
+    present, as :func:`occupied_cell_edges` emits) — ``(cx, cy,
+    n_triangles)``: how many triangles each occupied cell closes. The
+    clustering-coefficient numerator, and on the density-surface cell
+    graph a direct blob-compactness measure (interior cells close 6-8
+    triangles, filament cells 0-2).
+
+    Algorithm: canonicalize to u < v (lexicographic on the cell pair,
+    halving the edge list), build wedges u<v<w by joining e1.v = e2.u
+    (the ordering is free — e2 is canonical), close them against a
+    third canonical edge (u, w). Two equi-join shuffles + one bounded
+    ×3 corner explode + one groupBy; every join key is a cell pair,
+    so skew is bounded by the max cell degree (≤ 8 here; cap or salt
+    the key for general graphs with super-nodes)."""
+    und = edges.where(
+        (F.col("sx") < F.col("dx"))
+        | ((F.col("sx") == F.col("dx")) & (F.col("sy") < F.col("dy")))
+    ).select("sx", "sy", "dx", "dy")
+    e1 = und.select(
+        F.col("sx").alias("ux"), F.col("sy").alias("uy"),
+        F.col("dx").alias("vx"), F.col("dy").alias("vy"),
+    )
+    e2 = und.select(
+        F.col("sx").alias("vx"), F.col("sy").alias("vy"),
+        F.col("dx").alias("wx"), F.col("dy").alias("wy"),
+    )
+    e3 = und.select(
+        F.col("sx").alias("ux"), F.col("sy").alias("uy"),
+        F.col("dx").alias("wx"), F.col("dy").alias("wy"),
+    )
+    tri = e1.join(e2, ["vx", "vy"]).join(e3, ["ux", "uy", "wx", "wy"])
+    corners = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ux").alias("cx"), F.col("uy").alias("cy")),
+                F.struct(F.col("vx").alias("cx"), F.col("vy").alias("cy")),
+                F.struct(F.col("wx").alias("cx"), F.col("wy").alias("cy")),
+            )
+        ).alias("c")
+    ).select("c.cx", "c.cy")
+    return corners.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def sql_triangle_counts(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` over the same directed
+    (sx, sy, dx, dy) edge-list SQL body."""
+    return (
+        f"WITH edges AS ({edges_sql}), "
+        "und AS (SELECT sx, sy, dx, dy FROM edges "
+        "WHERE sx < dx OR (sx = dx AND sy < dy)), "
+        "tri AS (SELECT e1.sx AS ux, e1.sy AS uy, "
+        "e1.dx AS vx, e1.dy AS vy, e2.dx AS wx, e2.dy AS wy "
+        "FROM und e1 JOIN und e2 ON e1.dx = e2.sx AND e1.dy = e2.sy "
+        "JOIN und e3 ON e3.sx = e1.sx AND e3.sy = e1.sy "
+        "AND e3.dx = e2.dx AND e3.dy = e2.dy), "
+        "corners AS (SELECT ux AS cx, uy AS cy FROM tri "
+        "UNION ALL SELECT vx, vy FROM tri "
+        "UNION ALL SELECT wx, wy FROM tri) "
+        "SELECT cx, cy, COUNT(*) AS n_triangles "
+        "FROM corners GROUP BY cx, cy"
+    )

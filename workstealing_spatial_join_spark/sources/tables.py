@@ -183,6 +183,38 @@ SQL_SUPPLIER_SEGMENTS = (
 )
 
 
+def supplier_road_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → a DENSE integer-milli road layer confined to a
+    city-scale window (6144×6144 milli, i.e. ~6°×6°) so segment pairs
+    actually cross — the fixture for the segment×segment intersection
+    join. Extents are bounded to ±1000 per axis (≤ segjoin.ROAD_CELL),
+    keeping the covering-cell explode ≤ 2×2; endpoints may leave the
+    window by ≤1000, which the floor-div cell keys handle exactly.
+    Multipliers are coprime to 6144 = 2^11·3 so starts spread over the
+    whole window at every sf."""
+    s = load(spark, sf_dir, "supplier")
+    x1 = (F.col("s_suppkey") * 5923 % 6144).cast("long")
+    y1 = (F.col("s_suppkey") * 4799 % 6144).cast("long")
+    return s.select(
+        F.col("s_suppkey").alias("seg_id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + (F.col("s_suppkey") * 37 % 2001 - 1000)).cast("long").alias("x2"),
+        (y1 + (F.col("s_suppkey") * 53 % 2001 - 1000)).cast("long").alias("y2"),
+    )
+
+
+SQL_SUPPLIER_ROAD_SEGMENTS = (
+    "SELECT seg_id, x1, y1, "
+    "CAST(x1 + (seg_id * 37 % 2001 - 1000) AS BIGINT) AS x2, "
+    "CAST(y1 + (seg_id * 53 % 2001 - 1000) AS BIGINT) AS y2 FROM ("
+    "SELECT s_suppkey AS seg_id, "
+    "CAST(s_suppkey * 5923 % 6144 AS BIGINT) AS x1, "
+    "CAST(s_suppkey * 4799 % 6144 AS BIGINT) AS y1 "
+    "FROM supplier) t"
+)
+
+
 def part_rects_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part → integer-millidegree zone rectangles (the exact int64
     twin of :func:`part_rects`: same congruences ×1000)."""
