@@ -2492,6 +2492,47 @@ def q_q22_idle_customers(spark, sf_dir):
     )
 
 
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I (binary queen weights) of the occupied-cell
+    density raster of the point layer — exact to the emitted ppm:
+    z = N·x − S keeps centering integral, 128-bit accumulation
+    (DECIMAL(38,0) / HUGEINT) absorbs the product sums, and the
+    ratio lands via the sign-portable Euclidean-remainder floor.
+    One raster groupBy + a bounded ×8 explode + one cell equi-join;
+    the DuckDB twin builds the neighbor sum as an ABS-window self
+    join — a different plan, so the edge decomposition is itself
+    under contract."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        morans_i,
+    )
+
+    return morans_i(TB.customer_points_milli(spark, sf_dir))
+
+
+def q_events_od_matrix(spark, sf_dir):
+    """Origin→destination tile-flow matrix over the sticky-epoch
+    trajectory fixture: consecutive event pairs whose tile changed,
+    counted per (from, to) tile pair. One window exchange on
+    user_id + one tiny map-side-combinable groupBy — no joins."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        od_matrix,
+    )
+
+    return od_matrix(TB.load(spark, sf_dir, "events"))
+
+
+def q_events_dwell(spark, sf_dir):
+    """Per-user dwell-episode summary (stay-point mining): maximal
+    same-tile runs via gaps-and-islands over the user window, exact
+    epoch-microsecond spans. The window and BOTH groupBys cluster on
+    user_id, so the whole query is ONE exchange (plan-gated)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        dwell_stats,
+    )
+
+    return dwell_stats(TB.load(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_all_fixtures()
     return {
@@ -2605,7 +2646,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q19_bracket_revenue": q_q19_bracket_revenue,
         "q22_idle_customers": q_q22_idle_customers,
+        "morans_i": q_morans_i,
+        "events_od_matrix": q_events_od_matrix,
+        "events_dwell": q_events_dwell,
     }
+
+
+def _sql_morans_i() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_morans_i,
+    )
+
+    return sql_morans_i(TB.SQL_POINTS_MILLI)
+
+
+def _sql_events_od_matrix() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_od_matrix,
+    )
+
+    return sql_od_matrix("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_events_dwell() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_dwell_stats,
+    )
+
+    return sql_dwell_stats("SELECT user_id, event_id, ts FROM events")
 
 
 def _sql_seg_intersections() -> str:
@@ -3817,4 +3885,7 @@ def oracle_sql() -> dict[str, str]:
             f"AND o_orderdate >= TIMESTAMP '{Q22_IDLE_CUTOFF}') "
             "GROUP BY c_nationkey"
         ),
+        "morans_i": _sql_morans_i(),
+        "events_od_matrix": _sql_events_od_matrix(),
+        "events_dwell": _sql_events_dwell(),
     }

@@ -1,0 +1,176 @@
+"""Trajectory analytics over an event stream — OD matrix + dwell.
+
+The movement layer a geospatial engine feeds: given per-user ordered
+event positions, (1) the origin→destination tile flow matrix (the
+trip table behind every transit/mobility dashboard) and (2) dwell
+episodes (maximal runs of consecutive events in one tile — the
+stay-point primitive of trajectory mining, Zheng et al., "Computing
+with Spatial Trajectories" ch. 1). The reference engine joins static
+layers only; movement analytics is engine-added surface.
+
+The events corpus carries no coordinates, so positions come from a
+deterministic STICKY-EPOCH fixture (same convention as every other
+synthesized layer in sources/tables.py): each user's event sequence
+is split into epochs of ``EPOCH_LEN`` consecutive events, and the
+epoch — not the event — is hashed to a tile by integer congruences.
+The two axes advance at DIFFERENT epoch rates (x every 3rd epoch, y
+every 2nd): with a single rate the tile would change at every epoch
+boundary (the 47/59 steps are units mod 32), episodes would always
+equal epochs, and the gaps-and-islands grouping would be a
+vacuously-correct re-bucketing. With split rates, epochs e and e+1
+share the tile exactly when ``e ≡ 0 (mod 2)`` and ``e ≢ 2 (mod 3)``,
+so cross-epoch dwell runs occur at every scale and the episode
+machinery provably does work (unit-asserted). All operands are
+non-negative, so ``%`` agrees across engines without the Euclidean
+fixup.
+
+Scale shape (10^12 events): the whole pipeline is window functions
+over ``PARTITION BY user_id`` plus groupBys whose keys either start
+with user_id (dwell: the hash partitioning on user_id already
+clusters (user_id, episode) — Catalyst elides the second exchange)
+or are the tiny tile-pair key (OD: one map-side-combinable count).
+No joins anywhere; per-user state never leaves its partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sticky_positions",
+    "od_matrix",
+    "dwell_stats",
+    "sql_sticky_positions",
+    "sql_od_matrix",
+    "sql_dwell_stats",
+]
+
+EPOCH_LEN = 4     # events per sticky epoch
+TILE_MOD = 32     # tiles per axis (1024-tile world)
+
+
+def _user_window() -> Window:
+    # event_id is the unique tiebreak — ts collisions exist at sf ≥ 1
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def sticky_positions(events: DataFrame) -> DataFrame:
+    """events → (user_id, event_id, ts, rn, tx, ty): per-user step
+    index and the sticky-epoch tile. One window exchange on
+    user_id; everything downstream reuses that partitioning."""
+    rn = F.row_number().over(_user_window())
+    df = events.select("user_id", "event_id", "ts").withColumn("rn", rn)
+    # rn ≥ 1, so div IS floor in both engines
+    ex = F.expr(f"((rn - 1) div {EPOCH_LEN}) div 3")
+    ey = F.expr(f"((rn - 1) div {EPOCH_LEN}) div 2")
+    return df.withColumn(
+        "tx", (F.col("user_id") * 131 + ex * 47) % TILE_MOD
+    ).withColumn("ty", (F.col("user_id") * 173 + ey * 59) % TILE_MOD)
+
+
+def od_matrix(events: DataFrame) -> DataFrame:
+    """Origin→destination tile flows: one row per (from-tile,
+    to-tile) pair with the number of observed transitions (consecutive
+    event pairs whose tile CHANGED — within-tile steps are dwell, not
+    travel). Output (ftx, fty, ttx, tty, n_trips)."""
+    pos = sticky_positions(events)
+    w = _user_window()
+    moved = pos.select(
+        F.lag("tx").over(w).alias("ftx"),
+        F.lag("ty").over(w).alias("fty"),
+        F.col("tx").alias("ttx"),
+        F.col("ty").alias("tty"),
+    ).where(
+        F.col("ftx").isNotNull()
+        & ((F.col("ftx") != F.col("ttx")) | (F.col("fty") != F.col("tty")))
+    )
+    return moved.groupBy("ftx", "fty", "ttx", "tty").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+
+
+def dwell_stats(events: DataFrame) -> DataFrame:
+    """Per-user dwell summary — (user_id, n_episodes,
+    max_run_events, max_dwell_us): episodes are maximal runs of
+    consecutive same-tile events (gaps-and-islands: a change flag
+    cumulative-summed over the user window), duration is the exact
+    epoch-microsecond span of the episode. Consecutive EPOCHS can
+    hash to the same tile, so runs longer than EPOCH_LEN occur and
+    the episode grouping is genuinely doing work."""
+    pos = sticky_positions(events)
+    w = _user_window()
+    chg = F.when(
+        F.lag("tx").over(w).isNull()
+        | (F.lag("tx").over(w) != F.col("tx"))
+        | (F.lag("ty").over(w) != F.col("ty")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    epi = pos.withColumn(
+        "episode",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_epi = epi.groupBy("user_id", "episode").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("dwell_us"),
+    )
+    return per_epi.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.max("n_events").alias("max_run_events"),
+        F.max("dwell_us").alias("max_dwell_us"),
+    )
+
+
+def _sql_base(events_sql: str) -> str:
+    return (
+        f"WITH ev AS ({events_sql}), "
+        "pos0 AS (SELECT user_id, event_id, ts, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM ev), "
+        f"pos AS (SELECT user_id, event_id, ts, rn, "
+        f"(user_id * 131 + (((rn - 1) // {EPOCH_LEN}) // 3) * 47) "
+        f"% {TILE_MOD} AS tx, "
+        f"(user_id * 173 + (((rn - 1) // {EPOCH_LEN}) // 2) * 59) "
+        f"% {TILE_MOD} AS ty FROM pos0)"
+    )
+
+
+def sql_sticky_positions(events_sql: str) -> str:
+    """DuckDB twin of :func:`sticky_positions` (full statement)."""
+    return _sql_base(events_sql) + " SELECT * FROM pos"
+
+
+def sql_od_matrix(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "mv AS (SELECT LAG(tx) OVER w AS ftx, LAG(ty) OVER w AS fty, "
+        "tx AS ttx, ty AS tty FROM pos "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT ftx, fty, ttx, tty, COUNT(*) AS n_trips FROM mv "
+        "WHERE ftx IS NOT NULL AND (ftx <> ttx OR fty <> tty) "
+        "GROUP BY ftx, fty, ttx, tty"
+    )
+
+
+def sql_dwell_stats(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "flagged AS (SELECT user_id, event_id, ts, tx, ty, "
+        "CASE WHEN LAG(tx) OVER w IS NULL OR LAG(tx) OVER w <> tx "
+        "OR LAG(ty) OVER w <> ty THEN 1 ELSE 0 END AS chg FROM pos "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "epi AS (SELECT user_id, ts, SUM(chg) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS episode FROM flagged), "
+        "per_epi AS (SELECT user_id, episode, COUNT(*) AS n_events, "
+        "MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dwell_us "
+        "FROM epi GROUP BY user_id, episode) "
+        "SELECT user_id, COUNT(*) AS n_episodes, "
+        "CAST(MAX(n_events) AS BIGINT) AS max_run_events, "
+        "CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us "
+        "FROM per_epi GROUP BY user_id"
+    )
