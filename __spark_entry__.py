@@ -2492,6 +2492,259 @@ def q_q22_idle_customers(spark, sf_dir):
     )
 
 
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def _rev_cc():
+    """Exact cent·percent revenue: round(price·100)·(100 − round(
+    disc·100)) — the engine-wide integer-revenue convention."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+_SQL_REV_CC = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations, both
+    directions): revenue per (supplier nation, customer nation,
+    ship year) for the ordered pairs (A,B) and (B,A), 1996-1997.
+    The nation-pair filter lands BEFORE the wide join on each side
+    — supplier rows and customer rows outside the pair never enter
+    an exchange. supplier/nation broadcast; orders⋈customer shuffles
+    on custkey, then lineitem joins on orderkey. Ship year via
+    year(), identical calendar math in both engines."""
+    a, b = Q7_NATIONS
+    nat = TB.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).where(F.col("n_name").isin([a, b]))
+    supp = (
+        TB.load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        TB.load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = TB.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = TB.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    oc = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(F.sum(_rev_cc()).alias("revenue_cc"))
+
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_NATION = "NATION_2"
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): of the revenue that
+    {Q8_REGION}-region customers spent on {Q8_TYPE} parts per order
+    year, the share supplied by {Q8_NATION} — share in ppm via the
+    overflow-safe base-1000 long division (``ppm_longdiv_sql``), so
+    the ratio is exact int64 end to end. Part and the two nation
+    dims broadcast; customer⋈nation prunes to the region BEFORE the
+    custkey shuffle."""
+    part = (
+        TB.load(spark, sf_dir, "part")
+        .where(F.col("p_type") == Q8_TYPE)
+        .select("p_partkey")
+    )
+    nat = TB.load(spark, sf_dir, "nation")
+    region = TB.load(spark, sf_dir, "region").where(
+        F.col("r_name") == Q8_REGION
+    )
+    rnat = nat.join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("rn_key"))
+    cust = TB.load(spark, sf_dir, "customer").join(
+        F.broadcast(rnat), F.col("c_nationkey") == F.col("rn_key")
+    ).select("c_custkey")
+    supp = (
+        TB.load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = TB.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    oc = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    li = TB.load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    j = li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        oc, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == Q8_NATION, _rev_cc()).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_cc"),
+        F.sum(_rev_cc()).alias("total_cc"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_cc",
+        "total_cc",
+        F.expr(
+            ppm_longdiv_sql("spark", "nation_cc", "total_cc")
+        ).alias("share_ppm"),
+    )
+
+
+def q_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item customers): top 20 customers
+    by revenue of RETURNED lineitems ('R' flag) on 1996Q1 orders,
+    with nation name. Revenue in exact cent·percent units and the
+    top-k ordering tie-broken by custkey, so the cut is
+    deterministic in both engines; distributed TakeOrdered — never a
+    global sort of the full customer set."""
+    orders = TB.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    ).select("o_orderkey", "o_custkey")
+    li = TB.load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev_cc()).alias("revenue_cc"))
+    )
+    cust = TB.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = TB.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    out = (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name", "revenue_cc")
+    )
+    return out.orderBy(
+        F.col("revenue_cc").desc(), F.col("c_custkey")
+    ).limit(20)
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier, ties kept): suppliers whose
+    1996Q1 revenue equals the global maximum. The max is a one-row
+    broadcast joined back by EQUALITY on the exact integer revenue —
+    with float revenue this query is famously nondeterministic
+    (losing the tie by one ulp); integer cents make 'ties kept'
+    well-defined."""
+    li = TB.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_cc()).alias("total_cc")
+    )
+    top = per_supp.agg(F.max("total_cc").alias("max_cc"))
+    return (
+        per_supp.join(F.broadcast(top))
+        .where(F.col("total_cc") == F.col("max_cc"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"), "total_cc"
+        )
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+def q_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per
+    supplier, the number of multi-supplier orders where THAT supplier
+    was the ONLY late one (shipped > {Q21_LATE_DAYS} days after the
+    order date — this corpus has no receipt/commit dates, so
+    lateness is ship-vs-order). The classic EXISTS (another supplier
+    in the order) + NOT EXISTS (another LATE supplier) pair becomes
+    two per-order counts: n_supp ≥ 2 AND n_late = 1, then keep the
+    late (order, supplier) rows. Both groupBys and the join back all
+    cluster on orderkey — one orderkey exchange feeds everything —
+    and the final count shuffles only distinct suppliers."""
+    orders = TB.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = TB.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    flagged = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("late"),
+    )
+    per_os = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late"),
+    )
+    waiting = per_os.join(per_o, "l_orderkey").where(
+        (F.col("any_late") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late") == 1)
+    )
+    return waiting.groupBy(
+        F.col("l_suppkey").alias("s_suppkey")
+    ).agg(F.count(F.lit(1)).alias("numwait"))
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I (binary queen weights) of the occupied-cell
     density raster of the point layer — exact to the emitted ppm:
@@ -2649,6 +2902,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "events_od_matrix": q_events_od_matrix,
         "events_dwell": q_events_dwell,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
     }
 
 
@@ -3888,4 +4146,80 @@ def oracle_sql() -> dict[str, str]:
         "morans_i": _sql_morans_i(),
         "events_od_matrix": _sql_events_od_matrix(),
         "events_dwell": _sql_events_dwell(),
+        "q7_nation_volume": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year, "
+            f"CAST(SUM({_SQL_REV_CC}) AS BIGINT) AS revenue_cc "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' AND ("
+            f"(sn.n_name = '{Q7_NATIONS[0]}' AND cn.n_name = "
+            f"'{Q7_NATIONS[1]}') OR (sn.n_name = '{Q7_NATIONS[1]}' "
+            f"AND cn.n_name = '{Q7_NATIONS[0]}')) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q8_market_share": (
+            "WITH agg AS (SELECT "
+            "CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, "
+            f"CAST(SUM(CASE WHEN sn.n_name = '{Q8_NATION}' THEN "
+            f"{_SQL_REV_CC} ELSE 0 END) AS BIGINT) AS nation_cc, "
+            f"CAST(SUM({_SQL_REV_CC}) AS BIGINT) AS total_cc "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "JOIN region ON cn.n_regionkey = r_regionkey "
+            f"WHERE p_type = '{Q8_TYPE}' AND r_name = '{Q8_REGION}' "
+            "GROUP BY 1) "
+            "SELECT o_year, nation_cc, total_cc, "
+            "CAST("
+            + ppm_longdiv_sql("duckdb", "nation_cc", "total_cc")
+            + " AS BIGINT) AS share_ppm FROM agg"
+        ),
+        "q10_returned_revenue": (
+            "WITH per_cust AS (SELECT o_custkey, "
+            f"CAST(SUM({_SQL_REV_CC}) AS BIGINT) AS revenue_cc "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY o_custkey) "
+            "SELECT c_custkey, n_name, revenue_cc FROM per_cust "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "ORDER BY revenue_cc DESC, c_custkey LIMIT 20"
+        ),
+        "q15_top_supplier": (
+            "WITH per_supp AS (SELECT l_suppkey AS s_suppkey, "
+            f"CAST(SUM({_SQL_REV_CC}) AS BIGINT) AS total_cc "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, total_cc FROM per_supp "
+            "WHERE total_cc = (SELECT MAX(total_cc) FROM per_supp)"
+        ),
+        "q21_waiting_supplier": (
+            "WITH flagged AS (SELECT l_orderkey, l_suppkey, "
+            "CASE WHEN l_shipdate > o_orderdate + "
+            f"INTERVAL {Q21_LATE_DAYS} DAY THEN 1 ELSE 0 END AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "per_os AS (SELECT l_orderkey, l_suppkey, "
+            "MAX(late) AS any_late FROM flagged GROUP BY 1, 2), "
+            "per_o AS (SELECT l_orderkey, COUNT(*) AS n_supp, "
+            "CAST(SUM(any_late) AS BIGINT) AS n_late FROM per_os "
+            "GROUP BY 1) "
+            "SELECT l_suppkey AS s_suppkey, COUNT(*) AS numwait "
+            "FROM per_os JOIN per_o USING (l_orderkey) "
+            "WHERE any_late = 1 AND n_supp >= 2 AND n_late = 1 "
+            "GROUP BY 1"
+        ),
     }
