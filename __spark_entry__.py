@@ -2762,6 +2762,33 @@ def q_morans_i(spark, sf_dir):
     return morans_i(TB.customer_points_milli(spark, sf_dir))
 
 
+def q_local_morans(spark, sf_dir):
+    """LISA hot/cold-spot map — per occupied cell the exact local
+    Moran numerator and quadrant class (HH/LL/HL/LH/ZERO). Raster
+    groupBy + bounded ×8 contribution explode + one receiving-cell
+    groupBy; the join back onto z is on the groupBy keys, so it adds
+    no exchange. The DuckDB twin computes the lag via an ABS LEFT
+    self-join — a different plan, same integers."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        local_morans,
+    )
+
+    return local_morans(TB.customer_points_milli(spark, sf_dir))
+
+
+def q_pair_count_ladder(spark, sf_dir):
+    """Ripley's-K pair-count ladder (L∞ metric): exact unordered
+    pair counts at four radii, all rungs measured in ONE pass over a
+    shared grid-filtered candidate set. The oracle is a brute bbox
+    range self-join — no grid, no ring explode — so the contract
+    validates the cell decomposition independently."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        pair_count_ladder,
+    )
+
+    return pair_count_ladder(TB.customer_points_milli(spark, sf_dir))
+
+
 def q_events_od_matrix(spark, sf_dir):
     """Origin→destination tile-flow matrix over the sticky-epoch
     trajectory fixture: consecutive event pairs whose tile changed,
@@ -2907,6 +2934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q_q10_returned_revenue,
         "q15_top_supplier": q_q15_top_supplier,
         "q21_waiting_supplier": q_q21_waiting_supplier,
+        "local_morans": q_local_morans,
+        "pair_count_ladder": q_pair_count_ladder,
     }
 
 
@@ -2916,6 +2945,22 @@ def _sql_morans_i() -> str:
     )
 
     return sql_morans_i(TB.SQL_POINTS_MILLI)
+
+
+def _sql_local_morans() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_local_morans,
+    )
+
+    return sql_local_morans(TB.SQL_POINTS_MILLI)
+
+
+def _sql_pair_count_ladder() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_pair_count_ladder,
+    )
+
+    return sql_pair_count_ladder(TB.SQL_POINTS_MILLI)
 
 
 def _sql_events_od_matrix() -> str:
@@ -4222,4 +4267,6 @@ def oracle_sql() -> dict[str, str]:
             "WHERE any_late = 1 AND n_supp >= 2 AND n_late = 1 "
             "GROUP BY 1"
         ),
+        "local_morans": _sql_local_morans(),
+        "pair_count_ladder": _sql_pair_count_ladder(),
     }

@@ -38,7 +38,15 @@ from pyspark.sql import functions as F
 
 from workstealing_spatial_join_spark.operators.graph import GRID_GRAPH_CELL
 
-__all__ = ["cell_counts", "morans_i", "sql_morans_i"]
+__all__ = [
+    "cell_counts",
+    "morans_i",
+    "sql_morans_i",
+    "local_morans",
+    "sql_local_morans",
+    "pair_count_ladder",
+    "sql_pair_count_ladder",
+]
 
 
 def _fd(col: str, cell: int, dialect: str) -> str:
@@ -159,4 +167,206 @@ def sql_morans_i(
         f"SELECT n_cells, w_edges, "
         f"CAST(({a} - {m}) // {b} AS BIGINT) AS i_ppm "
         f"FROM num_w, den_n"
+    )
+
+
+def local_morans(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Local Moran's I (LISA — Anselin, Geographical Analysis 1995):
+    per occupied cell, the exact integer local statistic and its
+    quadrant class — ``(cx, cy, z, lag, local_num, cls)`` with
+    ``z = N·x − S``, ``lag = Σ_{j∈queen(i)} z_j``, ``local_num =
+    z·lag`` and ``cls`` ∈ {HH, LL, HL, LH, ZERO}. HH cells are the
+    hot spots whose union IS the cluster map (LL cold spots, HL/LH
+    spatial outliers); the global Moran numerator equals
+    Σ local_num, which the unit suite asserts against
+    :func:`morans_i`. |z| ≤ N·max(x) and |lag| ≤ 8|z|ₘₐₓ keep
+    ``local_num`` inside int64 through ~10⁷-cell rasters (upgrade
+    the product to DECIMAL beyond, as the global statistic does).
+
+    Plan: the raster groupBy, a bounded ×8 map-side explode of z
+    CONTRIBUTIONS (each cell sends z to its 8 neighbor slots), one
+    groupBy on the receiving cell, and a LEFT join back onto the z
+    frame (isolated cells take lag = 0) — the join keys are the
+    groupBy keys, so both sides arrive co-partitioned and the join
+    adds no exchange."""
+    cells = cell_counts(points, x_col, y_col, cell)
+    glob = cells.agg(
+        F.sum("x").alias("s_tot"), F.count(F.lit(1)).alias("n_cells")
+    )
+    z = cells.join(F.broadcast(glob)).select(
+        "cx",
+        "cy",
+        (F.col("n_cells") * F.col("x") - F.col("s_tot")).alias("z"),
+    )
+    offs = F.expr("array(-1, 0, 1)")
+    contrib = (
+        z.withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .where("ox != 0 OR oy != 0")
+        .select(
+            (F.col("cx") + F.col("ox")).alias("nx"),
+            (F.col("cy") + F.col("oy")).alias("ny"),
+            F.col("z").alias("zc"),
+        )
+    )
+    lag = contrib.groupBy("nx", "ny").agg(F.sum("zc").alias("lag"))
+    out = z.join(
+        lag,
+        (F.col("cx") == F.col("nx")) & (F.col("cy") == F.col("ny")),
+        "left",
+    ).select(
+        "cx",
+        "cy",
+        "z",
+        F.coalesce(F.col("lag"), F.lit(0)).alias("lag"),
+    )
+    return out.select(
+        "cx",
+        "cy",
+        "z",
+        "lag",
+        (F.col("z") * F.col("lag")).alias("local_num"),
+        F.expr(
+            "CASE WHEN z > 0 AND lag > 0 THEN 'HH' "
+            "WHEN z < 0 AND lag < 0 THEN 'LL' "
+            "WHEN z > 0 AND lag < 0 THEN 'HL' "
+            "WHEN z < 0 AND lag > 0 THEN 'LH' "
+            "ELSE 'ZERO' END"
+        ).alias("cls"),
+    )
+
+
+def sql_local_morans(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    """DuckDB twin of :func:`local_morans` — the lag arrives via an
+    ABS-predicate LEFT self-join instead of the contribution explode
+    (different plan, same integers)."""
+    fx = _fd(x_col, cell, "duckdb")
+    fy = _fd(y_col, cell, "duckdb")
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"cells AS (SELECT {fx} AS cx, {fy} AS cy, "
+        f"COUNT(*) AS x FROM pts GROUP BY 1, 2), "
+        f"g AS (SELECT SUM(x) AS s_tot, COUNT(*) AS n_cells FROM cells), "
+        f"z AS (SELECT cx, cy, g.n_cells * x - g.s_tot AS z "
+        f"FROM cells, g), "
+        f"lagd AS (SELECT a.cx, a.cy, a.z, "
+        f"COALESCE(SUM(b.z), 0) AS lag FROM z a LEFT JOIN z b "
+        f"ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1 "
+        f"AND (a.cx <> b.cx OR a.cy <> b.cy) "
+        f"GROUP BY a.cx, a.cy, a.z) "
+        f"SELECT cx, cy, z, lag, z * lag AS local_num, "
+        f"CASE WHEN z > 0 AND lag > 0 THEN 'HH' "
+        f"WHEN z < 0 AND lag < 0 THEN 'LL' "
+        f"WHEN z > 0 AND lag < 0 THEN 'HL' "
+        f"WHEN z < 0 AND lag > 0 THEN 'LH' "
+        f"ELSE 'ZERO' END AS cls FROM lagd"
+    )
+
+
+LADDER_RUNGS = (500, 1000, 2000, 4000)  # milli; max rung ≤ LADDER_CELL
+LADDER_CELL = 4096
+
+
+def pair_count_ladder(
+    points: DataFrame,
+    rungs: tuple[int, ...] = LADDER_RUNGS,
+    cell: int = LADDER_CELL,
+    x_col: str = "mx",
+    y_col: str = "my",
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Ripley's-K-style pair-count ladder under the Chebyshev (L∞)
+    metric: for each radius r in ``rungs``, the EXACT number of
+    unordered point pairs with ``max(|Δx|, |Δy|) ≤ r`` — one row
+    ``(r, n_pairs)`` per rung, every rung measured in ONE pass over
+    a shared candidate set (the K function's whole point is the
+    multi-scale profile; re-running dwithin per rung would re-shuffle
+    the layer len(rungs) times).
+
+    Plan: the standard grid filter at ``cell ≥ max(rungs)`` — side A
+    explodes its 3×3 neighbor ring map-side, ONE equi-join on the
+    cell key against side B's home cell (each pair meets exactly
+    once: B's home cell is unique, so no dedup shuffle), ``id_a <
+    id_b`` halves, then a bounded ×len(rungs) explode and a
+    len(rungs)-row groupBy. All integers; ties at ``= r`` are exact
+    in both engines."""
+    assert max(rungs) <= cell
+    fd = _fd(x_col, cell, "spark"), _fd(y_col, cell, "spark")
+    a = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(x_col).alias("ax"),
+        F.col(y_col).alias("ay"),
+        F.expr(fd[0]).alias("acx"),
+        F.expr(fd[1]).alias("acy"),
+    )
+    offs = F.expr("array(-1, 0, 1)")
+    a = (
+        a.withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .select(
+            "id_a",
+            "ax",
+            "ay",
+            (F.col("acx") + F.col("ox")).alias("cx"),
+            (F.col("acy") + F.col("oy")).alias("cy"),
+        )
+    )
+    b = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).alias("bx"),
+        F.col(y_col).alias("by"),
+        F.expr(fd[0]).alias("cx"),
+        F.expr(fd[1]).alias("cy"),
+    )
+    rung_arr = "array(" + ", ".join(str(r) for r in rungs) + ")"
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.greatest(
+                F.abs(F.col("ax") - F.col("bx")),
+                F.abs(F.col("ay") - F.col("by")),
+            ).alias("cheb")
+        )
+        .where(F.col("cheb") <= max(rungs))
+    )
+    return (
+        pairs.withColumn("r", F.explode(F.expr(rung_arr)))
+        .where(F.col("cheb") <= F.col("r"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def sql_pair_count_ladder(
+    points_sql: str,
+    rungs: tuple[int, ...] = LADDER_RUNGS,
+    x_col: str = "mx",
+    y_col: str = "my",
+    id_col: str = "point_id",
+) -> str:
+    """DuckDB twin — brute bbox range self-join (no grid, no ring
+    explode: a genuinely different candidate plan) with the same
+    rung fan-out."""
+    mx = max(rungs)
+    vals = ", ".join(f"({r})" for r in rungs)
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"pairs AS (SELECT GREATEST(ABS(a.{x_col} - b.{x_col}), "
+        f"ABS(a.{y_col} - b.{y_col})) AS cheb "
+        f"FROM pts a JOIN pts b ON a.{id_col} < b.{id_col} "
+        f"AND a.{x_col} BETWEEN b.{x_col} - {mx} AND b.{x_col} + {mx} "
+        f"AND a.{y_col} BETWEEN b.{y_col} - {mx} AND b.{y_col} + {mx}) "
+        f"SELECT r, COUNT(*) AS n_pairs FROM pairs, "
+        f"(VALUES {vals}) rungs(r) WHERE cheb <= r GROUP BY r"
     )
