@@ -2762,6 +2762,35 @@ def q_morans_i(spark, sf_dir):
     return morans_i(TB.customer_points_milli(spark, sf_dir))
 
 
+def q_mk_trend(spark, sf_dir):
+    """Emerging-hot-spot trends: per tile, the exact Mann-Kendall S
+    of the daily visit-count series over the sticky-epoch trajectory
+    (INC/DEC/FLAT classes). Rank-based, so integer-exact; the space-
+    time cube is bounded in TIME (day pairs per tile ≤ T(T−1)/2) even
+    when huge in space — one tile-key repartition feeds the daily
+    groupBy, the day-pair self-join, and both per-tile aggregates."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        mk_trend,
+    )
+
+    return mk_trend(TB.load(spark, sf_dir, "events"))
+
+
+def q_str_pack_leaves(spark, sf_dir):
+    """STR bulk-load leaf packing of the point layer (Leutenegger et
+    al. 1997 — the reference's per-worker GEOS STRtree build,
+    materialized DISTRIBUTED as a leaf-MBR table). The x-rank comes
+    from exact_global_rank — range repartition + local row_number +
+    broadcast prefix offsets — never a single-partition window; the
+    DuckDB twin uses plain global ROW_NUMBERs, so the contract proves
+    the distributed rank machinery lands the identical packing."""
+    from workstealing_spatial_join_spark.operators.layout import (
+        str_pack_leaves,
+    )
+
+    return str_pack_leaves(TB.customer_points_milli(spark, sf_dir))
+
+
 def q_local_morans(spark, sf_dir):
     """LISA hot/cold-spot map — per occupied cell the exact local
     Moran numerator and quadrant class (HH/LL/HL/LH/ZERO). Raster
@@ -2936,6 +2965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q_q21_waiting_supplier,
         "local_morans": q_local_morans,
         "pair_count_ladder": q_pair_count_ladder,
+        "mk_trend": q_mk_trend,
+        "str_pack_leaves": q_str_pack_leaves,
     }
 
 
@@ -2961,6 +2992,22 @@ def _sql_pair_count_ladder() -> str:
     )
 
     return sql_pair_count_ladder(TB.SQL_POINTS_MILLI)
+
+
+def _sql_mk_trend() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_mk_trend,
+    )
+
+    return sql_mk_trend("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_str_pack_leaves() -> str:
+    from workstealing_spatial_join_spark.operators.layout import (
+        sql_str_pack_leaves,
+    )
+
+    return sql_str_pack_leaves(TB.SQL_POINTS_MILLI)
 
 
 def _sql_events_od_matrix() -> str:
@@ -4269,4 +4316,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "local_morans": _sql_local_morans(),
         "pair_count_ladder": _sql_pair_count_ladder(),
+        "mk_trend": _sql_mk_trend(),
+        "str_pack_leaves": _sql_str_pack_leaves(),
     }

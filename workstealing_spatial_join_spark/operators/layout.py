@@ -244,3 +244,127 @@ def hexbin_density(
             F.min(id_col).alias("min_point"),
         )
     )
+
+
+# ---------------------------------------------------------------- STR
+
+STR_LEAF_CAP = 64
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    out_col: str = "g_rank",
+    partitions: int = 32,
+) -> DataFrame:
+    """EXACT 0-based global rank by ``(order_col, tiebreak_col)``
+    WITHOUT a single-partition window — the distributed order-
+    statistics primitive STR packing (and any exact quantile/ranking
+    job) needs at 10^12 rows, where ``Window.orderBy`` with no
+    partition key collapses the frame onto one task.
+
+    Mechanism: repartitionByRange on the sort key (range-disjoint
+    partitions whose concatenation IS the global order — the sampled
+    boundaries affect only the split points, never the rank), local
+    row_number per physical partition, plus a broadcast prefix-offset
+    frame (one tiny count-per-partition aggregate, cumulated over at
+    most ``partitions`` rows). Rank = offset + local rank − 1: exact
+    and deterministic regardless of where the sampled boundaries
+    fall, because the tiebreak column makes the total order strict."""
+    ranged = df.repartitionByRange(
+        partitions, F.col(order_col), F.col(tiebreak_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(order_col, tiebreak_col)
+    local = ranged.withColumn("_lrank", F.row_number().over(w))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = counts.select(
+        "_pid", (F.sum("_n").over(off_w) - F.col("_n")).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lrank") - 1)
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+def str_pack_leaves(
+    points: DataFrame,
+    leaf_cap: int = STR_LEAF_CAP,
+    x_col: str = "mx",
+    y_col: str = "my",
+) -> DataFrame:
+    """Sort-Tile-Recursive bulk-load leaf packing (Leutenegger et
+    al., ICDE 1997) — the reference builds a GEOS STRtree per worker
+    over its layer shard (reference: src/spatial_join.cpp STRtree
+    build/probe); this materializes the same packing DISTRIBUTED, as
+    a leaf table ``(slice, leaf, n_pts, minx, miny, maxx, maxy)``
+    ready to serve as a global R-tree level or a spatially coherent
+    file manifest.
+
+    STR: m = ⌈n/cap⌉ leaves, S = ⌈√m⌉ vertical slices by x-rank,
+    each slice packed by y-rank into runs of ``cap``. Both ranks are
+    exact: x globally via :func:`exact_global_rank`, y per slice via
+    an ordinary partitioned window. ``slice = (rank_x·S) div n`` and
+    ``S = ceil(sqrt(m))`` are computed IN-PLAN from a broadcast
+    one-row count frame — no driver-side action; IEEE sqrt of an
+    int is exact at perfect squares and the ceil never wavers
+    elsewhere, so both engines agree on S."""
+    from pyspark.sql import Window
+
+    ranked = exact_global_rank(points, x_col, y_col, "rank_x")
+    glob = points.agg(F.count(F.lit(1)).alias("n"))
+    withs = ranked.join(F.broadcast(glob)).withColumn(
+        "s_slices",
+        F.expr(
+            f"CAST(CEIL(SQRT(CAST((n + {leaf_cap} - 1) div {leaf_cap} "
+            f"AS DOUBLE))) AS BIGINT)"
+        ),
+    )
+    sliced = withs.withColumn(
+        "slice", F.expr("(rank_x * s_slices) div n")
+    )
+    wy = Window.partitionBy("slice").orderBy(y_col, x_col, "rank_x")
+    leaves = sliced.withColumn(
+        "rank_y", F.row_number().over(wy) - 1
+    ).withColumn("leaf", F.expr(f"rank_y div {leaf_cap}"))
+    return leaves.groupBy("slice", "leaf").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min(x_col).alias("minx"),
+        F.min(y_col).alias("miny"),
+        F.max(x_col).alias("maxx"),
+        F.max(y_col).alias("maxy"),
+    )
+
+
+def sql_str_pack_leaves(
+    points_sql: str,
+    leaf_cap: int = STR_LEAF_CAP,
+    x_col: str = "mx",
+    y_col: str = "my",
+) -> str:
+    """DuckDB twin — the ranks come from plain global ROW_NUMBERs
+    (the single-node luxury), so the contract proves the distributed
+    rank machinery lands the identical packing."""
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"g AS (SELECT COUNT(*) AS n, CAST(CEIL(SQRT(CAST("
+        f"(COUNT(*) + {leaf_cap} - 1) // {leaf_cap} AS DOUBLE))) "
+        f"AS BIGINT) AS s_slices FROM pts), "
+        f"rx AS (SELECT *, ROW_NUMBER() OVER (ORDER BY {x_col}, "
+        f"{y_col}) - 1 AS rank_x FROM pts), "
+        f"sl AS (SELECT rx.*, (rank_x * g.s_slices) // g.n AS slice "
+        f"FROM rx, g), "
+        f"ly AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY slice "
+        f"ORDER BY {y_col}, {x_col}, rank_x) - 1) // {leaf_cap} "
+        f"AS leaf FROM sl) "
+        f"SELECT slice, leaf, COUNT(*) AS n_pts, "
+        f"MIN({x_col}) AS minx, MIN({y_col}) AS miny, "
+        f"MAX({x_col}) AS maxx, MAX({y_col}) AS maxy "
+        f"FROM ly GROUP BY slice, leaf"
+    )

@@ -44,6 +44,8 @@ __all__ = [
     "sql_sticky_positions",
     "sql_od_matrix",
     "sql_dwell_stats",
+    "mk_trend",
+    "sql_mk_trend",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -173,4 +175,90 @@ def sql_dwell_stats(events_sql: str) -> str:
         "CAST(MAX(n_events) AS BIGINT) AS max_run_events, "
         "CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us "
         "FROM per_epi GROUP BY user_id"
+    )
+
+
+def mk_trend(events: DataFrame) -> DataFrame:
+    """Emerging-hot-spot analysis (the space-time-cube trend step of
+    ESRI's pattern-mining toolset): per tile, the exact Mann-Kendall
+    S statistic of the DAILY visit-count series — ``(tx, ty,
+    n_days, mk_s, cls)`` with ``mk_s = Σ_{i<j} sign(x_j − x_i)``
+    over the tile's active days and ``cls`` ∈ {INC, DEC, FLAT}.
+    MK-S is rank-based, so integers in → exact integer out; no
+    variance normalization is attempted (that needs a float z-score;
+    S itself is the portable core, and |S| close to n(n−1)/2 IS the
+    strong-trend signal).
+
+    Scale shape: one repartition on the tile key; the per-(tile,day)
+    groupBy, the day-pair self-join (bounded: a day-pair join is
+    ≤ T(T−1)/2 rows per tile for a T-day window — the CUBE is small
+    in time even when it is huge in space), and both per-tile
+    aggregates all reuse that partitioning. Tiles active on a single
+    day have no pairs and take mk_s = 0 via the left join."""
+    pos = sticky_positions(events)
+    daily = (
+        pos.repartition("tx", "ty")
+        .select(
+            "tx",
+            "ty",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = daily.select(
+        "tx", "ty", F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        "tx", "ty", F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    mk = (
+        a.join(b, ["tx", "ty"])
+        .where(F.col("da") < F.col("db"))
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(F.signum(F.col("xb") - F.col("xa")).cast("long")).alias(
+                "mk_s"
+            )
+        )
+    )
+    per_tile = daily.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    out = per_tile.join(mk, ["tx", "ty"], "left").select(
+        "tx",
+        "ty",
+        "n_days",
+        F.coalesce(F.col("mk_s"), F.lit(0)).alias("mk_s"),
+    )
+    return out.withColumn(
+        "cls",
+        F.expr(
+            "CASE WHEN mk_s > 0 THEN 'INC' "
+            "WHEN mk_s < 0 THEN 'DEC' ELSE 'FLAT' END"
+        ),
+    )
+
+
+def sql_mk_trend(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "daily AS (SELECT tx, ty, "
+        "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x "
+        "FROM pos GROUP BY 1, 2, 3), "
+        "mk AS (SELECT a.tx, a.ty, "
+        "CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS mk_s "
+        "FROM daily a JOIN daily b ON a.tx = b.tx AND a.ty = b.ty "
+        "AND a.day < b.day GROUP BY 1, 2), "
+        "pt AS (SELECT tx, ty, COUNT(*) AS n_days FROM daily "
+        "GROUP BY 1, 2) "
+        "SELECT pt.tx, pt.ty, pt.n_days, "
+        "COALESCE(mk.mk_s, 0) AS mk_s, "
+        "CASE WHEN COALESCE(mk.mk_s, 0) > 0 THEN 'INC' "
+        "WHEN COALESCE(mk.mk_s, 0) < 0 THEN 'DEC' ELSE 'FLAT' END "
+        "AS cls "
+        "FROM pt LEFT JOIN mk ON pt.tx = mk.tx AND pt.ty = mk.ty"
     )
