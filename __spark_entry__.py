@@ -2762,6 +2762,25 @@ def q_morans_i(spark, sf_dir):
     return morans_i(TB.customer_points_milli(spark, sf_dir))
 
 
+def q_dbscan_points(spark, sf_dir):
+    """EXACT point-level DBSCAN over the cluster-mixture layer:
+    ε-neighborhood pairs through the grid filter (dx²+dy² ≤ ε² exact
+    int64), core/border/noise classification, hash-min components
+    over the core subgraph only. Complements spatial_cluster_images
+    (the grid-quantized variant): this is the point-exact algorithm,
+    that is the 100-TB approximation — shipping both IS the scale
+    story. The fixture scales cluster COUNT, not cluster size, so
+    pair volume stays linear in the table and component diameters
+    O(1) at every sf (the images hotspot blob, by contrast, is one
+    ~2000-clique — exactly the degenerate input the grid-quantized
+    variant exists for, measured in the module doc)."""
+    from workstealing_spatial_join_spark.operators.cluster import dbscan
+
+    return dbscan(
+        TB.customer_cluster_points(spark, sf_dir), eps=350, min_pts=5
+    )
+
+
 def q_mk_trend(spark, sf_dir):
     """Emerging-hot-spot trends: per tile, the exact Mann-Kendall S
     of the daily visit-count series over the sticky-epoch trajectory
@@ -2967,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_count_ladder": q_pair_count_ladder,
         "mk_trend": q_mk_trend,
         "str_pack_leaves": q_str_pack_leaves,
+        "dbscan_points": q_dbscan_points,
     }
 
 
@@ -2992,6 +3012,14 @@ def _sql_pair_count_ladder() -> str:
     )
 
     return sql_pair_count_ladder(TB.SQL_POINTS_MILLI)
+
+
+def _sql_dbscan_points() -> str:
+    from workstealing_spatial_join_spark.operators.cluster import (
+        sql_dbscan,
+    )
+
+    return sql_dbscan(TB.SQL_CLUSTER_POINTS, eps=350, min_pts=5)
 
 
 def _sql_mk_trend() -> str:
@@ -4318,4 +4346,5 @@ def oracle_sql() -> dict[str, str]:
         "pair_count_ladder": _sql_pair_count_ladder(),
         "mk_trend": _sql_mk_trend(),
         "str_pack_leaves": _sql_str_pack_leaves(),
+        "dbscan_points": _sql_dbscan_points(),
     }

@@ -215,6 +215,45 @@ SQL_SUPPLIER_ROAD_SEGMENTS = (
 )
 
 
+def customer_cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → a MIXTURE layer for density clustering: every 20
+    consecutive custkeys form one ~20-point cluster whose center
+    comes from a congruence of the cluster index and whose members
+    jitter inside a ±600-milli box. The cluster COUNT scales with sf
+    while the cluster SIZE stays constant — the shape that keeps
+    ε-pair volume linear in the table (pairs ≈ 200·n_clusters) and
+    component diameters O(1), i.e. the layout a scale-correct DBSCAN
+    contract needs. All int64; members at the box corners fall below
+    min_pts and become borders/noise by construction."""
+    c = load(spark, sf_dir, "customer")
+    k = F.expr("c_custkey div 20")
+    cx0 = (k * 48271 % 350000 - 175000).cast("long")
+    cy0 = (k * 16807 % 170000 - 85000).cast("long")
+    # QUADRATIC jitter congruences: a linear congruence gives
+    # consecutive keys a FIXED (Δx, Δy) step, turning every cluster
+    # into a chain where each point has the same near neighbors at
+    # any ε ≥ the step — all-core, border-free, a degenerate DBSCAN
+    # input (observed; measured in tests). k² strides vary (2k+1),
+    # so members scatter quasi-uniformly in the ±600 box.
+    jx = F.expr("c_custkey * c_custkey % 1201 - 600")
+    jy = F.expr("c_custkey * (c_custkey + 7) % 1201 - 600")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        (cx0 + jx).cast("long").alias("mx"),
+        (cy0 + jy).cast("long").alias("my"),
+    )
+
+
+SQL_CLUSTER_POINTS = (
+    "SELECT c_custkey AS point_id, "
+    "CAST((c_custkey // 20) * 48271 % 350000 - 175000 "
+    "+ (c_custkey * c_custkey % 1201 - 600) AS BIGINT) AS mx, "
+    "CAST((c_custkey // 20) * 16807 % 170000 - 85000 "
+    "+ (c_custkey * (c_custkey + 7) % 1201 - 600) AS BIGINT) AS my "
+    "FROM customer"
+)
+
+
 def part_rects_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part → integer-millidegree zone rectangles (the exact int64
     twin of :func:`part_rects`: same congruences ×1000)."""
