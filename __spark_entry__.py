@@ -2762,6 +2762,100 @@ def q_morans_i(spark, sf_dir):
     return morans_i(TB.customer_points_milli(spark, sf_dir))
 
 
+HOTSPOT_MIN_PTS = 3
+DECAY_HALFLIFE_DAYS = 7
+SAMPLE_PER_TILE = 3
+
+
+def q_dist_to_hotspot(spark, sf_dir):
+    """Distance transform of the density surface: exact hop distance
+    from every occupied cell to its NEAREST hot cell (≥
+    HOTSPOT_MIN_PTS points) over the 8-neighbor occupied-cell graph
+    — the isochrone/coverage primitive ('how far is every place from
+    a depot'). Multi-source BFS: the settled-first-wins anti-join
+    makes the hop the minimum over ALL seeds; the recursive-CTE
+    oracle runs under UNION-distinct semantics, bounded by
+    nodes × max_hops on the cyclic grid. Runs over the cluster-
+    mixture layer: the scattered layer has ≤1 point/cell at the
+    smallest sf, so no hot seed could exist there (measured)."""
+    from workstealing_spatial_join_spark.operators.graph import (
+        multi_source_bfs,
+        occupied_cell_edges,
+    )
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        cell_counts,
+    )
+
+    pts = TB.customer_cluster_points(spark, sf_dir)
+    seeds = (
+        cell_counts(pts)
+        .where(F.col("x") >= HOTSPOT_MIN_PTS)
+        .select(F.col("cx").alias("nx"), F.col("cy").alias("ny"))
+    )
+    return multi_source_bfs(occupied_cell_edges(pts), seeds)
+
+
+def q_tile_stratified_sample(spark, sf_dir):
+    """Spatially stratified deterministic sampling of the image
+    corpus: at most SAMPLE_PER_TILE images per 1° tile, ranked by
+    md5(image_id) — the anti-spatial-bias cap a training pipeline
+    puts in front of a geo-skewed corpus (a hotspot city must not
+    dominate the shard). Resume-stable: the md5 rank is a pure
+    function of the id, so re-runs and both engines pick the same
+    winners. One window exchange on the tile key."""
+    imgs = spark.read.parquet(_IMAGES_META_PATH).select(
+        "image_id",
+        F.expr("CAST(FLOOR(lon) AS BIGINT)").alias("cx"),
+        F.expr("CAST(FLOOR(lat) AS BIGINT)").alias("cy"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cx", "cy").orderBy(
+        F.md5(F.col("image_id")), F.col("image_id")
+    )
+    return (
+        imgs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_PER_TILE)
+        .select("image_id", "cx", "cy")
+    )
+
+
+def q_decayed_density(spark, sf_dir):
+    """Exponentially time-decayed tile density (the 'recent heat'
+    map): each event contributes ``10⁶ div 2^(age div halflife)``
+    exact integer weight — shift-based decay, so no float pow ever
+    exists — and the per-tile sum is map-side combinable. The corpus
+    max day is a one-row broadcast; age is exact epoch-day
+    arithmetic."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sticky_positions,
+    )
+
+    pos = sticky_positions(TB.load(spark, sf_dir, "events")).select(
+        "tx",
+        "ty",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+            "86400000000 AS BIGINT)"
+        ).alias("day"),
+    )
+    mx = pos.agg(F.max("day").alias("max_day"))
+    return (
+        pos.join(F.broadcast(mx))
+        .select(
+            "tx",
+            "ty",
+            F.expr(
+                f"1000000 div shiftleft(CAST(1 AS BIGINT), "
+                f"CAST((max_day - day) div {DECAY_HALFLIFE_DAYS} "
+                f"AS INT))"
+            ).alias("w"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.sum("w").alias("heat"))
+    )
+
+
 def q_dbscan_points(spark, sf_dir):
     """EXACT point-level DBSCAN over the cluster-mixture layer:
     ε-neighborhood pairs through the grid filter (dx²+dy² ≤ ε² exact
@@ -2987,6 +3081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_trend": q_mk_trend,
         "str_pack_leaves": q_str_pack_leaves,
         "dbscan_points": q_dbscan_points,
+        "dist_to_hotspot": q_dist_to_hotspot,
+        "tile_stratified_sample": q_tile_stratified_sample,
+        "decayed_density": q_decayed_density,
     }
 
 
@@ -3012,6 +3109,56 @@ def _sql_pair_count_ladder() -> str:
     )
 
     return sql_pair_count_ladder(TB.SQL_POINTS_MILLI)
+
+
+def _sql_dist_to_hotspot() -> str:
+    from workstealing_spatial_join_spark.operators.graph import (
+        sql_multi_source_bfs,
+        sql_occupied_cell_edges,
+    )
+
+    cell = 8192
+    fx = f"((mx - (((mx % {cell}) + {cell}) % {cell})) // {cell})"
+    fy = f"((my - (((my % {cell}) + {cell}) % {cell})) // {cell})"
+    seeds = (
+        f"SELECT {fx} AS nx, {fy} AS ny FROM ({TB.SQL_CLUSTER_POINTS}) "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {HOTSPOT_MIN_PTS}"
+    )
+    return sql_multi_source_bfs(
+        sql_occupied_cell_edges(TB.SQL_CLUSTER_POINTS), seeds
+    )
+
+
+def _sql_tile_stratified_sample() -> str:
+    return (
+        "WITH imgs AS (SELECT image_id, "
+        "CAST(FLOOR(lon) AS BIGINT) AS cx, "
+        "CAST(FLOOR(lat) AS BIGINT) AS cy "
+        f"FROM read_parquet('{_IMAGES_META_PATH}/*.parquet')), "
+        "rk AS (SELECT image_id, cx, cy, ROW_NUMBER() OVER ("
+        "PARTITION BY cx, cy ORDER BY md5(image_id), image_id) AS r "
+        "FROM imgs) "
+        "SELECT image_id, cx, cy FROM rk "
+        f"WHERE r <= {SAMPLE_PER_TILE}"
+    )
+
+
+def _sql_decayed_density() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_sticky_positions,
+    )
+
+    pos = sql_sticky_positions("SELECT user_id, event_id, ts FROM events")
+    return (
+        f"WITH p AS ({pos}), "
+        "d AS (SELECT tx, ty, epoch_us(ts) // 86400000000 AS day "
+        "FROM p), "
+        "mx AS (SELECT MAX(day) AS max_day FROM d) "
+        "SELECT tx, ty, CAST(SUM(1000000 // (CAST(1 AS BIGINT) << "
+        f"CAST((max_day - day) // {DECAY_HALFLIFE_DAYS} AS INT))) "
+        "AS BIGINT) AS heat "
+        "FROM d, mx GROUP BY tx, ty"
+    )
 
 
 def _sql_dbscan_points() -> str:
@@ -4347,4 +4494,7 @@ def oracle_sql() -> dict[str, str]:
         "mk_trend": _sql_mk_trend(),
         "str_pack_leaves": _sql_str_pack_leaves(),
         "dbscan_points": _sql_dbscan_points(),
+        "dist_to_hotspot": _sql_dist_to_hotspot(),
+        "tile_stratified_sample": _sql_tile_stratified_sample(),
+        "decayed_density": _sql_decayed_density(),
     }

@@ -459,3 +459,80 @@ def sql_triangle_counts(edges_sql: str) -> str:
         "SELECT cx, cy, COUNT(*) AS n_triangles "
         "FROM corners GROUP BY cx, cy"
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+) -> DataFrame:
+    """Multi-source BFS — the DISTANCE TRANSFORM of a cell graph:
+    exact hop distance from the NEAREST seed to every node reachable
+    within ``max_hops``. seeds: (nx, ny) rows (hop 0 even if the
+    seed is isolated — an isolated seed simply never expands). Same
+    frontier/settled/anti-join rounds as :func:`bfs_hops` (which is
+    the single-seed special case); the settled-first-wins anti-join
+    is what makes the recorded hop the minimum over ALL seeds, not
+    just all paths."""
+    fwd = edges.select(
+        F.col("sx").alias("ax"), F.col("sy").alias("ay"),
+        F.col("dx").alias("bx"), F.col("dy").alias("by"),
+    )
+    rev = edges.select(
+        F.col("dx").alias("ax"), F.col("dy").alias("ay"),
+        F.col("sx").alias("bx"), F.col("sy").alias("by"),
+    )
+    und = (
+        fwd.unionByName(rev)
+        .where((F.col("ax") != F.col("bx")) | (F.col("ay") != F.col("by")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        seeds.select("nx", "ny")
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled.select("nx", "ny")
+    for r in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(
+                und,
+                (F.col("nx") == F.col("ax")) & (F.col("ny") == F.col("ay")),
+            )
+            .select(F.col("bx").alias("nx"), F.col("by").alias("ny"))
+            .distinct()
+        )
+        fresh = nbrs.join(
+            settled.select("nx", "ny"), ["nx", "ny"], "left_anti"
+        ).withColumn("hop", F.lit(r))
+        settled = settled.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("nx", "ny")
+    return settled.select(
+        "nx", "ny", F.col("hop").cast("int").alias("hop")
+    )
+
+
+def sql_multi_source_bfs(
+    edges_sql_body: str, seeds_sql_body: str, max_hops: int = 8
+) -> str:
+    """DuckDB twin — recursive CTE under UNION-distinct semantics
+    seeded by the whole seed set; true distance = MIN(hop)."""
+    return (
+        f"WITH RECURSIVE e0 AS MATERIALIZED (SELECT DISTINCT ax, ay, "
+        f"bx, by FROM (SELECT sx AS ax, sy AS ay, dx AS bx, dy AS by "
+        f"FROM ({edges_sql_body}) "
+        f"UNION ALL SELECT dx, dy, sx, sy FROM ({edges_sql_body})) u "
+        f"WHERE ax <> bx OR ay <> by), "
+        f"seeds AS MATERIALIZED (SELECT DISTINCT nx, ny "
+        f"FROM ({seeds_sql_body})), "
+        f"bfs (nx, ny, hop) AS ("
+        f"SELECT nx, ny, 0 FROM seeds "
+        f"UNION "
+        f"SELECT e.bx, e.by, b.hop + 1 FROM bfs b "
+        f"JOIN e0 e ON e.ax = b.nx AND e.ay = b.ny "
+        f"WHERE b.hop < {max_hops}) "
+        f"SELECT nx, ny, CAST(MIN(hop) AS INT) AS hop "
+        f"FROM bfs GROUP BY nx, ny"
+    )
