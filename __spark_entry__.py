@@ -2856,6 +2856,76 @@ def q_decayed_density(spark, sf_dir):
     )
 
 
+def q_zonal_majority(spark, sf_dir):
+    """Zonal majority (raster-algebra mode resample): per 8192-milli
+    cell the most frequent event TYPE observed at the sticky-epoch
+    trajectory positions — deterministic smallest-category tiebreak.
+    One (zone, category) groupBy + a per-zone min(struct) argmax
+    whose keys prefix the first groupBy's, so the exchange is
+    reused; no window, no join-back."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        zonal_majority,
+    )
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sticky_positions,
+    )
+
+    ev = TB.load(spark, sf_dir, "events")
+    pos = sticky_positions(ev).join(
+        ev.select("event_id", "event_type"), "event_id"
+    )
+    return zonal_majority(
+        pos.select(
+            F.col("tx").alias("cx"),
+            F.col("ty").alias("cy"),
+            F.col("event_type").alias("cat"),
+        )
+    )
+
+
+def q_user_rog(spark, sf_dir):
+    """Per-user radius of gyration over the visited tile centers
+    (González et al., Nature 2008 — the canonical human-mobility
+    statistic): exact floor of the mean squared deviation, centroid
+    never materialized as a float (N-scaled deviations, DECIMAL /
+    HUGEINT accumulation, non-negative floor division)."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        radius_of_gyration,
+    )
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sticky_positions,
+    )
+
+    pos = sticky_positions(TB.load(spark, sf_dir, "events")).select(
+        "user_id",
+        (F.col("tx") * 1000 + 500).alias("mx"),
+        (F.col("ty") * 1000 + 500).alias("my"),
+    )
+    return radius_of_gyration(pos)
+
+
+def q_od_top_destinations(spark, sf_dir):
+    """Per-origin top-3 destination tiles by trip count (the Markov
+    next-place table mobility prediction starts from): one window
+    over the OD matrix, ties broken by (ttx, tty) so the cut is
+    deterministic in both engines."""
+    from pyspark.sql import Window
+
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        od_matrix,
+    )
+
+    od = od_matrix(TB.load(spark, sf_dir, "events"))
+    w = Window.partitionBy("ftx", "fty").orderBy(
+        F.col("n_trips").desc(), "ttx", "tty"
+    )
+    return (
+        od.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("ftx", "fty", "ttx", "tty", "n_trips", "rk")
+    )
+
+
 def q_dbscan_points(spark, sf_dir):
     """EXACT point-level DBSCAN over the cluster-mixture layer:
     ε-neighborhood pairs through the grid filter (dx²+dy² ≤ ε² exact
@@ -3084,6 +3154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_to_hotspot": q_dist_to_hotspot,
         "tile_stratified_sample": q_tile_stratified_sample,
         "decayed_density": q_decayed_density,
+        "zonal_majority": q_zonal_majority,
+        "user_rog": q_user_rog,
+        "od_top_destinations": q_od_top_destinations,
     }
 
 
@@ -3109,6 +3182,51 @@ def _sql_pair_count_ladder() -> str:
     )
 
     return sql_pair_count_ladder(TB.SQL_POINTS_MILLI)
+
+
+def _sql_zonal_majority() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_zonal_majority,
+    )
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_sticky_positions,
+    )
+
+    pos = sql_sticky_positions("SELECT user_id, event_id, ts FROM events")
+    return sql_zonal_majority(
+        f"SELECT p.tx AS cx, p.ty AS cy, e.event_type AS cat "
+        f"FROM ({pos}) p JOIN events e ON p.event_id = e.event_id"
+    )
+
+
+def _sql_user_rog() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_radius_of_gyration,
+    )
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_sticky_positions,
+    )
+
+    pos = sql_sticky_positions("SELECT user_id, event_id, ts FROM events")
+    return sql_radius_of_gyration(
+        f"SELECT user_id, tx * 1000 + 500 AS mx, ty * 1000 + 500 AS my "
+        f"FROM ({pos})"
+    )
+
+
+def _sql_od_top_destinations() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_od_matrix,
+    )
+
+    od = sql_od_matrix("SELECT user_id, event_id, ts FROM events")
+    return (
+        f"WITH od AS ({od}), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ftx, fty "
+        "ORDER BY n_trips DESC, ttx, tty) AS rk FROM od) "
+        "SELECT ftx, fty, ttx, tty, n_trips, CAST(rk AS INT) AS rk "
+        "FROM rk WHERE rk <= 3"
+    )
 
 
 def _sql_dist_to_hotspot() -> str:
@@ -4497,4 +4615,7 @@ def oracle_sql() -> dict[str, str]:
         "dist_to_hotspot": _sql_dist_to_hotspot(),
         "tile_stratified_sample": _sql_tile_stratified_sample(),
         "decayed_density": _sql_decayed_density(),
+        "zonal_majority": _sql_zonal_majority(),
+        "user_rog": _sql_user_rog(),
+        "od_top_destinations": _sql_od_top_destinations(),
     }

@@ -370,3 +370,125 @@ def sql_pair_count_ladder(
         f"SELECT r, COUNT(*) AS n_pairs FROM pairs, "
         f"(VALUES {vals}) rungs(r) WHERE cheb <= r GROUP BY r"
     )
+
+
+def zonal_majority(
+    rows: DataFrame,
+    zone_cols: tuple[str, str] = ("cx", "cy"),
+    cat_col: str = "cat",
+) -> DataFrame:
+    """Zonal MAJORITY (the mode/majority-resample of raster algebra,
+    GDAL's ``mode`` resampling / ArcGIS MajorityFilter): per zone the
+    most frequent category, ties broken by the SMALLEST category
+    value so the answer is deterministic in both engines —
+    ``(cx, cy, major_cat, n_major, n_total)``.
+
+    Shape: ONE exchange — an explicit repartition on the ZONE key
+    (partitioning on a subset of the grouping keys satisfies both
+    groupBys; the reverse — letting the first groupBy hash on
+    (zone, cat) — does NOT satisfy the second, since equal zones
+    with different categories land apart: measured, plan-gated),
+    then the (zone, category) counts and the per-zone argmax as ONE
+    ``min(struct(-cnt, cat))`` aggregate — no window, no
+    join-back."""
+    zx, zy = zone_cols
+    per_cat = (
+        rows.repartition(zx, zy)
+        .groupBy(zx, zy, cat_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_cat.groupBy(zx, zy).agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg"), F.col(cat_col).alias("c")
+            )
+        ).alias("m"),
+        F.sum("cnt").alias("n_total"),
+    ).select(
+        zx,
+        zy,
+        F.col("m.c").alias("major_cat"),
+        (-F.col("m.neg")).alias("n_major"),
+        "n_total",
+    )
+
+
+def sql_zonal_majority(
+    rows_sql: str,
+    zone_cols: tuple[str, str] = ("cx", "cy"),
+    cat_col: str = "cat",
+) -> str:
+    zx, zy = zone_cols
+    return (
+        f"WITH src AS ({rows_sql}), "
+        f"pc AS (SELECT {zx}, {zy}, {cat_col}, COUNT(*) AS cnt "
+        f"FROM src GROUP BY 1, 2, 3) "
+        f"SELECT {zx}, {zy}, "
+        f"MIN({cat_col}) FILTER (cnt = mx) AS major_cat, "
+        f"mx AS n_major, tot AS n_total FROM ("
+        f"SELECT *, MAX(cnt) OVER (PARTITION BY {zx}, {zy}) AS mx, "
+        f"SUM(cnt) OVER (PARTITION BY {zx}, {zy}) AS tot FROM pc) "
+        f"GROUP BY {zx}, {zy}, mx, tot"
+    )
+
+
+def radius_of_gyration(
+    points: DataFrame,
+    group_col: str = "user_id",
+    x_col: str = "mx",
+    y_col: str = "my",
+) -> DataFrame:
+    """Per-group radius of gyration (González et al., Nature 2008 —
+    THE human-mobility statistic): ``rog² = Σᵢ‖rᵢ − r̄‖² / N``,
+    emitted as the EXACT floor of the mean squared deviation in
+    milli² — ``(group, n_pts, rog2_milli2)``. The centroid never
+    exists as a float: with ``zx = N·x − Sx`` (int64),
+    ``Σ‖r − r̄‖² / N = Σ(zx² + zy²) / N³`` exactly, accumulated in
+    DECIMAL(38,0) (the z² sum passes int64 for ~10³ points at
+    planet-scale coordinates) and floor-divided by N³ — all operands
+    non-negative, so Spark's ``div`` and DuckDB's ``//`` agree.
+    One groupBy for the sums, a broadcast-joined second pass for the
+    deviations, a final groupBy on the same key — the two groupBys
+    share the group-key exchange."""
+    g = group_col
+    sums = points.groupBy(g).agg(
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    dev = points.join(sums, g).select(
+        g,
+        "n_pts",
+        (F.col("n_pts") * F.col(x_col) - F.col("sx")).alias("zx"),
+        (F.col("n_pts") * F.col(y_col) - F.col("sy")).alias("zy"),
+    )
+    return dev.groupBy(g, "n_pts").agg(
+        F.expr(
+            "CAST(SUM(CAST(zx AS DECIMAL(18,0)) * CAST(zx AS DECIMAL(18,0))"
+            " + CAST(zy AS DECIMAL(18,0)) * CAST(zy AS DECIMAL(18,0))) "
+            "div (CAST(n_pts AS DECIMAL(38,0)) * n_pts * n_pts) "
+            "AS BIGINT)"
+        ).alias("rog2_milli2")
+    ).select(g, "n_pts", "rog2_milli2")
+
+
+def sql_radius_of_gyration(
+    points_sql: str,
+    group_col: str = "user_id",
+    x_col: str = "mx",
+    y_col: str = "my",
+) -> str:
+    g = group_col
+    return (
+        f"WITH src AS ({points_sql}), "
+        f"s AS (SELECT {g}, SUM({x_col}) AS sx, SUM({y_col}) AS sy, "
+        f"COUNT(*) AS n_pts FROM src GROUP BY 1), "
+        f"d AS (SELECT src.{g}, s.n_pts, "
+        f"s.n_pts * src.{x_col} - s.sx AS zx, "
+        f"s.n_pts * src.{y_col} - s.sy AS zy "
+        f"FROM src JOIN s ON src.{g} = s.{g}) "
+        f"SELECT {g}, n_pts, CAST(SUM(CAST(zx AS HUGEINT) * zx "
+        f"+ CAST(zy AS HUGEINT) * zy) "
+        f"// (CAST(n_pts AS HUGEINT) * n_pts * n_pts) AS BIGINT) "
+        f"AS rog2_milli2 FROM d GROUP BY {g}, n_pts"
+    )
