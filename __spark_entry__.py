@@ -2926,6 +2926,72 @@ def q_od_top_destinations(spark, sf_dir):
     )
 
 
+def q_user_home_tile(spark, sf_dir):
+    """Home-location inference (the most-visited tile per user — the
+    standard mobility 'home detection' heuristic): per-user mode
+    over the sticky-epoch tiles with deterministic (tx, ty)
+    tiebreak. Same one-exchange shape as zonal_majority: explicit
+    user-key repartition feeds both groupBys, argmax as one
+    min(struct) aggregate."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sticky_positions,
+    )
+
+    pos = sticky_positions(TB.load(spark, sf_dir, "events"))
+    per_tile = (
+        pos.repartition("user_id")
+        .groupBy("user_id", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_tile.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg"),
+                F.col("tx").alias("htx"),
+                F.col("ty").alias("hty"),
+            )
+        ).alias("m"),
+        F.sum("cnt").alias("n_events"),
+    ).select(
+        "user_id",
+        F.col("m.htx").alias("home_tx"),
+        F.col("m.hty").alias("home_ty"),
+        (-F.col("m.neg")).alias("n_home_events"),
+        "n_events",
+    )
+
+
+def q_dbscan_cluster_stats(spark, sf_dir):
+    """Per-cluster roll-up of the DBSCAN labeling (the 'cluster
+    catalog' consumers actually read): size by role, bbox, exact
+    integer centroid floor — one join of the label table back onto
+    the point layer plus one groupBy on the cluster id. Composition
+    evidence: dbscan → join → agg chains like any other frame."""
+    from workstealing_spatial_join_spark.operators.cluster import dbscan
+
+    pts = TB.customer_cluster_points(spark, sf_dir)
+    labeled = dbscan(pts, eps=350, min_pts=5)
+    j = labeled.join(pts, "point_id")
+    return j.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(F.when(F.col("role") == "core", 1).otherwise(0)).alias(
+            "n_core"
+        ),
+        F.min("mx").alias("minx"),
+        F.min("my").alias("miny"),
+        F.max("mx").alias("maxx"),
+        F.max("my").alias("maxy"),
+        F.expr(
+            "CAST((SUM(mx) - (((SUM(mx) % COUNT(*)) + COUNT(*)) "
+            "% COUNT(*))) div COUNT(*) AS BIGINT)"
+        ).alias("cent_x"),
+        F.expr(
+            "CAST((SUM(my) - (((SUM(my) % COUNT(*)) + COUNT(*)) "
+            "% COUNT(*))) div COUNT(*) AS BIGINT)"
+        ).alias("cent_y"),
+    )
+
+
 def q_dbscan_points(spark, sf_dir):
     """EXACT point-level DBSCAN over the cluster-mixture layer:
     ε-neighborhood pairs through the grid filter (dx²+dy² ≤ ε² exact
@@ -3157,6 +3223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_majority": q_zonal_majority,
         "user_rog": q_user_rog,
         "od_top_destinations": q_od_top_destinations,
+        "user_home_tile": q_user_home_tile,
+        "dbscan_cluster_stats": q_dbscan_cluster_stats,
     }
 
 
@@ -3276,6 +3344,46 @@ def _sql_decayed_density() -> str:
         f"CAST((max_day - day) // {DECAY_HALFLIFE_DAYS} AS INT))) "
         "AS BIGINT) AS heat "
         "FROM d, mx GROUP BY tx, ty"
+    )
+
+
+def _sql_user_home_tile() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_sticky_positions,
+    )
+
+    pos = sql_sticky_positions("SELECT user_id, event_id, ts FROM events")
+    return (
+        f"WITH p AS ({pos}), "
+        "pt AS (SELECT user_id, tx, ty, COUNT(*) AS cnt FROM p "
+        "GROUP BY 1, 2, 3), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY cnt DESC, tx, ty) AS rk, "
+        "SUM(cnt) OVER (PARTITION BY user_id) AS tot FROM pt) "
+        "SELECT user_id, tx AS home_tx, ty AS home_ty, "
+        "cnt AS n_home_events, tot AS n_events "
+        "FROM ranked WHERE rk = 1"
+    )
+
+
+def _sql_dbscan_cluster_stats() -> str:
+    from workstealing_spatial_join_spark.operators.cluster import (
+        sql_dbscan,
+    )
+
+    lab = sql_dbscan(TB.SQL_CLUSTER_POINTS, eps=350, min_pts=5)
+    return (
+        f"WITH lab AS ({lab}), pts AS ({TB.SQL_CLUSTER_POINTS}) "
+        "SELECT cluster, COUNT(*) AS n_pts, "
+        "CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_core, "
+        "MIN(mx) AS minx, MIN(my) AS miny, "
+        "MAX(mx) AS maxx, MAX(my) AS maxy, "
+        "CAST((SUM(mx) - (((SUM(mx) % COUNT(*)) + COUNT(*)) % COUNT(*)))"
+        " // COUNT(*) AS BIGINT) AS cent_x, "
+        "CAST((SUM(my) - (((SUM(my) % COUNT(*)) + COUNT(*)) % COUNT(*)))"
+        " // COUNT(*) AS BIGINT) AS cent_y "
+        "FROM lab JOIN pts USING (point_id) GROUP BY cluster"
     )
 
 
@@ -4618,4 +4726,6 @@ def oracle_sql() -> dict[str, str]:
         "zonal_majority": _sql_zonal_majority(),
         "user_rog": _sql_user_rog(),
         "od_top_destinations": _sql_od_top_destinations(),
+        "user_home_tile": _sql_user_home_tile(),
+        "dbscan_cluster_stats": _sql_dbscan_cluster_stats(),
     }

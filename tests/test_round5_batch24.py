@@ -158,3 +158,54 @@ def test_batch24_driver_plans_zero_python(spark):
     for name in ("zonal_majority", "user_rog"):
         df = E.queries()[name](spark, "/root/testdata/sf0.001")
         assert sum(audit_plan(df)["python_nodes"].values()) == 0, name
+
+
+# ------------------------------------------------ batch 25 additions
+
+
+def test_home_tile_tiebreak_lexicographic(spark, monkeypatch):
+    import datetime as dt
+
+    import __spark_entry__ as E
+    from workstealing_spatial_join_spark.sources import tables as TB
+
+    # user 3: 8 events = epochs 0,1 → two tiles, 4 events each (tie).
+    # Winner must be the lexicographically smaller (tx, ty).
+    ev = spark.createDataFrame(
+        [(3, i, dt.datetime(2024, 1, 1, 0, i)) for i in range(8)],
+        "user_id long, event_id long, ts timestamp",
+    )
+    monkeypatch.setattr(TB, "load", lambda sp, sf, t: ev)
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sticky_positions,
+    )
+
+    tiles = sorted(
+        {(r["tx"], r["ty"]) for r in sticky_positions(ev).collect()}
+    )
+    rows = E.q_user_home_tile(spark, "ignored").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["home_tx"], r["home_ty"]) == tiles[0]
+    assert (r["n_home_events"], r["n_events"]) == (
+        (8, 8) if len(tiles) == 1 else (4, 8)
+    )
+
+
+def test_dbscan_cluster_stats_consistency(spark):
+    import __spark_entry__ as E
+    from workstealing_spatial_join_spark.sources import tables as TB
+
+    sf = "/root/testdata/sf0.001"
+    stats = E.queries()["dbscan_cluster_stats"](spark, sf).collect()
+    labeled = E.queries()["dbscan_points"](spark, sf).collect()
+    assert sum(r["n_pts"] for r in stats) == len(labeled)
+    by_cluster: dict = {}
+    for r in labeled:
+        by_cluster.setdefault(r["cluster"], []).append(r["role"])
+    for r in stats:
+        roles = by_cluster[r["cluster"]]
+        assert r["n_pts"] == len(roles)
+        assert r["n_core"] == sum(1 for x in roles if x == "core")
+        assert r["minx"] <= r["cent_x"] <= r["maxx"]
+        assert r["miny"] <= r["cent_y"] <= r["maxy"]
