@@ -2926,6 +2926,39 @@ def q_od_top_destinations(spark, sf_dir):
     )
 
 
+def q_knox_spacetime(spark, sf_dir):
+    """Knox space-time interaction test over the trajectory cube:
+    are space-close event pairs also time-close more often than
+    independence predicts? All four pair classes are closed forms
+    over (tile, day) counts — the cube, not the events, is the
+    working set, so the statistic costs three bounded explode+join
+    sums regardless of event count. knox_ppm ≈ 10⁶ means no
+    interaction; the sticky-epoch fixture couples a user's tile to
+    their event sequence, so real interaction exists and the value
+    sits well above 10⁶ (asserted in the unit suite)."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        knox_statistic,
+    )
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sticky_positions,
+    )
+
+    cube = (
+        sticky_positions(TB.load(spark, sf_dir, "events"))
+        .select(
+            "tx",
+            "ty",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return knox_statistic(cube)
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -3225,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_top_destinations": q_od_top_destinations,
         "user_home_tile": q_user_home_tile,
         "dbscan_cluster_stats": q_dbscan_cluster_stats,
+        "knox_spacetime": q_knox_spacetime,
     }
 
 
@@ -3344,6 +3378,21 @@ def _sql_decayed_density() -> str:
         f"CAST((max_day - day) // {DECAY_HALFLIFE_DAYS} AS INT))) "
         "AS BIGINT) AS heat "
         "FROM d, mx GROUP BY tx, ty"
+    )
+
+
+def _sql_knox_spacetime() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_knox_statistic,
+    )
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_sticky_positions,
+    )
+
+    pos = sql_sticky_positions("SELECT user_id, event_id, ts FROM events")
+    return sql_knox_statistic(
+        f"SELECT tx, ty, epoch_us(ts) // 86400000000 AS day, "
+        f"COUNT(*) AS n FROM ({pos}) GROUP BY 1, 2, 3"
     )
 
 
@@ -4728,4 +4777,5 @@ def oracle_sql() -> dict[str, str]:
         "od_top_destinations": _sql_od_top_destinations(),
         "user_home_tile": _sql_user_home_tile(),
         "dbscan_cluster_stats": _sql_dbscan_cluster_stats(),
+        "knox_spacetime": _sql_knox_spacetime(),
     }

@@ -209,3 +209,96 @@ def test_dbscan_cluster_stats_consistency(spark):
         assert r["n_core"] == sum(1 for x in roles if x == "core")
         assert r["minx"] <= r["cent_x"] <= r["maxx"]
         assert r["miny"] <= r["cent_y"] <= r["maxy"]
+
+
+# ---------------------------------------------------- knox statistic
+
+
+def _knox_ref(events):
+    """Brute pair enumeration over (tx, ty, day) event rows."""
+    import itertools
+
+    n = len(events)
+    ps = pt = pb = 0
+    for a, b in itertools.combinations(events, 2):
+        sc = abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1
+        tc = abs(a[2] - b[2]) <= 1
+        ps += sc
+        pt += tc
+        pb += sc and tc
+    npairs = n * (n - 1) // 2
+    return (
+        n, ps, pt, pb, (pb * npairs * 10**6) // (ps * pt)
+    )
+
+
+def _knox_run(spark, events):
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        knox_statistic,
+    )
+
+    cube = (
+        spark.createDataFrame(events, "tx long, ty long, day long")
+        .groupBy("tx", "ty", "day")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"))
+    )
+    r = knox_statistic(cube).collect()[0]
+    return (
+        r["n_events"], r["pairs_space"], r["pairs_time"],
+        r["pairs_both"], r["knox_ppm"],
+    )
+
+
+def test_knox_matches_brute_reference(spark):
+    import random
+
+    rng = random.Random(250)
+    events = [
+        (rng.randrange(0, 6), rng.randrange(0, 6), rng.randrange(0, 8))
+        for _ in range(120)
+    ]
+    assert _knox_run(spark, events) == _knox_ref(events)
+
+
+def test_knox_duckdb_twin(spark):
+    import duckdb
+
+    import random
+
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_knox_statistic,
+    )
+
+    rng = random.Random(251)
+    events = [
+        (rng.randrange(0, 5), rng.randrange(0, 5), rng.randrange(0, 6))
+        for _ in range(90)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (tx BIGINT, ty BIGINT, day BIGINT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", events)
+    duck = con.execute(
+        sql_knox_statistic(
+            "SELECT tx, ty, day, COUNT(*) AS n FROM ev GROUP BY 1, 2, 3"
+        )
+    ).fetchone()
+    assert tuple(duck) == _knox_ref(events)
+
+
+def test_knox_interaction_detected_in_fixture(spark):
+    """The sticky-epoch fixture couples tiles to event order, so a
+    user's same-tile events are also time-adjacent — real space-time
+    interaction the statistic must detect (ppm well above 10⁶)."""
+    import __spark_entry__ as E
+
+    r = E.queries()["knox_spacetime"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r["knox_ppm"] > 1_200_000
+
+
+def test_knox_plan_zero_python(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["knox_spacetime"](spark, "/root/testdata/sf0.001")
+    assert sum(audit_plan(df)["python_nodes"].values()) == 0

@@ -492,3 +492,119 @@ def sql_radius_of_gyration(
         f"// (CAST(n_pts AS HUGEINT) * n_pts * n_pts) AS BIGINT) "
         f"AS rog2_milli2 FROM d GROUP BY {g}, n_pts"
     )
+
+
+def knox_statistic(
+    buckets: DataFrame,
+    day_window: int = 1,
+) -> DataFrame:
+    """Knox space-time interaction statistic (Knox, Applied
+    Statistics 1964 — the classic epidemiology test: do events that
+    are close in SPACE also cluster in TIME?) computed EXACTLY from
+    the space-time-cube counts, never enumerating event pairs:
+    a pair is space-close when its tiles are equal or 8-adjacent,
+    time-close when ``|Δday| ≤ day_window``, and every pair class is
+    a closed form over bucket counts — ``pairs = (Σ_{b1~b2} n₁·n₂
+    − Σ n²)/2 + Σ n(n−1)/2`` over each symmetric closeness relation
+    (the cross sum is even by symmetry, so the halving is exact).
+    At 10^12 events the pair SETS are ~10^13+ rows; the cube is
+    tiles × days — the counts, not the events, are the working set,
+    the same trick mk_trend uses.
+
+    buckets: (tx, ty, day, n) — the cube. Returns ONE row
+    ``(n_events, pairs_space, pairs_time, pairs_both, knox_ppm)``
+    where ``knox_ppm = ⌊pairs_both · C(N,2) · 10⁶ /
+    (pairs_space · pairs_time)⌋`` — observed over expected-under-
+    independence in ppm (≈10⁶ means no interaction; > 10⁶ means
+    space-close pairs are ALSO time-close more often than chance),
+    with the big products in DECIMAL(38,0)/HUGEINT since they pass
+    int64 at scale. All three neighbor sums are bounded map-side
+    explodes + one equi-join each over the (marginal) cube — never
+    anything quadratic in buckets."""
+
+    def cross_sum(df, axes, alias):
+        a = df
+        for col, off in axes:
+            a = a.withColumn(f"o_{col}", F.explode(F.expr(off)))
+        a = a.select(
+            *[(F.col(c) + F.col(f"o_{c}")).alias(c) for c, _ in axes],
+            F.col("n").alias("n_src"),
+        )
+        b = df.select(
+            *[F.col(c) for c, _ in axes], F.col("n").alias("n_dst")
+        )
+        return a.join(b, [c for c, _ in axes]).agg(
+            F.sum(
+                F.col("n_src").cast("decimal(18,0)")
+                * F.col("n_dst").cast("decimal(18,0)")
+            ).alias(alias)
+        )
+
+    nine = "array(-1, 0, 1)"
+    dayr = f"sequence({-day_window}L, {day_window}L)"
+    cube = buckets.select("tx", "ty", "day", "n")
+    glob = cube.agg(
+        F.expr(
+            "SUM(CAST(n AS DECIMAL(18,0)) * n)"
+        ).alias("sq"),
+        F.sum("n").alias("n_events"),
+        F.expr(
+            "SUM(CAST(n AS DECIMAL(18,0)) * (n - 1) div 2)"
+        ).cast("decimal(38,0)").alias("within"),
+    )
+    s_both = cross_sum(
+        cube, [("tx", nine), ("ty", nine), ("day", dayr)], "s_both"
+    )
+    s_space = cross_sum(
+        cube.groupBy("tx", "ty").agg(F.sum("n").alias("n")),
+        [("tx", nine), ("ty", nine)],
+        "s_space",
+    )
+    s_time = cross_sum(
+        cube.groupBy("day").agg(F.sum("n").alias("n")),
+        [("day", dayr)],
+        "s_time",
+    )
+    j = s_both.join(s_space).join(s_time).join(F.broadcast(glob))
+    return j.selectExpr(
+        "n_events",
+        "CAST((s_space - sq) div 2 + within AS BIGINT) AS pairs_space",
+        "CAST((s_time - sq) div 2 + within AS BIGINT) AS pairs_time",
+        "CAST((s_both - sq) div 2 + within AS BIGINT) AS pairs_both",
+        "CAST((((s_both - sq) div 2 + within) * "
+        "(CAST(n_events AS DECIMAL(38,0)) * (n_events - 1) div 2) "
+        "* 1000000) div "
+        "(((s_space - sq) div 2 + within) * "
+        "((s_time - sq) div 2 + within)) AS BIGINT) AS knox_ppm",
+    )
+
+
+def sql_knox_statistic(buckets_sql: str, day_window: int = 1) -> str:
+    """DuckDB twin — the neighbor sums come from ABS-predicate self
+    joins over the cube (different plan, same integers)."""
+    w = day_window
+    return (
+        f"WITH cube0 AS ({buckets_sql}), "
+        f"g AS (SELECT SUM(CAST(n AS HUGEINT) * n) AS sq, "
+        f"SUM(n) AS n_events, "
+        f"SUM(CAST(n AS HUGEINT) * (n - 1) // 2) AS within FROM cube0), "
+        f"sb AS (SELECT SUM(CAST(a.n AS HUGEINT) * b.n) AS s_both "
+        f"FROM cube0 a JOIN cube0 b ON ABS(a.tx - b.tx) <= 1 "
+        f"AND ABS(a.ty - b.ty) <= 1 AND ABS(a.day - b.day) <= {w}), "
+        f"spc AS (SELECT tx, ty, SUM(n) AS n FROM cube0 GROUP BY 1, 2), "
+        f"ss AS (SELECT SUM(CAST(a.n AS HUGEINT) * b.n) AS s_space "
+        f"FROM spc a JOIN spc b ON ABS(a.tx - b.tx) <= 1 "
+        f"AND ABS(a.ty - b.ty) <= 1), "
+        f"tmc AS (SELECT day, SUM(n) AS n FROM cube0 GROUP BY 1), "
+        f"st AS (SELECT SUM(CAST(a.n AS HUGEINT) * b.n) AS s_time "
+        f"FROM tmc a JOIN tmc b ON ABS(a.day - b.day) <= {w}) "
+        f"SELECT CAST(n_events AS BIGINT) AS n_events, "
+        f"CAST((s_space - sq) // 2 + within AS BIGINT) AS pairs_space, "
+        f"CAST((s_time - sq) // 2 + within AS BIGINT) AS pairs_time, "
+        f"CAST((s_both - sq) // 2 + within AS BIGINT) AS pairs_both, "
+        f"CAST((((s_both - sq) // 2 + within) * "
+        f"(CAST(n_events AS HUGEINT) * (n_events - 1) // 2) * 1000000) "
+        f"// (((s_space - sq) // 2 + within) * "
+        f"((s_time - sq) // 2 + within)) AS BIGINT) AS knox_ppm "
+        f"FROM sb, ss, st, g"
+    )
