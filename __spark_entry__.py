@@ -3087,6 +3087,55 @@ def q_local_morans(spark, sf_dir):
     return local_morans(TB.customer_points_milli(spark, sf_dir))
 
 
+def q_geary_c(spark, sf_dir):
+    """Global Geary's C (edge-contrast companion to Moran's I) of the
+    cluster-mixture raster — exact to the emitted ppm: z = N·x − S
+    keeps centering integral, the N² factors cancel, and both sides
+    of the ratio are non-negative so the ppm floor is a plain 128-bit
+    integer division. Same one-groupBy + ×8-explode + one-equi-join
+    shape as morans_i; the DuckDB twin sums contrasts over an ABS
+    self-join — a different plan, same integers. Runs over the
+    cluster-mixture layer (the scattered layer has ≤1 point/cell at
+    the smallest sf, which makes every contrast ±1 — degenerate)."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        geary_c,
+    )
+
+    return geary_c(TB.customer_cluster_points(spark, sf_dir))
+
+
+def q_join_counts(spark, sf_dir):
+    """Binary join-count statistics (Cliff & Ord): occupied cells
+    classified Black (≥ HOTSPOT_MIN_PTS points) or White, unordered
+    8-neighbor adjacencies counted by class pair — (n_b, n_w, bb,
+    bw, ww). Each edge counts once via the lexicographic source<dst
+    guard riding the ordered explode + equi-join; the oracle takes
+    an ABS self-join with the same guard and no explode. Cluster-
+    mixture layer so Black cells exist at every sf."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        join_count_stats,
+    )
+
+    return join_count_stats(
+        TB.customer_cluster_points(spark, sf_dir), HOTSPOT_MIN_PTS
+    )
+
+
+def q_getis_local(spark, sf_dir):
+    """Getis–Ord-style local hot-spot ratio: per occupied cell the
+    exact 3×3-window density ratio in ppm (window sum · N · 10⁶ over
+    window-occupancy · S) — the Gi* numerator made exact where the
+    textbook z-score needs a sqrt. ×9 contribution explode + one
+    receiving-cell groupBy + a join back on the groupBy keys (no
+    extra exchange); the DuckDB twin windows via an ABS self-join
+    including the equal cell."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        getis_local,
+    )
+
+    return getis_local(TB.customer_cluster_points(spark, sf_dir))
+
+
 def q_pair_count_ladder(spark, sf_dir):
     """Ripley's-K pair-count ladder (L∞ metric): exact unordered
     pair counts at four radii, all rungs measured in ONE pass over a
@@ -3246,6 +3295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q_q15_top_supplier,
         "q21_waiting_supplier": q_q21_waiting_supplier,
         "local_morans": q_local_morans,
+        "geary_c": q_geary_c,
+        "join_counts": q_join_counts,
+        "getis_local": q_getis_local,
         "pair_count_ladder": q_pair_count_ladder,
         "mk_trend": q_mk_trend,
         "str_pack_leaves": q_str_pack_leaves,
@@ -3276,6 +3328,30 @@ def _sql_local_morans() -> str:
     )
 
     return sql_local_morans(TB.SQL_POINTS_MILLI)
+
+
+def _sql_geary_c() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_geary_c,
+    )
+
+    return sql_geary_c(TB.SQL_CLUSTER_POINTS)
+
+
+def _sql_join_counts() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_join_count_stats,
+    )
+
+    return sql_join_count_stats(TB.SQL_CLUSTER_POINTS, HOTSPOT_MIN_PTS)
+
+
+def _sql_getis_local() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_getis_local,
+    )
+
+    return sql_getis_local(TB.SQL_CLUSTER_POINTS)
 
 
 def _sql_pair_count_ladder() -> str:
@@ -4765,6 +4841,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1"
         ),
         "local_morans": _sql_local_morans(),
+        "geary_c": _sql_geary_c(),
+        "join_counts": _sql_join_counts(),
+        "getis_local": _sql_getis_local(),
         "pair_count_ladder": _sql_pair_count_ladder(),
         "mk_trend": _sql_mk_trend(),
         "str_pack_leaves": _sql_str_pack_leaves(),

@@ -46,6 +46,12 @@ __all__ = [
     "sql_local_morans",
     "pair_count_ladder",
     "sql_pair_count_ladder",
+    "geary_c",
+    "sql_geary_c",
+    "join_count_stats",
+    "sql_join_count_stats",
+    "getis_local",
+    "sql_getis_local",
 ]
 
 
@@ -607,4 +613,292 @@ def sql_knox_statistic(buckets_sql: str, day_window: int = 1) -> str:
         f"// (((s_space - sq) // 2 + within) * "
         f"((s_time - sq) // 2 + within)) AS BIGINT) AS knox_ppm "
         f"FROM sb, ss, st, g"
+    )
+
+
+def geary_c(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Global Geary's C (Geary, The Incorporated Statistician 1954)
+    over the occupied-cell density raster under binary queen weights
+    — the EDGE-DIFFERENCE companion to Moran's I (Moran correlates
+    neighbor values; Geary sums squared neighbor CONTRASTS, so it is
+    the more sensitive of the two to local gradients):
+
+        C = (N−1) · Σ_ij w_ij (x_i − x_j)² / (2W · Σ_i (x_i − x̄)²)
+
+    One row ``(n_cells, w_edges, c_ppm)``; C < 1 (ppm < 10⁶) means
+    clustered, > 1 dispersed. Exactness: the mean never exists —
+    with ``z_i = N·x_i − S`` the N² factors in (z_i−z_j)² and Σz²
+    cancel, every term is integral, and both engines accumulate the
+    products in 128-bit types (DECIMAL(38,0) / HUGEINT). Numerator
+    and denominator are both non-negative, so the final ppm floor is
+    a plain integer division — no Euclidean-remainder dance needed
+    (contrast :func:`morans_i`, whose numerator can be negative).
+
+    Scale shape: identical to morans_i — one raster groupBy, a
+    bounded ×8 map-side explode, ONE cell equi-join; nothing after
+    the first groupBy touches a point row."""
+    cells = cell_counts(points, x_col, y_col, cell)
+    glob = cells.agg(
+        F.sum("x").alias("s_tot"), F.count(F.lit(1)).alias("n_cells")
+    )
+    z = cells.join(F.broadcast(glob)).select(
+        "cx",
+        "cy",
+        "n_cells",
+        (F.col("n_cells") * F.col("x") - F.col("s_tot")).alias("z"),
+    )
+    den_n = z.agg(
+        F.sum(
+            F.col("z").cast("decimal(18,0)")
+            * F.col("z").cast("decimal(18,0)")
+        ).alias("den"),
+        F.max("n_cells").alias("n_cells"),
+    )
+    offs = F.expr("array(-1, 0, 1)")
+    nbr = (
+        z.withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .where("ox != 0 OR oy != 0")
+        .select(
+            (F.col("cx") + F.col("ox")).alias("dx"),
+            (F.col("cy") + F.col("oy")).alias("dy"),
+            F.col("z").alias("z_src"),
+        )
+    )
+    dst = z.select(
+        F.col("cx").alias("dx"), F.col("cy").alias("dy"),
+        F.col("z").alias("z_dst"),
+    )
+    num_w = nbr.join(dst, ["dx", "dy"]).agg(
+        F.sum(
+            (F.col("z_src") - F.col("z_dst")).cast("decimal(18,0)")
+            * (F.col("z_src") - F.col("z_dst")).cast("decimal(18,0)")
+        ).alias("num"),
+        F.count(F.lit(1)).alias("w_edges"),
+    )
+    joined = num_w.join(F.broadcast(den_n))
+    return joined.selectExpr(
+        "n_cells",
+        "w_edges",
+        "CAST(((CAST(n_cells AS DECIMAL(38,0)) - 1) * num * 1000000) "
+        "div (2 * CAST(w_edges AS DECIMAL(38,0)) * den) AS BIGINT) "
+        "AS c_ppm",
+    )
+
+
+def sql_geary_c(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    """DuckDB twin of :func:`geary_c` — the edge-contrast sum is an
+    ABS-predicate self-join over the raster (different plan from the
+    explode + equi-join, same integers)."""
+    fx = _fd(x_col, cell, "duckdb")
+    fy = _fd(y_col, cell, "duckdb")
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"cells AS (SELECT {fx} AS cx, {fy} AS cy, "
+        f"COUNT(*) AS x FROM pts GROUP BY 1, 2), "
+        f"g AS (SELECT SUM(x) AS s_tot, COUNT(*) AS n_cells FROM cells), "
+        f"z AS (SELECT cx, cy, g.n_cells * x - g.s_tot AS z "
+        f"FROM cells, g), "
+        f"num_w AS (SELECT SUM(CAST(a.z - b.z AS HUGEINT) * "
+        f"CAST(a.z - b.z AS HUGEINT)) AS num, COUNT(*) AS w_edges "
+        f"FROM z a JOIN z b ON ABS(a.cx - b.cx) <= 1 "
+        f"AND ABS(a.cy - b.cy) <= 1 "
+        f"AND (a.cx <> b.cx OR a.cy <> b.cy)), "
+        f"den_n AS (SELECT SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) "
+        f"AS den, (SELECT n_cells FROM g) AS n_cells FROM z) "
+        f"SELECT n_cells, w_edges, "
+        f"CAST(((CAST(n_cells AS HUGEINT) - 1) * num * 1000000) // "
+        f"(2 * CAST(w_edges AS HUGEINT) * den) AS BIGINT) AS c_ppm "
+        f"FROM num_w, den_n"
+    )
+
+
+def join_count_stats(
+    points: DataFrame,
+    hot_threshold: int,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Binary join-count statistics (Cliff & Ord 1981, ch. 1 — the
+    oldest spatial-autocorrelation test there is, for CATEGORICAL
+    rasters where Moran/Geary need interval data): classify every
+    occupied cell Black (count ≥ ``hot_threshold``) or White, then
+    count the UNORDERED 8-neighbor cell adjacencies by class pair.
+    One row ``(n_b, n_w, bb, bw, ww)``; a clustered hot set shows BB
+    far above the hypergeometric expectation E[BB] = W·n_b(n_b−1) /
+    (N(N−1)) (left to the caller — every input to it is in the row).
+
+    Each unordered edge counts ONCE: the ordered explode + equi-join
+    emits both directions, and the lexicographic guard
+    ``(sx, sy) < (dx, dy)`` on the SOURCE cell's own coordinates
+    (carried through the explode) keeps exactly one. All exact
+    integers; the same bounded ×8 explode + ONE equi-join shape as
+    the other raster statistics."""
+    cells = cell_counts(points, x_col, y_col, cell).select(
+        "cx",
+        "cy",
+        (F.col("x") >= hot_threshold).cast("int").alias("b"),
+    )
+    classes = cells.agg(
+        F.sum("b").alias("n_b"),
+        F.sum(F.lit(1) - F.col("b")).alias("n_w"),
+    )
+    offs = F.expr("array(-1, 0, 1)")
+    src = (
+        cells.withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .where("ox != 0 OR oy != 0")
+        .select(
+            F.col("cx").alias("sx"),
+            F.col("cy").alias("sy"),
+            (F.col("cx") + F.col("ox")).alias("dx"),
+            (F.col("cy") + F.col("oy")).alias("dy"),
+            F.col("b").alias("b_src"),
+        )
+    )
+    dst = cells.select(
+        F.col("cx").alias("dx"), F.col("cy").alias("dy"),
+        F.col("b").alias("b_dst"),
+    )
+    pairs = (
+        src.join(dst, ["dx", "dy"])
+        .where(
+            (F.col("sx") < F.col("dx"))
+            | ((F.col("sx") == F.col("dx")) & (F.col("sy") < F.col("dy")))
+        )
+        .agg(
+            F.sum(F.col("b_src") * F.col("b_dst")).alias("bb"),
+            F.sum(
+                F.col("b_src") + F.col("b_dst")
+                - 2 * F.col("b_src") * F.col("b_dst")
+            ).alias("bw"),
+            F.sum(
+                (1 - F.col("b_src")) * (1 - F.col("b_dst"))
+            ).alias("ww"),
+        )
+    )
+    return classes.join(pairs).select("n_b", "n_w", "bb", "bw", "ww")
+
+
+def sql_join_count_stats(
+    points_sql: str,
+    hot_threshold: int,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    """DuckDB twin — unordered edges straight from an ABS-predicate
+    self-join with the same lexicographic guard (no explode)."""
+    fx = _fd(x_col, cell, "duckdb")
+    fy = _fd(y_col, cell, "duckdb")
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"cells AS (SELECT {fx} AS cx, {fy} AS cy, "
+        f"CASE WHEN COUNT(*) >= {hot_threshold} THEN 1 ELSE 0 END AS b "
+        f"FROM pts GROUP BY 1, 2), "
+        f"cls AS (SELECT SUM(b) AS n_b, SUM(1 - b) AS n_w FROM cells), "
+        f"prs AS (SELECT SUM(a.b * b.b) AS bb, "
+        f"SUM(a.b + b.b - 2 * a.b * b.b) AS bw, "
+        f"SUM((1 - a.b) * (1 - b.b)) AS ww "
+        f"FROM cells a JOIN cells b ON ABS(a.cx - b.cx) <= 1 "
+        f"AND ABS(a.cy - b.cy) <= 1 "
+        f"AND (a.cx < b.cx OR (a.cx = b.cx AND a.cy < b.cy))) "
+        f"SELECT n_b, n_w, bb, bw, ww FROM cls, prs"
+    )
+
+
+def getis_local(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Getis–Ord-style local hot-spot ratio (Getis & Ord,
+    Geographical Analysis 1992 — the Gi* family behind ArcGIS Hot
+    Spot Analysis): per occupied cell, the EXACT window density
+    ratio ``(cx, cy, local_sum, n_window, gi_ppm)`` where
+    ``local_sum`` sums the counts over the 3×3 window INCLUDING self
+    (the * in Gi*), ``n_window`` counts the occupied cells in it,
+    and ``gi_ppm = ⌊local_sum · N · 10⁶ / (n_window · S)⌋`` —
+    observed window total over its expectation ``n_window·S/N``
+    under a uniform spread of the mass across occupied cells.
+    gi_ppm > 10⁶ marks hot windows, < 10⁶ cold ones; it is a
+    monotone transform of the Gi* numerator at fixed window
+    occupancy, exact where the textbook z-score needs a sqrt no
+    integer engine can commit to.
+
+    Plan: the raster groupBy, a bounded ×9 contribution explode
+    (self included), one groupBy on the receiving cell, and an inner
+    join back onto the raster frame ON THE GROUPBY KEYS (both sides
+    co-partitioned — no extra exchange), with the one-row global
+    frame broadcast. The products pass int64 at planet scale, so
+    they ride DECIMAL(38,0)/HUGEINT."""
+    cells = cell_counts(points, x_col, y_col, cell)
+    glob = cells.agg(
+        F.sum("x").alias("s_tot"), F.count(F.lit(1)).alias("n_cells")
+    )
+    offs = F.expr("array(-1, 0, 1)")
+    contrib = (
+        cells.withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .select(
+            (F.col("cx") + F.col("ox")).alias("nx"),
+            (F.col("cy") + F.col("oy")).alias("ny"),
+            F.col("x").alias("xc"),
+        )
+    )
+    win = contrib.groupBy("nx", "ny").agg(
+        F.sum("xc").alias("local_sum"),
+        F.count(F.lit(1)).alias("n_window"),
+    )
+    out = cells.join(
+        win,
+        (F.col("cx") == F.col("nx")) & (F.col("cy") == F.col("ny")),
+    ).join(F.broadcast(glob))
+    return out.selectExpr(
+        "cx",
+        "cy",
+        "local_sum",
+        "n_window",
+        "CAST((CAST(local_sum AS DECIMAL(38,0)) * n_cells * 1000000) "
+        "div (CAST(n_window AS DECIMAL(38,0)) * s_tot) AS BIGINT) "
+        "AS gi_ppm",
+    )
+
+
+def sql_getis_local(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    """DuckDB twin of :func:`getis_local` — the window sum is an
+    ABS-predicate self-join INCLUDING the equal cell (different plan
+    from the ×9 contribution explode, same integers)."""
+    fx = _fd(x_col, cell, "duckdb")
+    fy = _fd(y_col, cell, "duckdb")
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"cells AS (SELECT {fx} AS cx, {fy} AS cy, "
+        f"COUNT(*) AS x FROM pts GROUP BY 1, 2), "
+        f"g AS (SELECT SUM(x) AS s_tot, COUNT(*) AS n_cells FROM cells), "
+        f"win AS (SELECT a.cx, a.cy, SUM(b.x) AS local_sum, "
+        f"COUNT(*) AS n_window FROM cells a JOIN cells b "
+        f"ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1 "
+        f"GROUP BY a.cx, a.cy) "
+        f"SELECT cx, cy, local_sum, n_window, "
+        f"CAST((CAST(local_sum AS HUGEINT) * n_cells * 1000000) // "
+        f"(CAST(n_window AS HUGEINT) * s_tot) AS BIGINT) AS gi_ppm "
+        f"FROM win, g"
     )
