@@ -3136,6 +3136,50 @@ def q_getis_local(spark, sf_dir):
     return getis_local(TB.customer_cluster_points(spark, sf_dir))
 
 
+def q_spatial_gini(spark, sf_dir):
+    """Gini coefficient of the cluster-mixture density raster —
+    exact ppm via the rank identity, with the global ascending rank
+    from exact_global_rank (repartitionByRange + per-partition
+    row_number + broadcast prefix offsets — never a single-partition
+    window). Rank ties permute freely across engines; Σ rank·x over
+    a tied block is invariant, so the statistic is deterministic —
+    the DuckDB twin uses a plain global ROW_NUMBER, proving the
+    distributed rank machinery lands the identical number."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        spatial_gini,
+    )
+
+    return spatial_gini(TB.customer_cluster_points(spark, sf_dir))
+
+
+def q_quadrat_dispersion(spark, sf_dir):
+    """Quadrat variance-to-mean dispersion index (Fisher's VMR, the
+    classical quadrat-count CSR test) over the cluster-mixture layer:
+    the quadrat frame is the occupied bbox INCLUDING empty quadrats
+    — which never materialize; their contribution is closed-form.
+    One raster groupBy + one one-row aggregate. ≫10⁶ on this layer
+    (it is clustered by construction, asserted in the unit suite)."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        quadrat_dispersion,
+    )
+
+    return quadrat_dispersion(TB.customer_cluster_points(spark, sf_dir))
+
+
+def q_tile_visitor_concentration(spark, sf_dir):
+    """Per-tile visitor concentration (Simpson's λ in ppm — the
+    probability two random visits are the same user): the
+    k-anonymity screen before publishing tile aggregates, and
+    10⁶ − λ is Simpson's diversity. ONE exchange: an explicit
+    tile-key repartition feeds both the (tile, user) counts and the
+    per-tile aggregate."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        tile_visitor_concentration,
+    )
+
+    return tile_visitor_concentration(TB.load(spark, sf_dir, "events"))
+
+
 def q_pair_count_ladder(spark, sf_dir):
     """Ripley's-K pair-count ladder (L∞ metric): exact unordered
     pair counts at four radii, all rungs measured in ONE pass over a
@@ -3298,6 +3342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geary_c": q_geary_c,
         "join_counts": q_join_counts,
         "getis_local": q_getis_local,
+        "spatial_gini": q_spatial_gini,
+        "quadrat_dispersion": q_quadrat_dispersion,
+        "tile_visitor_concentration": q_tile_visitor_concentration,
         "pair_count_ladder": q_pair_count_ladder,
         "mk_trend": q_mk_trend,
         "str_pack_leaves": q_str_pack_leaves,
@@ -3352,6 +3399,32 @@ def _sql_getis_local() -> str:
     )
 
     return sql_getis_local(TB.SQL_CLUSTER_POINTS)
+
+
+def _sql_spatial_gini() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_spatial_gini,
+    )
+
+    return sql_spatial_gini(TB.SQL_CLUSTER_POINTS)
+
+
+def _sql_quadrat_dispersion() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_quadrat_dispersion,
+    )
+
+    return sql_quadrat_dispersion(TB.SQL_CLUSTER_POINTS)
+
+
+def _sql_tile_visitor_concentration() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_tile_visitor_concentration,
+    )
+
+    return sql_tile_visitor_concentration(
+        "SELECT user_id, event_id, ts FROM events"
+    )
 
 
 def _sql_pair_count_ladder() -> str:
@@ -4844,6 +4917,9 @@ def oracle_sql() -> dict[str, str]:
         "geary_c": _sql_geary_c(),
         "join_counts": _sql_join_counts(),
         "getis_local": _sql_getis_local(),
+        "spatial_gini": _sql_spatial_gini(),
+        "quadrat_dispersion": _sql_quadrat_dispersion(),
+        "tile_visitor_concentration": _sql_tile_visitor_concentration(),
         "pair_count_ladder": _sql_pair_count_ladder(),
         "mk_trend": _sql_mk_trend(),
         "str_pack_leaves": _sql_str_pack_leaves(),

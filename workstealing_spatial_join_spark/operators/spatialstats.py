@@ -52,6 +52,10 @@ __all__ = [
     "sql_join_count_stats",
     "getis_local",
     "sql_getis_local",
+    "spatial_gini",
+    "sql_spatial_gini",
+    "quadrat_dispersion",
+    "sql_quadrat_dispersion",
 ]
 
 
@@ -901,4 +905,142 @@ def sql_getis_local(
         f"CAST((CAST(local_sum AS HUGEINT) * n_cells * 1000000) // "
         f"(CAST(n_window AS HUGEINT) * s_tot) AS BIGINT) AS gi_ppm "
         f"FROM win, g"
+    )
+
+
+def spatial_gini(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Gini coefficient of the occupied-cell density raster — THE
+    inequality summary of a spatial distribution ("how concentrated
+    is the mass in few cells?"), exact to the emitted ppm via the
+    rank identity  G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·S) / (n·S)  with x₍ᵢ₎
+    ascending and ranks 1-based. One row ``(n_cells, s_tot,
+    gini_ppm)``.
+
+    The global ascending rank comes from :func:`layout.
+    exact_global_rank` — repartitionByRange + per-partition
+    row_number + broadcast prefix offsets, NEVER a single-partition
+    window (at 10^9 occupied cells ``Window.orderBy`` with no key
+    collapses onto one task). Rank ties between equal counts may
+    fall either way across engines, but Σ i·x over a tied block is
+    invariant under permuting the block (same x multiplies the same
+    rank set), so the statistic is deterministic anyway — the unit
+    suite asserts it under two different tiebreaks. Products pass
+    int64 at scale (rank ≤ n, Σ rank·x ≤ n·S), so they accumulate in
+    DECIMAL(38,0)/HUGEINT; numerator ≥ 0 by the rearrangement
+    inequality, making the ppm floor a plain division."""
+    from workstealing_spatial_join_spark.operators.layout import (
+        exact_global_rank,
+    )
+
+    cells = cell_counts(points, x_col, y_col, cell)
+    # strict total order: count, then a unique per-cell key
+    keyed = cells.withColumn(
+        "tb", F.col("cx") * F.lit(1_000_000) + F.col("cy")
+    )
+    ranked = exact_global_rank(keyed, "x", "tb", out_col="g_rank")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("s_tot"),
+        F.expr(
+            "CAST(((2 * SUM(CAST(g_rank + 1 AS DECIMAL(18,0)) * x) "
+            "- (COUNT(*) + 1) * CAST(SUM(x) AS DECIMAL(38,0))) "
+            "* 1000000) div (COUNT(*) * CAST(SUM(x) AS DECIMAL(38,0))) "
+            "AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def sql_spatial_gini(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    """DuckDB twin — a plain global ROW_NUMBER (the point: the
+    distributed rank machinery must land the identical statistic)."""
+    fx = _fd(x_col, cell, "duckdb")
+    fy = _fd(y_col, cell, "duckdb")
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"cells AS (SELECT {fx} AS cx, {fy} AS cy, "
+        f"COUNT(*) AS x FROM pts GROUP BY 1, 2), "
+        f"rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, cx, cy) "
+        f"AS r FROM cells) "
+        f"SELECT COUNT(*) AS n_cells, SUM(x) AS s_tot, "
+        f"CAST(((2 * SUM(CAST(r AS HUGEINT) * x) "
+        f"- (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)) * 1000000) // "
+        f"(COUNT(*) * CAST(SUM(x) AS HUGEINT)) AS BIGINT) AS gini_ppm "
+        f"FROM rk"
+    )
+
+
+def quadrat_dispersion(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Quadrat variance-to-mean dispersion index (the index of
+    dispersion behind the classical quadrat-count CSR test — Fisher's
+    VMR): one row ``(n_quadrats, n_occupied, s_tot, vmr_ppm)`` where
+    the quadrat frame is the bounding box of the occupied cells —
+    T = (max_cx−min_cx+1)·(max_cy−min_cy+1) quadrats INCLUDING the
+    empty ones (dropping empties is the classic quadrat-test mistake:
+    it biases VMR toward 1) — and
+
+        VMR = var/mean = (T·Σx² − S²) / (T·S)   (exact, in ppm).
+
+    ≈10⁶ means CSR (Poisson), ≫10⁶ clustered, <10⁶ dispersed. The
+    empty quadrats never materialize: their contribution is the
+    closed form above (Σ over ALL T quadrats of x² equals the
+    occupied Σx² since empties add 0, and the −S²/T mean-correction
+    covers the rest). T·Σx² ≥ S² by Cauchy–Schwarz, so the floor is
+    a plain non-negative division in DECIMAL(38,0)/HUGEINT.
+
+    Plan: ONE raster groupBy + ONE one-row aggregate — the cheapest
+    statistic in the family."""
+    cells = cell_counts(points, x_col, y_col, cell)
+    return cells.agg(
+        (
+            (F.max("cx") - F.min("cx") + 1)
+            * (F.max("cy") - F.min("cy") + 1)
+        ).alias("n_quadrats"),
+        F.count(F.lit(1)).alias("n_occupied"),
+        F.sum("x").alias("s_tot"),
+        F.expr(
+            "CAST(((CAST((MAX(cx) - MIN(cx) + 1) AS DECIMAL(38,0)) "
+            "* (MAX(cy) - MIN(cy) + 1) "
+            "* SUM(CAST(x AS DECIMAL(18,0)) * x) "
+            "- CAST(SUM(x) AS DECIMAL(38,0)) * SUM(x)) * 1000000) div "
+            "(CAST((MAX(cx) - MIN(cx) + 1) AS DECIMAL(38,0)) "
+            "* (MAX(cy) - MIN(cy) + 1) * SUM(x)) AS BIGINT)"
+        ).alias("vmr_ppm"),
+    )
+
+
+def sql_quadrat_dispersion(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    fx = _fd(x_col, cell, "duckdb")
+    fy = _fd(y_col, cell, "duckdb")
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"cells AS (SELECT {fx} AS cx, {fy} AS cy, "
+        f"COUNT(*) AS x FROM pts GROUP BY 1, 2) "
+        f"SELECT (MAX(cx) - MIN(cx) + 1) * (MAX(cy) - MIN(cy) + 1) "
+        f"AS n_quadrats, COUNT(*) AS n_occupied, SUM(x) AS s_tot, "
+        f"CAST(((CAST((MAX(cx) - MIN(cx) + 1) AS HUGEINT) "
+        f"* (MAX(cy) - MIN(cy) + 1) * SUM(CAST(x AS HUGEINT) * x) "
+        f"- CAST(SUM(x) AS HUGEINT) * SUM(x)) * 1000000) // "
+        f"(CAST((MAX(cx) - MIN(cx) + 1) AS HUGEINT) "
+        f"* (MAX(cy) - MIN(cy) + 1) * SUM(x)) AS BIGINT) AS vmr_ppm "
+        f"FROM cells"
     )

@@ -46,6 +46,8 @@ __all__ = [
     "sql_dwell_stats",
     "mk_trend",
     "sql_mk_trend",
+    "tile_visitor_concentration",
+    "sql_tile_visitor_concentration",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -261,4 +263,61 @@ def sql_mk_trend(events_sql: str) -> str:
         "WHEN COALESCE(mk.mk_s, 0) < 0 THEN 'DEC' ELSE 'FLAT' END "
         "AS cls "
         "FROM pt LEFT JOIN mk ON pt.tx = mk.tx AND pt.ty = mk.ty"
+    )
+
+
+def tile_visitor_concentration(events: DataFrame) -> DataFrame:
+    """Per-tile visitor CONCENTRATION — Simpson's λ over the users
+    visiting each sticky-epoch tile: the probability two random
+    visits to the tile came from the SAME user, exact in ppm —
+    ``(tx, ty, n_visits, n_users, same_user_ppm)`` with
+
+        λ = Σ_u n_u(n_u−1) / (N(N−1)),   N ≥ 2.
+
+    This is the k-anonymity screen a mobility pipeline runs before
+    publishing tile aggregates (a tile one user dominates re-
+    identifies them no matter how big N is; λ → 10⁶ IS that tile),
+    and 10⁶ − λ is Simpson's diversity index — the ecology dual.
+    All integers; single-visit tiles are dropped (λ undefined at
+    N = 1, the denominator's N−1).
+
+    Plan: ONE exchange — an explicit repartition on the TILE key
+    feeds both the (tile, user) visit counts and the per-tile
+    aggregate (the zonal-majority lesson: hashing the first groupBy
+    on (tile, user) would NOT satisfy the second)."""
+    pos = sticky_positions(events).repartition("tx", "ty")
+    per_user = pos.groupBy("tx", "ty", "user_id").agg(
+        F.count(F.lit(1)).alias("n_u")
+    )
+    per_tile = per_user.groupBy("tx", "ty").agg(
+        F.sum("n_u").alias("n_visits"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.col("n_u").cast("decimal(18,0)") * (F.col("n_u") - 1)
+        ).alias("same"),
+    )
+    return per_tile.where(F.col("n_visits") >= 2).selectExpr(
+        "tx",
+        "ty",
+        "n_visits",
+        "n_users",
+        "CAST((same * 1000000) div "
+        "(CAST(n_visits AS DECIMAL(38,0)) * (n_visits - 1)) AS BIGINT) "
+        "AS same_user_ppm",
+    )
+
+
+def sql_tile_visitor_concentration(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "pu AS (SELECT tx, ty, user_id, COUNT(*) AS n_u FROM pos "
+        "GROUP BY 1, 2, 3), "
+        "pt AS (SELECT tx, ty, SUM(n_u) AS n_visits, "
+        "COUNT(*) AS n_users, "
+        "SUM(CAST(n_u AS HUGEINT) * (n_u - 1)) AS same FROM pu "
+        "GROUP BY 1, 2) "
+        "SELECT tx, ty, n_visits, n_users, "
+        "CAST((same * 1000000) // "
+        "(CAST(n_visits AS HUGEINT) * (n_visits - 1)) AS BIGINT) "
+        "AS same_user_ppm FROM pt WHERE n_visits >= 2"
     )
