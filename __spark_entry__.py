@@ -3180,6 +3180,85 @@ def q_tile_visitor_concentration(spark, sf_dir):
     return tile_visitor_concentration(TB.load(spark, sf_dir, "events"))
 
 
+def q_points_hilbert(spark, sf_dir):
+    """Hilbert-curve rank per point — the locality-OPTIMAL layout
+    key next to points_zorder's Morton key: consecutive Hilbert
+    ranks are always 4-adjacent cells (unit-proven exhaustively),
+    where consecutive Morton keys jump across quadrant seams — so a
+    Hilbert-sorted parquet layout gets strictly better min/max
+    pruning (the reason liquid-clustering engines moved off
+    Z-order). Pure Catalyst: 19 stacked Projects (one per s level of
+    the classic xy2d walk) that codegen collapses into one stage —
+    zero shuffle, zero Python. The XOR and the rotation are emitted
+    portably (polynomial XOR; full-side n−1−x reflection — the
+    s−1−x variant drives coordinates negative, where two's-
+    complement bit-ands and SQL's truncated % silently diverge)."""
+    from workstealing_spatial_join_spark.operators.layout import (
+        hilbert_key,
+    )
+
+    pts = TB.customer_points_milli(spark, sf_dir).select(
+        "point_id",
+        (F.col("mx") + 180000).alias("hx"),
+        (F.col("my") + 90000).alias("hy"),
+    )
+    return hilbert_key(pts, "hx", "hy").select("point_id", "hkey")
+
+
+IMG_COLOC_CELL_DEG = 1.0
+IMG_COLOC_FRAME = 360 * 180  # fixed 1° world grid
+
+
+def q_img_event_colocation(spark, sf_dir):
+    """Cross-layer colocation quotient: do the geo-referenced IMAGES
+    concentrate where the point layer does? CQ = T·Σ a·b/(Sa·Sb) in
+    ppm over the fixed 1° world grid — the sqrt-free bivariate
+    association statistic (a Pearson correlation of the rasters
+    needs two sqrts; CQ is the covariance-style ratio that doesn't).
+    Two raster groupBys + ONE inner equi-join on the cell key + a
+    one-row aggregate; the geospatial×image integration statistic
+    next to zonal_image_stats/spatial_cluster_images."""
+    from workstealing_spatial_join_spark.functions import grid as GRID
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        colocation_quotient,
+    )
+
+    imgs = spark.read.parquet(_IMAGES_META_PATH)
+    cells_a = (
+        imgs.select(
+            GRID.cell_x_col(F.col("lon"), IMG_COLOC_CELL_DEG).alias("cx"),
+            GRID.cell_y_col(F.col("lat"), IMG_COLOC_CELL_DEG).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    pts = TB.customer_points(spark, sf_dir)
+    cells_b = (
+        pts.select(
+            GRID.cell_x_col(F.col("lon"), IMG_COLOC_CELL_DEG).alias("cx"),
+            GRID.cell_y_col(F.col("lat"), IMG_COLOC_CELL_DEG).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return colocation_quotient(cells_a, cells_b, IMG_COLOC_FRAME)
+
+
+def q_tile_change(spark, sf_dir):
+    """Temporal change detection over the tile raster: split the
+    corpus at the midpoint day, classify each tile NEW/GONE/GAIN/
+    LOSS/STABLE with exact cross-multiplied thresholds — no float
+    ratio, so a tile at exactly +50 % classifies identically in both
+    engines. One conditional-sum groupBy instead of two rasters
+    full-outer-joined (whose null handling is the classic source of
+    missed NEW/GONE tiles)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        tile_change_detection,
+    )
+
+    return tile_change_detection(TB.load(spark, sf_dir, "events"))
+
+
 def q_pair_count_ladder(spark, sf_dir):
     """Ripley's-K pair-count ladder (L∞ metric): exact unordered
     pair counts at four radii, all rungs measured in ONE pass over a
@@ -3345,6 +3424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_gini": q_spatial_gini,
         "quadrat_dispersion": q_quadrat_dispersion,
         "tile_visitor_concentration": q_tile_visitor_concentration,
+        "points_hilbert": q_points_hilbert,
+        "img_event_colocation": q_img_event_colocation,
+        "tile_change": q_tile_change,
         "pair_count_ladder": q_pair_count_ladder,
         "mk_trend": q_mk_trend,
         "str_pack_leaves": q_str_pack_leaves,
@@ -3423,6 +3505,52 @@ def _sql_tile_visitor_concentration() -> str:
     )
 
     return sql_tile_visitor_concentration(
+        "SELECT user_id, event_id, ts FROM events"
+    )
+
+
+def _sql_points_hilbert() -> str:
+    from workstealing_spatial_join_spark.operators.layout import (
+        sql_hilbert_key,
+    )
+
+    src = (
+        "SELECT point_id, mx + 180000 AS hx, my + 90000 AS hy FROM ("
+        + TB.SQL_POINTS_MILLI
+        + ") t"
+    )
+    return sql_hilbert_key(src, "hx", "hy", ("point_id",))
+
+
+def _sql_img_event_colocation() -> str:
+    from workstealing_spatial_join_spark.functions.grid import (
+        sql_cell_x,
+        sql_cell_y,
+    )
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_colocation_quotient,
+    )
+
+    cx = sql_cell_x("lon", IMG_COLOC_CELL_DEG)
+    cy = sql_cell_y("lat", IMG_COLOC_CELL_DEG)
+    cells_a = (
+        f"SELECT {cx} AS cx, {cy} AS cy, COUNT(*) AS x FROM "
+        f"read_parquet('{_IMAGES_META_PATH}/*.parquet') GROUP BY 1, 2"
+    )
+    cells_b = (
+        f"SELECT {cx} AS cx, {cy} AS cy, COUNT(*) AS x FROM ("
+        + TB.SQL_POINTS
+        + ") t GROUP BY 1, 2"
+    )
+    return sql_colocation_quotient(cells_a, cells_b, IMG_COLOC_FRAME)
+
+
+def _sql_tile_change() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_tile_change_detection,
+    )
+
+    return sql_tile_change_detection(
         "SELECT user_id, event_id, ts FROM events"
     )
 
@@ -4920,6 +5048,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_gini": _sql_spatial_gini(),
         "quadrat_dispersion": _sql_quadrat_dispersion(),
         "tile_visitor_concentration": _sql_tile_visitor_concentration(),
+        "points_hilbert": _sql_points_hilbert(),
+        "img_event_colocation": _sql_img_event_colocation(),
+        "tile_change": _sql_tile_change(),
         "pair_count_ladder": _sql_pair_count_ladder(),
         "mk_trend": _sql_mk_trend(),
         "str_pack_leaves": _sql_str_pack_leaves(),

@@ -56,6 +56,8 @@ __all__ = [
     "sql_spatial_gini",
     "quadrat_dispersion",
     "sql_quadrat_dispersion",
+    "colocation_quotient",
+    "sql_colocation_quotient",
 ]
 
 
@@ -1043,4 +1045,75 @@ def sql_quadrat_dispersion(
         f"(CAST((MAX(cx) - MIN(cx) + 1) AS HUGEINT) "
         f"* (MAX(cy) - MIN(cy) + 1) * SUM(x)) AS BIGINT) AS vmr_ppm "
         f"FROM cells"
+    )
+
+
+def colocation_quotient(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    n_frame_cells: int,
+) -> DataFrame:
+    """Cross-layer colocation quotient over two density rasters on
+    the SAME grid — the bivariate "do the two layers concentrate in
+    the same places?" statistic (the cell-count form of the
+    cross-K/CLQ family; Leslie & Kronenfeld, Geographical Analysis
+    2011 ask it point-wise, this asks it grid-wise):
+
+        CQ = T · Σ_cells a_i·b_i / (Sa · Sb)    — exact, in ppm
+
+    with T the FIXED frame size (all grid cells, occupied or not).
+    Under independent uniform placement E[CQ] = 1; ≫10⁶ means layer
+    B piles up exactly where layer A does. One row ``(n_a, n_b,
+    n_shared_cells, coloc_ppm)``. sqrt-free by construction (a
+    Pearson correlation of the two rasters needs two sqrts no
+    integer engine can commit to; CQ is the covariance-style ratio
+    that doesn't).
+
+    Inputs are ``(cx, cy, x)`` rasters (:func:`cell_counts` output
+    shape). Only the INTERSECTION of occupied cells contributes to
+    Σ a·b (empties multiply to 0), so the plan is two raster
+    groupBys + ONE inner equi-join on the cell key + a one-row
+    aggregate — the frame size enters as a literal."""
+    a = cells_a.select("cx", "cy", F.col("x").alias("xa"))
+    b = cells_b.select("cx", "cy", F.col("x").alias("xb"))
+    ga = a.agg(F.sum("xa").alias("s_a"), F.count(F.lit(1)).alias("n_a"))
+    gb = b.agg(F.sum("xb").alias("s_b"), F.count(F.lit(1)).alias("n_b"))
+    shared = a.join(b, ["cx", "cy"]).agg(
+        F.sum(
+            F.col("xa").cast("decimal(18,0)")
+            * F.col("xb").cast("decimal(18,0)")
+        ).alias("sab"),
+        F.count(F.lit(1)).alias("n_shared_cells"),
+    )
+    j = shared.join(F.broadcast(ga)).join(F.broadcast(gb))
+    # COALESCE: disjoint layers have an empty shared frame — the sum
+    # is NULL there, and "no co-occupancy" is CQ = 0, not unknown
+    return j.selectExpr(
+        "n_a",
+        "n_b",
+        "n_shared_cells",
+        f"CAST((CAST({n_frame_cells} AS DECIMAL(38,0)) "
+        "* COALESCE(sab, 0) * 1000000) "
+        "div (CAST(s_a AS DECIMAL(38,0)) * s_b) AS BIGINT) "
+        "AS coloc_ppm",
+    )
+
+
+def sql_colocation_quotient(
+    cells_a_sql: str,
+    cells_b_sql: str,
+    n_frame_cells: int,
+) -> str:
+    """DuckDB twin — inputs are SQL producing (cx, cy, x) rasters."""
+    return (
+        f"WITH ca AS ({cells_a_sql}), cb AS ({cells_b_sql}), "
+        f"ga AS (SELECT SUM(x) AS s_a, COUNT(*) AS n_a FROM ca), "
+        f"gb AS (SELECT SUM(x) AS s_b, COUNT(*) AS n_b FROM cb), "
+        f"sh AS (SELECT SUM(CAST(ca.x AS HUGEINT) * cb.x) AS sab, "
+        f"COUNT(*) AS n_shared_cells FROM ca JOIN cb "
+        f"ON ca.cx = cb.cx AND ca.cy = cb.cy) "
+        f"SELECT n_a, n_b, n_shared_cells, "
+        f"CAST((CAST({n_frame_cells} AS HUGEINT) * COALESCE(sab, 0) * 1000000) // "
+        f"(CAST(s_a AS HUGEINT) * s_b) AS BIGINT) AS coloc_ppm "
+        f"FROM sh, ga, gb"
     )

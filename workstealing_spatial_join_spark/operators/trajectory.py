@@ -48,6 +48,8 @@ __all__ = [
     "sql_mk_trend",
     "tile_visitor_concentration",
     "sql_tile_visitor_concentration",
+    "tile_change_detection",
+    "sql_tile_change_detection",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -320,4 +322,79 @@ def sql_tile_visitor_concentration(events_sql: str) -> str:
         "CAST((same * 1000000) // "
         "(CAST(n_visits AS HUGEINT) * (n_visits - 1)) AS BIGINT) "
         "AS same_user_ppm FROM pt WHERE n_visits >= 2"
+    )
+
+
+def tile_change_detection(events: DataFrame) -> DataFrame:
+    """Temporal change detection over the tile raster — the
+    remote-sensing gain/loss/stable classification applied to visit
+    densities: split the corpus at the midpoint day, count per tile
+    the visits in each half, classify with EXACT cross-multiplied
+    thresholds — ``(tx, ty, n_first, n_second, cls)`` with
+
+        NEW    n_first = 0          GONE   n_second = 0
+        GAIN   2·n_second ≥ 3·n_first      (≥ +50 %)
+        LOSS   2·n_first  ≥ 3·n_second     (≤ −33 %)
+        STABLE otherwise
+
+    — no float ratio anywhere, so a tile at exactly +50 % classifies
+    identically in both engines. The split day ⌊(min+max+1)/2⌋ comes
+    from a one-row broadcast (non-negative days, div = floor).
+
+    Plan: the sticky-position window exchange, the one-row min/max
+    day aggregate broadcast onto the positions, then ONE tile
+    groupBy with conditional sums — counting both halves in one pass
+    instead of building two rasters and full-outer-joining them
+    (the join's null-handling IS the classic source of missed NEW/
+    GONE tiles; the conditional-sum form can't miss them)."""
+    pos = sticky_positions(events)
+    days = pos.select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("day"),
+        "tx",
+        "ty",
+    )
+    split = days.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) div 2").alias("split_day")
+    )
+    out = (
+        days.join(F.broadcast(split))
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("split_day"), 1).otherwise(0)
+            ).alias("n_first"),
+            F.sum(
+                F.when(F.col("day") >= F.col("split_day"), 1).otherwise(0)
+            ).alias("n_second"),
+        )
+    )
+    return out.withColumn(
+        "cls",
+        F.expr(
+            "CASE WHEN n_first = 0 THEN 'NEW' "
+            "WHEN n_second = 0 THEN 'GONE' "
+            "WHEN 2 * n_second >= 3 * n_first THEN 'GAIN' "
+            "WHEN 2 * n_first >= 3 * n_second THEN 'LOSS' "
+            "ELSE 'STABLE' END"
+        ),
+    )
+
+
+def sql_tile_change_detection(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "d AS (SELECT tx, ty, epoch_us(ts) // 86400000000 AS day "
+        "FROM pos), "
+        "sp AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS split_day "
+        "FROM d), "
+        "agg AS (SELECT tx, ty, "
+        "SUM(CASE WHEN day < split_day THEN 1 ELSE 0 END) AS n_first, "
+        "SUM(CASE WHEN day >= split_day THEN 1 ELSE 0 END) AS n_second "
+        "FROM d, sp GROUP BY 1, 2) "
+        "SELECT tx, ty, n_first, n_second, "
+        "CASE WHEN n_first = 0 THEN 'NEW' "
+        "WHEN n_second = 0 THEN 'GONE' "
+        "WHEN 2 * n_second >= 3 * n_first THEN 'GAIN' "
+        "WHEN 2 * n_first >= 3 * n_second THEN 'LOSS' "
+        "ELSE 'STABLE' END AS cls FROM agg"
     )
