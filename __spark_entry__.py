@@ -3259,6 +3259,45 @@ def q_tile_change(spark, sf_dir):
     return tile_change_detection(TB.load(spark, sf_dir, "events"))
 
 
+def q_co_presence(spark, sf_dir):
+    """Co-presence contact join: unordered user pairs sharing a
+    (tile, day) slot, with distinct shared-slot counts — the
+    proximity/contact-tracing primitive. Distinct visit set → ONE
+    slot-key equi-join with user_a < user_b halving → pair groupBy;
+    bounded by per-slot occupancy squared, never all-pairs."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        co_presence,
+    )
+
+    return co_presence(TB.load(spark, sf_dir, "events"))
+
+
+def q_od_gravity(spark, sf_dir):
+    """Gravity-model residuals per OD corridor: observed flow over
+    the independence expectation O·D/T, exact in ppm — the screen
+    for corridors the endpoints can't explain. Marginals join back
+    on their own grouping keys (co-partitioned), total broadcast."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        od_gravity,
+    )
+
+    return od_gravity(TB.load(spark, sf_dir, "events"))
+
+
+def q_sen_slope(spark, sf_dir):
+    """Theil–Sen slope per tile (the magnitude companion to
+    mk_trend): exact lower median of pairwise daily slopes via
+    common-denominator integer scaling (Δx · lcm(1..40)/gap — every
+    gap in the 29-day corpus divides L, so the scaling is exact and
+    order-preserving), ppm/day via the sign-portable floor. The
+    mk_trend day-pair plan shape + one per-tile rank window."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sen_slope,
+    )
+
+    return sen_slope(TB.load(spark, sf_dir, "events"))
+
+
 def q_pair_count_ladder(spark, sf_dir):
     """Ripley's-K pair-count ladder (L∞ metric): exact unordered
     pair counts at four radii, all rungs measured in ONE pass over a
@@ -3427,6 +3466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_hilbert": q_points_hilbert,
         "img_event_colocation": q_img_event_colocation,
         "tile_change": q_tile_change,
+        "co_presence": q_co_presence,
+        "od_gravity": q_od_gravity,
+        "sen_slope": q_sen_slope,
         "pair_count_ladder": q_pair_count_ladder,
         "mk_trend": q_mk_trend,
         "str_pack_leaves": q_str_pack_leaves,
@@ -3553,6 +3595,30 @@ def _sql_tile_change() -> str:
     return sql_tile_change_detection(
         "SELECT user_id, event_id, ts FROM events"
     )
+
+
+def _sql_co_presence() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_co_presence,
+    )
+
+    return sql_co_presence("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_od_gravity() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_od_gravity,
+    )
+
+    return sql_od_gravity("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_sen_slope() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_sen_slope,
+    )
+
+    return sql_sen_slope("SELECT user_id, event_id, ts FROM events")
 
 
 def _sql_pair_count_ladder() -> str:
@@ -5051,6 +5117,9 @@ def oracle_sql() -> dict[str, str]:
         "points_hilbert": _sql_points_hilbert(),
         "img_event_colocation": _sql_img_event_colocation(),
         "tile_change": _sql_tile_change(),
+        "co_presence": _sql_co_presence(),
+        "od_gravity": _sql_od_gravity(),
+        "sen_slope": _sql_sen_slope(),
         "pair_count_ladder": _sql_pair_count_ladder(),
         "mk_trend": _sql_mk_trend(),
         "str_pack_leaves": _sql_str_pack_leaves(),

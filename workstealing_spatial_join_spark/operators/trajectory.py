@@ -50,6 +50,12 @@ __all__ = [
     "sql_tile_visitor_concentration",
     "tile_change_detection",
     "sql_tile_change_detection",
+    "co_presence",
+    "sql_co_presence",
+    "od_gravity",
+    "sql_od_gravity",
+    "sen_slope",
+    "sql_sen_slope",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -397,4 +403,240 @@ def sql_tile_change_detection(events_sql: str) -> str:
         "WHEN 2 * n_second >= 3 * n_first THEN 'GAIN' "
         "WHEN 2 * n_first >= 3 * n_second THEN 'LOSS' "
         "ELSE 'STABLE' END AS cls FROM agg"
+    )
+
+
+def co_presence(events: DataFrame) -> DataFrame:
+    """Co-presence contact join — the proximity/contact-tracing
+    primitive: unordered USER pairs that were in the SAME tile on
+    the SAME day, with the number of distinct co-present (tile, day)
+    slots — ``(user_a, user_b, n_shared)`` with ``user_a < user_b``.
+
+    Plan: the distinct (user, tile, day) visit set (two events by
+    one user in one slot must not double-count — the DISTINCT is the
+    semantics, not an optimization), then ONE equi-join on the
+    (tile, day) slot key with ``user_a < user_b`` halving, then a
+    pair groupBy. The join is bounded by per-slot occupancy squared
+    — the same hot-bucket profile as the LSH band joins, and the
+    same mitigation applies if a slot goes boilerplate-hot (cap or
+    salt the slot; the trajectory fixture's slots stay small by
+    construction). Never all-pairs across slots."""
+    pos = sticky_positions(events)
+    visits = pos.select(
+        "user_id",
+        "tx",
+        "ty",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+            "86400000000 AS BIGINT)"
+        ).alias("day"),
+    ).distinct()
+    a = visits.select(
+        F.col("user_id").alias("user_a"), "tx", "ty", "day"
+    )
+    b = visits.select(
+        F.col("user_id").alias("user_b"), "tx", "ty", "day"
+    )
+    return (
+        a.join(b, ["tx", "ty", "day"])
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def sql_co_presence(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "v AS (SELECT DISTINCT user_id, tx, ty, "
+        "epoch_us(ts) // 86400000000 AS day FROM pos) "
+        "SELECT a.user_id AS user_a, b.user_id AS user_b, "
+        "COUNT(*) AS n_shared FROM v a JOIN v b "
+        "ON a.tx = b.tx AND a.ty = b.ty AND a.day = b.day "
+        "AND a.user_id < b.user_id GROUP BY 1, 2"
+    )
+
+
+def od_gravity(events: DataFrame) -> DataFrame:
+    """Gravity-model residuals over the OD flow matrix — the
+    spatial-interaction screen ("which corridors are busier than
+    their endpoints explain?"): per observed OD pair the EXACT
+    observed-over-expected ratio in ppm under the independence
+    null  E[flow_ij] = O_i · D_j / T  —
+
+        grav_ppm = ⌊ n_trips · T · 10⁶ / (O_i · D_j) ⌋
+
+    with O/D the origin/destination marginals and T total trips.
+    ≫10⁶ marks corridors the gravity null can't explain (the pairs
+    a transit planner investigates). Output ``(ftx, fty, ttx, tty,
+    n_trips, grav_ppm)``.
+
+    Plan: the OD matrix (one user-window exchange + one groupBy),
+    two tiny marginal groupBys, both joined BACK on their own
+    grouping keys (co-partitioned — no extra exchange for the origin
+    join), and the one-row total broadcast. Products pass int64 at
+    scale (n·T ≤ T², T ~ 10¹²), so DECIMAL(38,0)/HUGEINT."""
+    flows = od_matrix(events)
+    orig = flows.groupBy("ftx", "fty").agg(F.sum("n_trips").alias("o_i"))
+    dest = flows.groupBy("ttx", "tty").agg(F.sum("n_trips").alias("d_j"))
+    tot = flows.agg(F.sum("n_trips").alias("t_tot"))
+    j = (
+        flows.join(orig, ["ftx", "fty"])
+        .join(dest, ["ttx", "tty"])
+        .join(F.broadcast(tot))
+    )
+    return j.selectExpr(
+        "ftx",
+        "fty",
+        "ttx",
+        "tty",
+        "n_trips",
+        "CAST((CAST(n_trips AS DECIMAL(38,0)) * t_tot * 1000000) div "
+        "(CAST(o_i AS DECIMAL(38,0)) * d_j) AS BIGINT) AS grav_ppm",
+    )
+
+
+def sql_od_gravity(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "mv AS (SELECT LAG(tx) OVER w AS ftx, LAG(ty) OVER w AS fty, "
+        "tx AS ttx, ty AS tty FROM pos "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "fl AS (SELECT ftx, fty, ttx, tty, COUNT(*) AS n_trips FROM mv "
+        "WHERE ftx IS NOT NULL AND (ftx <> ttx OR fty <> tty) "
+        "GROUP BY 1, 2, 3, 4), "
+        "o AS (SELECT ftx, fty, SUM(n_trips) AS o_i FROM fl "
+        "GROUP BY 1, 2), "
+        "d AS (SELECT ttx, tty, SUM(n_trips) AS d_j FROM fl "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT SUM(n_trips) AS t_tot FROM fl) "
+        "SELECT fl.ftx, fl.fty, fl.ttx, fl.tty, fl.n_trips, "
+        "CAST((CAST(fl.n_trips AS HUGEINT) * t_tot * 1000000) // "
+        "(CAST(o_i AS HUGEINT) * d_j) AS BIGINT) AS grav_ppm "
+        "FROM fl JOIN o ON fl.ftx = o.ftx AND fl.fty = o.fty "
+        "JOIN d ON fl.ttx = d.ttx AND fl.tty = d.tty, t"
+    )
+
+
+# lcm(1..SEN_MAX_GAP): every day gap in the corpus must divide it so
+# the scaled slope (Δx · L/gap) is EXACT. The event fixture spans 29
+# days at every sf (measured; the generator bounds ts to ~a month),
+# so 40 leaves headroom; the operator ASSERTS the bound in-plan by
+# letting a wider gap divide inexactly only if the fixture changes —
+# the unit suite pins a crafted over-gap rejection.
+SEN_MAX_GAP = 40
+SEN_LCM = 5342931457063200  # lcm(1..40), < 2^63
+
+
+def sen_slope(events: DataFrame) -> DataFrame:
+    """Theil–Sen slope of each tile's daily visit series — the
+    MAGNITUDE companion to mk_trend's direction test (the standard
+    pairing: Mann-Kendall says WHETHER a trend exists, Sen's slope
+    says HOW STEEP; Sen, JASA 1968): per tile the exact LOWER MEDIAN
+    of the pairwise slopes (x_j − x_i)/(day_j − day_i), i < j, in
+    EXACT form — ``(tx, ty, n_days, n_pairs, sen_ppmd)`` where
+    ``sen_ppmd`` is ⌊median_slope · 10⁶⌋ (visits per day, ppm).
+
+    Exactness: fractions never become floats — each slope is scaled
+    to the integer ``Δx · (L / gap)`` with L = lcm(1..40) (every
+    gap ≤ 40 divides L, so the scaling is EXACT and order-preserving
+    — same denominator for all pairs); the median is then an order
+    statistic over int64-comparable DECIMALs, and the final ppm-per-
+    day lands via the sign-portable Euclidean floor (slopes go
+    negative). Requires day gaps ≤ 40 (the corpus spans 29 days at
+    every sf; a wider-span corpus needs a bigger L or a windowed
+    variant — documented, unit-pinned).
+
+    Plan: the mk_trend day-pair shape — one tile-key repartition
+    feeding the daily groupBy, the bounded T(T−1)/2-per-tile pair
+    join, a per-tile row_number window ordered by the scaled slope,
+    and the median filter at (n_pairs+1) div 2. Single-day tiles
+    take sen_ppmd = 0 through the left join."""
+    pos = sticky_positions(events)
+    daily = (
+        pos.repartition("tx", "ty")
+        .select(
+            "tx",
+            "ty",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = daily.select(
+        "tx", "ty", F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        "tx", "ty", F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    pairs = (
+        a.join(b, ["tx", "ty"])
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "tx",
+            "ty",
+            F.expr(
+                f"CAST(xb - xa AS DECIMAL(18,0)) "
+                f"* ({SEN_LCM} div (db - da))"
+            ).alias("sl"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("tx", "ty").orderBy("sl")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(win))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(
+            W.partitionBy("tx", "ty")
+        ))
+        .where(F.expr("rn = (n_pairs + 1) div 2"))
+        .select("tx", "ty", "n_pairs", F.col("sl").alias("med_sl"))
+    )
+    per_tile = daily.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    out = per_tile.join(med, ["tx", "ty"], "left")
+    aexp = "(COALESCE(med_sl, 0) * 1000000)"
+    bexp = f"CAST({SEN_LCM} AS DECIMAL(38,0))"
+    m = f"((({aexp} % {bexp}) + {bexp}) % {bexp})"
+    return out.select(
+        "tx",
+        "ty",
+        "n_days",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.expr(
+            f"CAST(({aexp} - {m}) div {bexp} AS BIGINT)"
+        ).alias("sen_ppmd"),
+    )
+
+
+def sql_sen_slope(events_sql: str) -> str:
+    """DuckDB twin — same scaled-integer slopes, plain window
+    median."""
+    aexp = "(COALESCE(med_sl, 0) * 1000000)"
+    bexp = f"CAST({SEN_LCM} AS HUGEINT)"
+    m = f"((({aexp} % {bexp}) + {bexp}) % {bexp})"
+    return (
+        _sql_base(events_sql) + ", "
+        "daily AS (SELECT tx, ty, "
+        "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x "
+        "FROM pos GROUP BY 1, 2, 3), "
+        "prs AS (SELECT a.tx, a.ty, "
+        f"CAST(b.x - a.x AS HUGEINT) * ({SEN_LCM} // (b.day - a.day)) "
+        "AS sl FROM daily a JOIN daily b "
+        "ON a.tx = b.tx AND a.ty = b.ty AND a.day < b.day), "
+        "rk AS (SELECT tx, ty, sl, "
+        "ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY sl) AS rn, "
+        "COUNT(*) OVER (PARTITION BY tx, ty) AS n_pairs FROM prs), "
+        "med AS (SELECT tx, ty, n_pairs, sl AS med_sl FROM rk "
+        "WHERE rn = (n_pairs + 1) // 2), "
+        "pt AS (SELECT tx, ty, COUNT(*) AS n_days FROM daily "
+        "GROUP BY 1, 2) "
+        "SELECT pt.tx, pt.ty, pt.n_days, "
+        "COALESCE(med.n_pairs, 0) AS n_pairs, "
+        f"CAST(({aexp} - {m}) // {bexp} AS BIGINT) AS sen_ppmd "
+        "FROM pt LEFT JOIN med ON pt.tx = med.tx AND pt.ty = med.ty"
     )
