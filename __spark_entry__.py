@@ -1101,6 +1101,109 @@ def sql_phash_neardup(max_hamming: int = 3) -> str:
     )
 
 
+GEO_OUTLIER_SPREAD = 5       # 1° cells — "far apart" for exact dups
+SHORT_CAPTION_TOKENS = 4     # captions below this are low-quality
+
+
+def q_image_dup_clusters(spark, sf_dir):
+    """Near-duplicate image CLUSTER catalog: hash-min label
+    propagation over the phash hamming ≤ 3 edge list (pigeonhole
+    candidates — exact recall, never all-pairs), then a per-cluster
+    rollup with the 1° spatial spread — ``(component, n_images,
+    spread_cells)``. The image-side twin of neardup_components +
+    dbscan_cluster_stats: the catalog a dedup pass reads to pick one
+    keeper per cluster, with the spread column separating burst
+    shots (spread 0) from stock photos recurring across continents.
+    Oracle: exact recursive-CTE closure over the SAME recomputed
+    edge list + the same rollup."""
+    from workstealing_spatial_join_spark.functions import grid as GRID
+    from workstealing_spatial_join_spark.operators.dedup import (
+        phash_neardup,
+    )
+    from workstealing_spatial_join_spark.operators.graph import (
+        connected_components,
+    )
+
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    pairs = phash_neardup(img, max_hamming=3)
+    comp = connected_components(pairs, "image_id_a", "image_id_b")
+    cells = img.select(
+        "image_id",
+        GRID.cell_x_col(F.col("lon"), 1.0).alias("cx"),
+        GRID.cell_y_col(F.col("lat"), 1.0).alias("cy"),
+    )
+    return (
+        comp.join(cells, comp["node"] == cells["image_id"])
+        .groupBy(F.col("comp").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.greatest(
+                F.max("cx") - F.min("cx"), F.max("cy") - F.min("cy")
+            ).alias("spread_cells"),
+        )
+    )
+
+
+def q_phash_geo_outliers(spark, sf_dir):
+    """Geo-outlying exact duplicates — the stolen/stock-photo
+    detector: phash values appearing on ≥ 2 images whose 1° cells
+    spread at least GEO_OUTLIER_SPREAD apart (Chebyshev). A burst of
+    shots of one landmark shares a cell; the same pixel-identical
+    image 'taken' on two continents is a data-integrity signal no
+    per-image filter can see. ONE map-side-combinable groupBy on
+    phash with min/max cell aggregates + HAVING — the cheapest query
+    in the image family."""
+    from workstealing_spatial_join_spark.functions import grid as GRID
+
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    cells = img.select(
+        "phash",
+        GRID.cell_x_col(F.col("lon"), 1.0).alias("cx"),
+        GRID.cell_y_col(F.col("lat"), 1.0).alias("cy"),
+    )
+    g = cells.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.greatest(
+            F.max("cx") - F.min("cx"), F.max("cy") - F.min("cy")
+        ).alias("spread_cells"),
+    )
+    return g.where(
+        (F.col("n_copies") >= 2)
+        & (F.col("spread_cells") >= GEO_OUTLIER_SPREAD)
+    )
+
+
+def q_tile_caption_stats(spark, sf_dir):
+    """Per-tile caption-quality manifest — the text-side screen a
+    captioned-image pipeline runs per region before training:
+    ``(cx, cy, n_images, tot_tokens, tokens_per_img_ppm, n_short)``
+    with whitespace token counts (the engine's token_count
+    convention), the exact ppm mean, and the count of captions under
+    SHORT_CAPTION_TOKENS tokens. Map-side token counting + ONE
+    groupBy."""
+    from workstealing_spatial_join_spark.functions import grid as GRID
+    from workstealing_spatial_join_spark.operators.textops import (
+        token_count_col,
+    )
+
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    rows = img.select(
+        GRID.cell_x_col(F.col("lon"), 1.0).alias("cx"),
+        GRID.cell_y_col(F.col("lat"), 1.0).alias("cy"),
+        token_count_col(F.col("caption")).cast("long").alias("tok"),
+    )
+    return rows.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("tok").alias("tot_tokens"),
+        F.expr(
+            "CAST(SUM(tok) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("tokens_per_img_ppm"),
+        F.sum(
+            F.when(F.col("tok") < SHORT_CAPTION_TOKENS, 1).otherwise(0)
+        ).alias("n_short"),
+    )
+
+
 def q_setsim_exact_pairs(spark, sf_dir):
     """EXACT set-similarity self-join (AllPairs prefix filtering,
     Bayardo et al. WWW'07) — the zero-false-negative, zero-false-
@@ -3469,6 +3572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_presence": q_co_presence,
         "od_gravity": q_od_gravity,
         "sen_slope": q_sen_slope,
+        "image_dup_clusters": q_image_dup_clusters,
+        "phash_geo_outliers": q_phash_geo_outliers,
+        "tile_caption_stats": q_tile_caption_stats,
         "pair_count_ladder": q_pair_count_ladder,
         "mk_trend": q_mk_trend,
         "str_pack_leaves": q_str_pack_leaves,
@@ -3619,6 +3725,79 @@ def _sql_sen_slope() -> str:
     )
 
     return sql_sen_slope("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_image_dup_clusters() -> str:
+    from workstealing_spatial_join_spark.functions.grid import (
+        sql_cell_x,
+        sql_cell_y,
+    )
+    from workstealing_spatial_join_spark.operators.graph import (
+        sql_connected_components,
+    )
+
+    edges = (
+        "SELECT image_id_a AS a, image_id_b AS b FROM ("
+        + sql_phash_neardup(3)
+        + ")"
+    )
+    cx = sql_cell_x("lon", 1.0)
+    cy = sql_cell_y("lat", 1.0)
+    return (
+        "WITH RECURSIVE "
+        + sql_connected_components(edges)
+        + "SELECT component, COUNT(*) AS n_images, "
+        "GREATEST(MAX(cx) - MIN(cx), MAX(cy) - MIN(cy)) "
+        "AS spread_cells FROM "
+        "(SELECT src AS image_id, MIN(dst) AS component FROM reach "
+        "GROUP BY src) comp JOIN "
+        f"(SELECT image_id, {cx} AS cx, {cy} AS cy FROM "
+        f"read_parquet('{_IMAGES_META_PATH}/*.parquet')) imgc "
+        "USING (image_id) GROUP BY component"
+    )
+
+
+def _sql_phash_geo_outliers() -> str:
+    from workstealing_spatial_join_spark.functions.grid import (
+        sql_cell_x,
+        sql_cell_y,
+    )
+
+    cx = sql_cell_x("lon", 1.0)
+    cy = sql_cell_y("lat", 1.0)
+    return (
+        f"WITH c AS (SELECT phash, {cx} AS cx, {cy} AS cy FROM "
+        f"read_parquet('{_IMAGES_META_PATH}/*.parquet')) "
+        "SELECT phash, COUNT(*) AS n_copies, "
+        "GREATEST(MAX(cx) - MIN(cx), MAX(cy) - MIN(cy)) AS spread_cells "
+        "FROM c GROUP BY phash HAVING COUNT(*) >= 2 AND "
+        f"GREATEST(MAX(cx) - MIN(cx), MAX(cy) - MIN(cy)) "
+        f">= {GEO_OUTLIER_SPREAD}"
+    )
+
+
+def _sql_tile_caption_stats() -> str:
+    from workstealing_spatial_join_spark.functions.grid import (
+        sql_cell_x,
+        sql_cell_y,
+    )
+
+    cx = sql_cell_x("lon", 1.0)
+    cy = sql_cell_y("lat", 1.0)
+    tok = (
+        "CASE WHEN LENGTH(TRIM(caption)) = 0 THEN 0 ELSE "
+        r"CAST(LENGTH(regexp_split_to_array(TRIM(caption), '\s+')) "
+        "AS BIGINT) END"
+    )
+    return (
+        f"WITH r AS (SELECT {cx} AS cx, {cy} AS cy, {tok} AS tok FROM "
+        f"read_parquet('{_IMAGES_META_PATH}/*.parquet')) "
+        "SELECT cx, cy, COUNT(*) AS n_images, SUM(tok) AS tot_tokens, "
+        "CAST(SUM(tok) * 1000000 // COUNT(*) AS BIGINT) "
+        "AS tokens_per_img_ppm, "
+        f"SUM(CASE WHEN tok < {SHORT_CAPTION_TOKENS} THEN 1 ELSE 0 END) "
+        "AS n_short FROM r GROUP BY cx, cy"
+    )
 
 
 def _sql_pair_count_ladder() -> str:
@@ -5120,6 +5299,9 @@ def oracle_sql() -> dict[str, str]:
         "co_presence": _sql_co_presence(),
         "od_gravity": _sql_od_gravity(),
         "sen_slope": _sql_sen_slope(),
+        "image_dup_clusters": _sql_image_dup_clusters(),
+        "phash_geo_outliers": _sql_phash_geo_outliers(),
+        "tile_caption_stats": _sql_tile_caption_stats(),
         "pair_count_ladder": _sql_pair_count_ladder(),
         "mk_trend": _sql_mk_trend(),
         "str_pack_leaves": _sql_str_pack_leaves(),
