@@ -3401,6 +3401,79 @@ def q_sen_slope(spark, sf_dir):
     return sen_slope(TB.load(spark, sf_dir, "events"))
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Emerging-hot-spot classification (the ESRI pattern-mining
+    composition: per-tile hot/cold × Mann-Kendall trend →
+    INTENSIFYING / PERSISTENT / DIMINISHING / EMERGING / NONE) with
+    both inputs exact — the hot gate is the cross-multiplied
+    x·T ≥ 2·S so no float mean exists, and MK-S is rank-based
+    integers. The mk_trend day-pair plan + one co-partitioned tile
+    join + a one-row broadcast."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        emerging_hotspots,
+    )
+
+    return emerging_hotspots(TB.load(spark, sf_dir, "events"))
+
+
+def q_tile_bursts(spark, sf_dir):
+    """Burst-day anomaly screen: (tile, day) buckets at ≥ 3× the
+    tile's own daily mean, by exact cross-multiplication — only the
+    bursting days are emitted (the quiet days ARE the corpus at
+    scale). One tile-key repartition feeds the daily groupBy, the
+    per-tile totals, and the join back."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        tile_bursts,
+    )
+
+    return tile_bursts(TB.load(spark, sf_dir, "events"))
+
+
+def q_img_hotspot_dist(spark, sf_dir):
+    """Cross-layer enrichment: per image, the exact hop distance
+    from its grid cell to the NEAREST event hot spot — the
+    'how far is this capture from where the activity is' feature a
+    geo-aware training pipeline attaches to every image. Composition
+    evidence: the multi-source-BFS distance field (dist_to_hotspot)
+    joins onto the image layer like any other frame. Images in
+    cells unreachable within the hop bound are absent (documented —
+    at 10^12 images the reachable band is the working set). The
+    image lon/lat maps to the SAME milli grid as the point layer via
+    floor(lon·1000) — one deterministic IEEE multiply+floor in both
+    engines."""
+    from workstealing_spatial_join_spark.operators.graph import (
+        multi_source_bfs,
+        occupied_cell_edges,
+    )
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        cell_counts,
+    )
+
+    pts = TB.customer_cluster_points(spark, sf_dir)
+    seeds = (
+        cell_counts(pts)
+        .where(F.col("x") >= HOTSPOT_MIN_PTS)
+        .select(F.col("cx").alias("nx"), F.col("cy").alias("ny"))
+    )
+    field = multi_source_bfs(occupied_cell_edges(pts), seeds)
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    cell = 8192
+    icells = img.select(
+        "image_id",
+        F.expr(
+            f"((CAST(FLOOR(lon * 1000.0) AS BIGINT) - "
+            f"(((CAST(FLOOR(lon * 1000.0) AS BIGINT) % {cell}) + {cell}) "
+            f"% {cell})) div {cell})"
+        ).alias("nx"),
+        F.expr(
+            f"((CAST(FLOOR(lat * 1000.0) AS BIGINT) - "
+            f"(((CAST(FLOOR(lat * 1000.0) AS BIGINT) % {cell}) + {cell}) "
+            f"% {cell})) div {cell})"
+        ).alias("ny"),
+    )
+    return icells.join(field, ["nx", "ny"]).select("image_id", "hop")
+
+
 def q_pair_count_ladder(spark, sf_dir):
     """Ripley's-K pair-count ladder (L∞ metric): exact unordered
     pair counts at four radii, all rungs measured in ONE pass over a
@@ -3575,6 +3648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_clusters": q_image_dup_clusters,
         "phash_geo_outliers": q_phash_geo_outliers,
         "tile_caption_stats": q_tile_caption_stats,
+        "emerging_hotspots": q_emerging_hotspots,
+        "tile_bursts": q_tile_bursts,
+        "img_hotspot_dist": q_img_hotspot_dist,
         "pair_count_ladder": q_pair_count_ladder,
         "mk_trend": q_mk_trend,
         "str_pack_leaves": q_str_pack_leaves,
@@ -3725,6 +3801,58 @@ def _sql_sen_slope() -> str:
     )
 
     return sql_sen_slope("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_emerging_hotspots() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_emerging_hotspots,
+    )
+
+    return sql_emerging_hotspots(
+        "SELECT user_id, event_id, ts FROM events"
+    )
+
+
+def _sql_tile_bursts() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_tile_bursts,
+    )
+
+    return sql_tile_bursts("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_img_hotspot_dist() -> str:
+    from workstealing_spatial_join_spark.operators.graph import (
+        sql_multi_source_bfs,
+        sql_occupied_cell_edges,
+    )
+
+    cell = 8192
+    fx = f"((mx - (((mx % {cell}) + {cell}) % {cell})) // {cell})"
+    fy = f"((my - (((my % {cell}) + {cell}) % {cell})) // {cell})"
+    seeds = (
+        f"SELECT {fx} AS nx, {fy} AS ny FROM ({TB.SQL_CLUSTER_POINTS}) "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {HOTSPOT_MIN_PTS}"
+    )
+    field = sql_multi_source_bfs(
+        sql_occupied_cell_edges(TB.SQL_CLUSTER_POINTS), seeds
+    )
+    ix = (
+        f"((CAST(FLOOR(lon * 1000.0) AS BIGINT) - "
+        f"(((CAST(FLOOR(lon * 1000.0) AS BIGINT) % {cell}) + {cell}) "
+        f"% {cell})) // {cell})"
+    )
+    iy = (
+        f"((CAST(FLOOR(lat * 1000.0) AS BIGINT) - "
+        f"(((CAST(FLOOR(lat * 1000.0) AS BIGINT) % {cell}) + {cell}) "
+        f"% {cell})) // {cell})"
+    )
+    return (
+        f"WITH fld AS (SELECT * FROM ({field})), "
+        f"ic AS (SELECT image_id, {ix} AS nx, {iy} AS ny FROM "
+        f"read_parquet('{_IMAGES_META_PATH}/*.parquet')) "
+        f"SELECT image_id, hop FROM ic JOIN fld USING (nx, ny)"
+    )
 
 
 def _sql_image_dup_clusters() -> str:
@@ -5302,6 +5430,9 @@ def oracle_sql() -> dict[str, str]:
         "image_dup_clusters": _sql_image_dup_clusters(),
         "phash_geo_outliers": _sql_phash_geo_outliers(),
         "tile_caption_stats": _sql_tile_caption_stats(),
+        "emerging_hotspots": _sql_emerging_hotspots(),
+        "tile_bursts": _sql_tile_bursts(),
+        "img_hotspot_dist": _sql_img_hotspot_dist(),
         "pair_count_ladder": _sql_pair_count_ladder(),
         "mk_trend": _sql_mk_trend(),
         "str_pack_leaves": _sql_str_pack_leaves(),

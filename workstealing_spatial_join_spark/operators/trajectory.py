@@ -56,6 +56,10 @@ __all__ = [
     "sql_od_gravity",
     "sen_slope",
     "sql_sen_slope",
+    "emerging_hotspots",
+    "sql_emerging_hotspots",
+    "tile_bursts",
+    "sql_tile_bursts",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -639,4 +643,181 @@ def sql_sen_slope(events_sql: str) -> str:
         "COALESCE(med.n_pairs, 0) AS n_pairs, "
         f"CAST(({aexp} - {m}) // {bexp} AS BIGINT) AS sen_ppmd "
         "FROM pt LEFT JOIN med ON pt.tx = med.tx AND pt.ty = med.ty"
+    )
+
+
+HOT_MULT = 2    # hot tile: total ≥ HOT_MULT × corpus mean per tile
+BURST_MULT = 3  # burst day: count ≥ BURST_MULT × the tile's daily mean
+
+
+def emerging_hotspots(events: DataFrame) -> DataFrame:
+    """Emerging-hot-spot CLASSIFICATION — the step after the
+    space-time-cube statistics (ESRI's emerging-hot-spot tool runs
+    exactly this composition: a hot/cold test per location combined
+    with the Mann-Kendall trend of its time series): per tile the
+    exact hot flag (total visits ≥ HOT_MULT × the corpus mean per
+    tile, cross-multiplied x·T ≥ HOT_MULT·S — no float mean exists)
+    and the MK-S trend sign, combined into
+    ``(tx, ty, n_visits, mk_s, cls)`` with cls ∈
+
+        INTENSIFYING  hot, strengthening     (mk_s > 0)
+        PERSISTENT    hot, steady            (mk_s = 0)
+        DIMINISHING   hot, weakening         (mk_s < 0)
+        EMERGING      not hot yet, rising    (mk_s > 0)
+        NONE          otherwise
+
+    Plan: the mk_trend day-pair machinery (one tile-key repartition
+    shared by the daily groupBy, the bounded T(T−1)/2 pair join and
+    the per-tile aggregates), ONE more join on the tile key — co-
+    partitioned, no new exchange class — and the one-row corpus
+    totals broadcast."""
+    pos = sticky_positions(events)
+    daily = (
+        pos.repartition("tx", "ty")
+        .select(
+            "tx",
+            "ty",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = daily.select(
+        "tx", "ty", F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        "tx", "ty", F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    mk = (
+        a.join(b, ["tx", "ty"])
+        .where(F.col("da") < F.col("db"))
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(
+                F.signum(F.col("xb") - F.col("xa")).cast("long")
+            ).alias("mk_s")
+        )
+    )
+    per_tile = daily.groupBy("tx", "ty").agg(
+        F.sum("x").alias("n_visits")
+    )
+    glob = per_tile.agg(
+        F.sum("n_visits").alias("s_tot"),
+        F.count(F.lit(1)).alias("t_tiles"),
+    )
+    j = (
+        per_tile.join(mk, ["tx", "ty"], "left")
+        .join(F.broadcast(glob))
+        .select(
+            "tx",
+            "ty",
+            "n_visits",
+            F.coalesce(F.col("mk_s"), F.lit(0)).alias("mk_s"),
+            (
+                F.col("n_visits") * F.col("t_tiles")
+                >= F.lit(HOT_MULT) * F.col("s_tot")
+            ).alias("hot"),
+        )
+    )
+    return j.select(
+        "tx",
+        "ty",
+        "n_visits",
+        "mk_s",
+        F.expr(
+            "CASE WHEN hot AND mk_s > 0 THEN 'INTENSIFYING' "
+            "WHEN hot AND mk_s = 0 THEN 'PERSISTENT' "
+            "WHEN hot THEN 'DIMINISHING' "
+            "WHEN mk_s > 0 THEN 'EMERGING' "
+            "ELSE 'NONE' END"
+        ).alias("cls"),
+    )
+
+
+def sql_emerging_hotspots(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "daily AS (SELECT tx, ty, "
+        "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x "
+        "FROM pos GROUP BY 1, 2, 3), "
+        "mk AS (SELECT a.tx, a.ty, "
+        "CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS mk_s "
+        "FROM daily a JOIN daily b ON a.tx = b.tx AND a.ty = b.ty "
+        "AND a.day < b.day GROUP BY 1, 2), "
+        "pt AS (SELECT tx, ty, SUM(x) AS n_visits FROM daily "
+        "GROUP BY 1, 2), "
+        "g AS (SELECT SUM(n_visits) AS s_tot, COUNT(*) AS t_tiles "
+        "FROM pt), "
+        "c AS (SELECT pt.tx, pt.ty, pt.n_visits, "
+        "COALESCE(mk.mk_s, 0) AS mk_s, "
+        f"pt.n_visits * g.t_tiles >= {HOT_MULT} * g.s_tot AS hot "
+        "FROM pt LEFT JOIN mk ON pt.tx = mk.tx AND pt.ty = mk.ty, g) "
+        "SELECT tx, ty, n_visits, mk_s, "
+        "CASE WHEN hot AND mk_s > 0 THEN 'INTENSIFYING' "
+        "WHEN hot AND mk_s = 0 THEN 'PERSISTENT' "
+        "WHEN hot THEN 'DIMINISHING' "
+        "WHEN mk_s > 0 THEN 'EMERGING' "
+        "ELSE 'NONE' END AS cls FROM c"
+    )
+
+
+def tile_bursts(events: DataFrame) -> DataFrame:
+    """Per-tile burst days — the anomaly screen over the space-time
+    cube ("which tile-days spike above their own baseline?"): a
+    (tile, day) bucket bursts when its count is at least BURST_MULT
+    × the tile's own daily mean, decided by the exact cross-
+    multiplication  x · n_days ≥ BURST_MULT · tile_total  (the
+    per-tile mean never exists as a float). Only days ABOVE the
+    gate are emitted — at 10^12 events the quiet days are the
+    corpus. Output ``(tx, ty, day, x, tile_total, n_days)``.
+    Tiles need ≥ 2 active days (a single-day tile is its own mean
+    and would always 'burst' at MULT ≤ 1 — excluded as vacuous).
+
+    Plan: one tile-key repartition feeding the (tile, day) groupBy,
+    the per-tile totals, and the join back on the tile key."""
+    pos = sticky_positions(events)
+    daily = (
+        pos.repartition("tx", "ty")
+        .select(
+            "tx",
+            "ty",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    per_tile = daily.groupBy("tx", "ty").agg(
+        F.sum("x").alias("tile_total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        daily.join(per_tile, ["tx", "ty"])
+        .where(
+            (F.col("n_days") >= 2)
+            & (
+                F.col("x") * F.col("n_days")
+                >= F.lit(BURST_MULT) * F.col("tile_total")
+            )
+        )
+        .select("tx", "ty", "day", "x", "tile_total", "n_days")
+    )
+
+
+def sql_tile_bursts(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "daily AS (SELECT tx, ty, "
+        "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x "
+        "FROM pos GROUP BY 1, 2, 3), "
+        "pt AS (SELECT tx, ty, SUM(x) AS tile_total, "
+        "COUNT(*) AS n_days FROM daily GROUP BY 1, 2) "
+        "SELECT daily.tx, daily.ty, day, x, tile_total, n_days "
+        "FROM daily JOIN pt ON daily.tx = pt.tx AND daily.ty = pt.ty "
+        f"WHERE n_days >= 2 AND x * n_days >= {BURST_MULT} * tile_total"
     )
