@@ -3062,6 +3062,63 @@ def q_knox_spacetime(spark, sf_dir):
     return knox_statistic(cube)
 
 
+def q_jump_spectrum(spark, sf_dir):
+    """Jump-size displacement spectrum (González et al., Nature 2008
+    — the heavy-tail plot of human mobility): moved consecutive
+    sticky-epoch steps binned into exact octaves of squared tile
+    displacement. The octave is LENGTH(BIN(d2)) — the integer bit
+    length on the binary STRING — so no float log2 exists and the
+    power-of-two boundaries cannot misround in either engine."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        jump_spectrum,
+    )
+
+    return jump_spectrum(TB.load(spark, sf_dir, "events"))
+
+
+def q_voronoi_catchment(spark, sf_dir):
+    """Nearest-facility (Voronoi) allocation + catchment rollup —
+    location-allocation over the milli grid: every customer point
+    assigned to the closest of the s_suppkey ≡ 1 (mod 7) facility
+    subset under EXACT int64 squared Euclidean distance (ties break
+    to the smaller fid via one min(struct)); per-facility n_pts /
+    sum_d2 / max_d2. The facility side broadcasts; the demand side
+    never shuffles un-reduced."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        voronoi_catchment,
+    )
+
+    s = TB.load(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 7 == 1
+    )
+    fac = s.select(
+        F.col("s_suppkey").alias("fid"),
+        (F.col("s_suppkey") * 7817 % 360000 - 180000)
+        .cast("long")
+        .alias("fx"),
+        (F.col("s_suppkey") * 6271 % 180000 - 90000)
+        .cast("long")
+        .alias("fy"),
+    )
+    return voronoi_catchment(
+        TB.customer_points_milli(spark, sf_dir), fac
+    )
+
+
+def q_type_colocation_lift(spark, sf_dir):
+    """Space-time co-location lift between event types — the
+    market-basket lift statistic with (tile, day) slots as baskets
+    (Shekhar & Huang's co-location mining screen): exact ppm by
+    128-bit cross-multiplication, ONE exchange on the slot key
+    building bounded per-slot type sets (never a presence-table
+    self-join)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        type_colocation_lift,
+    )
+
+    return type_colocation_lift(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -3664,6 +3721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_home_tile": q_user_home_tile,
         "dbscan_cluster_stats": q_dbscan_cluster_stats,
         "knox_spacetime": q_knox_spacetime,
+        "jump_spectrum": q_jump_spectrum,
+        "voronoi_catchment": q_voronoi_catchment,
+        "type_colocation_lift": q_type_colocation_lift,
     }
 
 
@@ -4043,6 +4103,38 @@ def _sql_knox_spacetime() -> str:
     return sql_knox_statistic(
         f"SELECT tx, ty, epoch_us(ts) // 86400000000 AS day, "
         f"COUNT(*) AS n FROM ({pos}) GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_jump_spectrum() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_jump_spectrum,
+    )
+
+    return sql_jump_spectrum("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_voronoi_catchment() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_voronoi_catchment,
+    )
+
+    return sql_voronoi_catchment(
+        TB.SQL_POINTS_MILLI,
+        "SELECT s_suppkey AS fid, "
+        "CAST(s_suppkey * 7817 % 360000 - 180000 AS BIGINT) AS fx, "
+        "CAST(s_suppkey * 6271 % 180000 - 90000 AS BIGINT) AS fy "
+        "FROM supplier WHERE s_suppkey % 7 = 1",
+    )
+
+
+def _sql_type_colocation_lift() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_type_colocation_lift,
+    )
+
+    return sql_type_colocation_lift(
+        "SELECT user_id, event_id, ts, event_type FROM events"
     )
 
 
@@ -5446,4 +5538,7 @@ def oracle_sql() -> dict[str, str]:
         "user_home_tile": _sql_user_home_tile(),
         "dbscan_cluster_stats": _sql_dbscan_cluster_stats(),
         "knox_spacetime": _sql_knox_spacetime(),
+        "jump_spectrum": _sql_jump_spectrum(),
+        "voronoi_catchment": _sql_voronoi_catchment(),
+        "type_colocation_lift": _sql_type_colocation_lift(),
     }

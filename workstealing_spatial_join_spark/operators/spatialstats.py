@@ -58,6 +58,8 @@ __all__ = [
     "sql_quadrat_dispersion",
     "colocation_quotient",
     "sql_colocation_quotient",
+    "voronoi_catchment",
+    "sql_voronoi_catchment",
 ]
 
 
@@ -1116,4 +1118,71 @@ def sql_colocation_quotient(
         f"CAST((CAST({n_frame_cells} AS HUGEINT) * COALESCE(sab, 0) * 1000000) // "
         f"(CAST(s_a AS HUGEINT) * s_b) AS BIGINT) AS coloc_ppm "
         f"FROM sh, ga, gb"
+    )
+
+
+def voronoi_catchment(points: DataFrame, facilities: DataFrame) -> DataFrame:
+    """Nearest-facility (Voronoi) allocation + catchment rollup — the
+    location-allocation primitive behind service-area analysis
+    (assign every demand point to its closest facility, then describe
+    each facility's catchment): output one row per facility that wins
+    at least one point, ``(fid, n_pts, sum_d2, max_d2)`` under EXACT
+    int64 squared Euclidean distance on the milli grid (no sqrt is
+    ever taken — the argmin and all rollup aggregates are
+    sqrt-invariant). Ties (a point equidistant from two facilities)
+    break to the SMALLER fid via a single lexicographic
+    ``min(struct(d2, fid))``, so the allocation is deterministic in
+    both engines.
+
+    Scale shape (10^12 points × K facilities): the facility side of a
+    location-allocation problem is small by definition (K sites, not
+    K points) — it BROADCASTS, the demand side never shuffles, and
+    the per-point argmin collapses map-side (partial
+    ``min(struct)``), so the only exchange carries one row per point
+    already reduced to its winning facility; the catchment rollup is
+    a map-side-combinable groupBy on the tiny fid key. Nothing is
+    quadratic in points; the K-way fan-out is the same bounded
+    replicate-scan a broadcast spatial join pays. At planetary K the
+    right tool is the kNN grid join (operators/knn.py) — this
+    operator is the exact-assignment twin for catalog-sized facility
+    sets."""
+    d = points.crossJoin(F.broadcast(facilities)).select(
+        "point_id",
+        "fid",
+        (
+            (F.col("mx") - F.col("fx")) * (F.col("mx") - F.col("fx"))
+            + (F.col("my") - F.col("fy")) * (F.col("my") - F.col("fy"))
+        ).alias("d2"),
+    )
+    best = d.groupBy("point_id").agg(
+        F.min(F.struct("d2", "fid")).alias("best")
+    )
+    return (
+        best.select(
+            F.col("best.fid").alias("fid"), F.col("best.d2").alias("d2")
+        )
+        .groupBy("fid")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum("d2").alias("sum_d2"),
+            F.max("d2").alias("max_d2"),
+        )
+    )
+
+
+def sql_voronoi_catchment(points_sql: str, facilities_sql: str) -> str:
+    """DuckDB twin — inputs produce (point_id, mx, my) and
+    (fid, fx, fy). The argmin is the min-d2 filter + min-fid
+    tiebreak, matching the struct ordering exactly."""
+    return (
+        f"WITH p AS ({points_sql}), f AS ({facilities_sql}), "
+        "d AS (SELECT point_id, fid, (mx - fx) * (mx - fx) + "
+        "(my - fy) * (my - fy) AS d2 FROM p CROSS JOIN f), "
+        "m AS (SELECT point_id, MIN(d2) AS md2 FROM d GROUP BY 1), "
+        "a AS (SELECT d.point_id, MIN(d.fid) AS fid, MIN(d.d2) AS d2 "
+        "FROM d JOIN m ON d.point_id = m.point_id AND d.d2 = m.md2 "
+        "GROUP BY 1) "
+        "SELECT fid, COUNT(*) AS n_pts, "
+        "CAST(SUM(d2) AS BIGINT) AS sum_d2, MAX(d2) AS max_d2 "
+        "FROM a GROUP BY fid"
     )

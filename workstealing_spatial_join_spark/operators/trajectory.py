@@ -60,6 +60,10 @@ __all__ = [
     "sql_emerging_hotspots",
     "tile_bursts",
     "sql_tile_bursts",
+    "jump_spectrum",
+    "sql_jump_spectrum",
+    "type_colocation_lift",
+    "sql_type_colocation_lift",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -71,12 +75,19 @@ def _user_window() -> Window:
     return Window.partitionBy("user_id").orderBy("ts", "event_id")
 
 
-def sticky_positions(events: DataFrame) -> DataFrame:
+def sticky_positions(
+    events: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """events → (user_id, event_id, ts, rn, tx, ty): per-user step
     index and the sticky-epoch tile. One window exchange on
-    user_id; everything downstream reuses that partitioning."""
+    user_id; everything downstream reuses that partitioning.
+    ``carry`` threads extra event columns (e.g. ``event_type``)
+    through the window projection so downstream consumers don't pay
+    a join-back on event_id for attributes the scan already had."""
     rn = F.row_number().over(_user_window())
-    df = events.select("user_id", "event_id", "ts").withColumn("rn", rn)
+    df = events.select("user_id", "event_id", "ts", *carry).withColumn(
+        "rn", rn
+    )
     # rn ≥ 1, so div IS floor in both engines
     ex = F.expr(f"((rn - 1) div {EPOCH_LEN}) div 3")
     ey = F.expr(f"((rn - 1) div {EPOCH_LEN}) div 2")
@@ -820,4 +831,159 @@ def sql_tile_bursts(events_sql: str) -> str:
         "SELECT daily.tx, daily.ty, day, x, tile_total, n_days "
         "FROM daily JOIN pt ON daily.tx = pt.tx AND daily.ty = pt.ty "
         f"WHERE n_days >= 2 AND x * n_days >= {BURST_MULT} * tile_total"
+    )
+
+
+def jump_spectrum(events: DataFrame) -> DataFrame:
+    """Jump-size (displacement) spectrum of the trajectory corpus —
+    the distribution González, Hidalgo & Barabási (Nature 2008)
+    measured to show human travel is heavy-tailed: for every MOVED
+    consecutive step (same dwell-vs-travel convention as
+    :func:`od_matrix` — within-tile steps are dwell, not jumps), the
+    squared tile displacement ``d2 = Δtx² + Δty²`` binned into exact
+    OCTAVES. The bucket is ``LENGTH(BIN(d2))`` — the integer bit
+    length, i.e. ``floor(log2 d2) + 1`` — computed on the binary
+    STRING in both engines, so no float log is ever taken and the
+    power-of-two boundaries cannot misround (``F.bin``/DuckDB
+    ``bin()`` both render minimal binary, unit-pinned across the
+    1..4097 range). Output ``(bucket, n_jumps, n_users)``: the tail
+    mass plus how many distinct users contribute to it (a fat tail
+    carried by one GPS glitcher is noise; carried by thousands it is
+    travel).
+
+    Scale shape (10^12 events): the lag rides the one user-window
+    exchange every trajectory operator shares; the histogram groupBy
+    is map-side combinable onto ≤ ~64 octave keys. The distinct-user
+    count per bucket is the only non-trivial aggregate and is a
+    bounded two-level partial (bucket × user first, then bucket)."""
+    pos = sticky_positions(events)
+    w = _user_window()
+    moved = pos.select(
+        "user_id",
+        (F.col("tx") - F.lag("tx").over(w)).alias("dx"),
+        (F.col("ty") - F.lag("ty").over(w)).alias("dy"),
+    ).where(
+        F.col("dx").isNotNull()
+        & ((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    d2 = moved.select(
+        "user_id",
+        F.length(
+            F.bin(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        ).alias("bucket"),
+    )
+    return d2.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_jumps"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+def sql_jump_spectrum(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "mv AS (SELECT user_id, tx - LAG(tx) OVER w AS dx, "
+        "ty - LAG(ty) OVER w AS dy FROM pos "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "j AS (SELECT user_id, "
+        "CAST(LENGTH(BIN(dx * dx + dy * dy)) AS INT) AS bucket "
+        "FROM mv WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)) "
+        "SELECT bucket, COUNT(*) AS n_jumps, "
+        "COUNT(DISTINCT user_id) AS n_users FROM j GROUP BY bucket"
+    )
+
+
+def type_colocation_lift(events: DataFrame) -> DataFrame:
+    """Space-time co-location lift between event TYPES — market-basket
+    association mining (the lift statistic of Agrawal et al.'s
+    association rules) where the basket is a ``(tile, day)`` slot of
+    the trajectory cube: for every unordered type pair,
+    ``lift = P(a,b share a slot) / (P(a)·P(b))`` over the distinct
+    slot sets, emitted exactly in ppm via cross-multiplied 128-bit
+    integer arithmetic (``n_co·T·10⁶ // (n_a·n_b)`` — no probability
+    ever exists as a float). Lift > 10⁶ means the two activity types
+    concentrate in the same places on the same days more than
+    independence predicts — the signal co-location pattern mining
+    (Shekhar & Huang, SSTD 2001) screens for before mining rules.
+
+    Scale shape (10^12 events): ONE exchange on the slot key builds
+    the per-slot sorted type SET (bounded by the type vocabulary, not
+    the event count); the pair table explodes ≤ |V|²/2 structs per
+    slot map-side, and every downstream aggregate lands on the tiny
+    type / type-pair key space. The marginals and the one-row slot
+    total join back by broadcast. No self-join of the presence table
+    is ever materialized."""
+    typed = sticky_positions(events, carry=("event_type",))
+    slots = (
+        typed.select(
+            "tx",
+            "ty",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+            "event_type",
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+    )
+    tot = slots.agg(F.count(F.lit(1)).alias("t_slots"))
+    marg = slots.select(
+        F.explode("types").alias("etype")
+    ).groupBy("etype").agg(F.count(F.lit(1)).alias("n_slots"))
+    pairs = slots.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (t, i) -> "
+                "transform(slice(types, i + 2, size(types)), "
+                "u -> struct(t AS type_a, u AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    co = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_co")
+    )
+    ma = marg.select(
+        F.col("etype").alias("type_a"), F.col("n_slots").alias("na")
+    )
+    mb = marg.select(
+        F.col("etype").alias("type_b"), F.col("n_slots").alias("nb")
+    )
+    return (
+        co.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_co",
+            F.expr(
+                "CAST((CAST(n_co AS DECIMAL(38,0)) * t_slots * 1000000)"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def sql_type_colocation_lift(events_sql: str) -> str:
+    """DuckDB twin — ``events_sql`` must also project event_type."""
+    return (
+        _sql_base(events_sql) + ", "
+        "typed AS (SELECT pos.tx, pos.ty, "
+        "epoch_us(pos.ts) // 86400000000 AS day, ev.event_type AS etype "
+        "FROM pos JOIN ev ON pos.event_id = ev.event_id), "
+        "pres AS (SELECT DISTINCT tx, ty, day, etype FROM typed), "
+        "tot AS (SELECT COUNT(*) AS t_slots FROM "
+        "(SELECT DISTINCT tx, ty, day FROM pres) s), "
+        "marg AS (SELECT etype, COUNT(*) AS n_slots FROM pres "
+        "GROUP BY 1), "
+        "co AS (SELECT a.etype AS type_a, b.etype AS type_b, "
+        "COUNT(*) AS n_co FROM pres a JOIN pres b ON a.tx = b.tx "
+        "AND a.ty = b.ty AND a.day = b.day AND a.etype < b.etype "
+        "GROUP BY 1, 2) "
+        "SELECT type_a, type_b, n_co, "
+        "CAST((n_co::HUGEINT * t_slots * 1000000) // "
+        "(ma.n_slots::HUGEINT * mb.n_slots) AS BIGINT) AS lift_ppm "
+        "FROM co CROSS JOIN tot "
+        "JOIN marg ma ON ma.etype = co.type_a "
+        "JOIN marg mb ON mb.etype = co.type_b"
     )
