@@ -3119,6 +3119,134 @@ def q_type_colocation_lift(spark, sf_dir):
     return type_colocation_lift(TB.load(spark, sf_dir, "events"))
 
 
+def q_img_event_crossk(spark, sf_dir):
+    """Bivariate Ripley cross-K ladder between the image layer and
+    the customer point layer: exact cross-pair counts within a
+    Chebyshev radius ladder — the multi-scale sharpening of
+    img_event_colocation's single-cell quotient (attraction vs
+    repulsion between two point processes, per scale). Images map to
+    the shared milli grid via the same floor(lon·1000) IEEE
+    multiply+floor both engines execute identically."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        cross_pair_ladder,
+    )
+
+    imgs = spark.read.parquet(_IMAGES_META_PATH).select(
+        F.expr("CAST(FLOOR(lon * 1000.0) AS BIGINT)").alias("mx"),
+        F.expr("CAST(FLOOR(lat * 1000.0) AS BIGINT)").alias("my"),
+    )
+    return cross_pair_ladder(
+        imgs, TB.customer_points_milli(spark, sf_dir)
+    )
+
+
+def q_raster_clumps(spark, sf_dir):
+    """Raster clump / RegionGroup (GRASS r.clump): connected
+    components of the occupied-cell density raster under
+    8-adjacency, with the per-patch size/mass/bbox rollup FRAGSTATS
+    patch metrics start from. Labels are the packed key of each
+    clump's lexicographically smallest cell — deterministic in both
+    engines; singleton cells survive via left-join + COALESCE."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        raster_clumps,
+    )
+
+    return raster_clumps(TB.customer_cluster_points(spark, sf_dir))
+
+
+def q_tile_hour_residuals(spark, sf_dir):
+    """Temporal-signature anomaly screen: per (tile, hour-of-day)
+    the exact squared Pearson residual (ppm) against the corpus
+    diurnal profile — χ² cell contributions with no float expected
+    value, zero-observed hours included (dropping them deletes the
+    dead-hours signal)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        tile_hour_residuals,
+    )
+
+    return tile_hour_residuals(TB.load(spark, sf_dir, "events"))
+
+
+SERVICE_RADIUS_MILLI = 20_000        # coverage_gaps gate (20°·10⁻³)
+CATCHMENT_CHEB_MILLI = 60_000        # 2SFCA catchment half-width
+
+
+def _facilities_df(spark, sf_dir, with_supply=False):
+    """The mod-7 supplier facility catalog on the milli grid (same
+    start-point congruence as supplier_segments); ``supply`` is the
+    deterministic (s_suppkey % 5 + 1)·100 capacity used by 2SFCA."""
+    s = TB.load(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 7 == 1
+    )
+    cols = [
+        F.col("s_suppkey").alias("fid"),
+        (F.col("s_suppkey") * 7817 % 360000 - 180000)
+        .cast("long")
+        .alias("fx"),
+        (F.col("s_suppkey") * 6271 % 180000 - 90000)
+        .cast("long")
+        .alias("fy"),
+    ]
+    if with_supply:
+        cols.append(
+            ((F.col("s_suppkey") % 5 + 1) * 100).cast("long").alias("supply")
+        )
+    return s.select(*cols)
+
+
+_SQL_FACILITIES = (
+    "SELECT s_suppkey AS fid, "
+    "CAST(s_suppkey * 7817 % 360000 - 180000 AS BIGINT) AS fx, "
+    "CAST(s_suppkey * 6271 % 180000 - 90000 AS BIGINT) AS fy{supply} "
+    "FROM supplier WHERE s_suppkey % 7 = 1"
+)
+
+
+def q_coverage_gaps(spark, sf_dir):
+    """Service-coverage gap screen — occupied demand cells whose
+    nearest facility sits beyond the service radius, with the
+    stranded demand count: the planner's complement of the Voronoi
+    catchment table. Exact quarter-milli² distances from doubled
+    cell centers; raster-sized after one groupBy."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        coverage_gaps,
+    )
+
+    return coverage_gaps(
+        TB.customer_points_milli(spark, sf_dir),
+        _facilities_df(spark, sf_dir),
+        SERVICE_RADIUS_MILLI * SERVICE_RADIUS_MILLI,
+    )
+
+
+def q_catchment_access(spark, sf_dir):
+    """Two-step floating catchment area accessibility (Luo & Wang
+    2003): per demand point the Σ of ppm-quantized facility
+    supply-to-demand ratios over covering catchments — the standard
+    health-geography access score, integer-deterministic via the
+    documented floor-before-sum quantization."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        catchment_access_2sfca,
+    )
+
+    return catchment_access_2sfca(
+        TB.customer_points_milli(spark, sf_dir),
+        _facilities_df(spark, sf_dir, with_supply=True),
+        CATCHMENT_CHEB_MILLI,
+    )
+
+
+def q_od_trigrams(spark, sf_dir):
+    """Mobility motifs: tile trigrams over each user's moved-
+    transition sequence, pendulum (A→B→A) flagged apart from chains
+    — both windows share the one user-key exchange."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        od_trigrams,
+    )
+
+    return od_trigrams(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -3724,6 +3852,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jump_spectrum": q_jump_spectrum,
         "voronoi_catchment": q_voronoi_catchment,
         "type_colocation_lift": q_type_colocation_lift,
+        "img_event_crossk": q_img_event_crossk,
+        "raster_clumps": q_raster_clumps,
+        "tile_hour_residuals": q_tile_hour_residuals,
+        "coverage_gaps": q_coverage_gaps,
+        "catchment_access": q_catchment_access,
+        "od_trigrams": q_od_trigrams,
     }
 
 
@@ -4136,6 +4270,71 @@ def _sql_type_colocation_lift() -> str:
     return sql_type_colocation_lift(
         "SELECT user_id, event_id, ts, event_type FROM events"
     )
+
+
+def _sql_img_event_crossk() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_cross_pair_ladder,
+    )
+
+    img_sql = (
+        "SELECT CAST(FLOOR(lon * 1000.0) AS BIGINT) AS mx, "
+        "CAST(FLOOR(lat * 1000.0) AS BIGINT) AS my "
+        f"FROM read_parquet('{_IMAGES_META_PATH}/*.parquet')"
+    )
+    return sql_cross_pair_ladder(img_sql, TB.SQL_POINTS_MILLI)
+
+
+def _sql_raster_clumps() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_raster_clumps,
+    )
+
+    return sql_raster_clumps(TB.SQL_CLUSTER_POINTS)
+
+
+def _sql_tile_hour_residuals() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_tile_hour_residuals,
+    )
+
+    return sql_tile_hour_residuals(
+        "SELECT user_id, event_id, ts FROM events"
+    )
+
+
+def _sql_coverage_gaps() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_coverage_gaps,
+    )
+
+    return sql_coverage_gaps(
+        TB.SQL_POINTS_MILLI,
+        _SQL_FACILITIES.format(supply=""),
+        SERVICE_RADIUS_MILLI * SERVICE_RADIUS_MILLI,
+    )
+
+
+def _sql_catchment_access() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_catchment_access_2sfca,
+    )
+
+    return sql_catchment_access_2sfca(
+        TB.SQL_POINTS_MILLI,
+        _SQL_FACILITIES.format(
+            supply=", CAST((s_suppkey % 5 + 1) * 100 AS BIGINT) AS supply"
+        ),
+        CATCHMENT_CHEB_MILLI,
+    )
+
+
+def _sql_od_trigrams() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_od_trigrams,
+    )
+
+    return sql_od_trigrams("SELECT user_id, event_id, ts FROM events")
 
 
 def _sql_user_home_tile() -> str:
@@ -5541,4 +5740,10 @@ def oracle_sql() -> dict[str, str]:
         "jump_spectrum": _sql_jump_spectrum(),
         "voronoi_catchment": _sql_voronoi_catchment(),
         "type_colocation_lift": _sql_type_colocation_lift(),
+        "img_event_crossk": _sql_img_event_crossk(),
+        "raster_clumps": _sql_raster_clumps(),
+        "tile_hour_residuals": _sql_tile_hour_residuals(),
+        "coverage_gaps": _sql_coverage_gaps(),
+        "catchment_access": _sql_catchment_access(),
+        "od_trigrams": _sql_od_trigrams(),
     }

@@ -60,6 +60,14 @@ __all__ = [
     "sql_colocation_quotient",
     "voronoi_catchment",
     "sql_voronoi_catchment",
+    "cross_pair_ladder",
+    "sql_cross_pair_ladder",
+    "raster_clumps",
+    "sql_raster_clumps",
+    "coverage_gaps",
+    "sql_coverage_gaps",
+    "catchment_access_2sfca",
+    "sql_catchment_access_2sfca",
 ]
 
 
@@ -1185,4 +1193,355 @@ def sql_voronoi_catchment(points_sql: str, facilities_sql: str) -> str:
         "SELECT fid, COUNT(*) AS n_pts, "
         "CAST(SUM(d2) AS BIGINT) AS sum_d2, MAX(d2) AS max_d2 "
         "FROM a GROUP BY fid"
+    )
+
+
+def cross_pair_ladder(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    rungs: tuple[int, ...] = LADDER_RUNGS,
+    cell: int = LADDER_CELL,
+) -> DataFrame:
+    """Bivariate (cross-K) pair-count ladder — Ripley's cross-K
+    profile between TWO layers under the Chebyshev metric: for each
+    radius r, the EXACT number of (a, b) cross pairs with
+    ``max(|Δx|, |Δy|) ≤ r``. The univariate ladder
+    (:func:`pair_count_ladder`) asks "does this layer cluster?";
+    the cross ladder asks "does layer A cluster AROUND layer B?" at
+    every scale — the multi-scale sharpening of the single-cell
+    colocation quotient, and the standard screen for attraction vs
+    repulsion between two point processes (Ripley 1977 §5; Dixon's
+    cross-K). Inputs are ``(point_id, mx, my)`` layers; output one
+    row ``(r, n_pairs)`` per rung.
+
+    Plan: identical shape to the univariate ladder — side A explodes
+    its 3×3 neighbor ring map-side, ONE equi-join on the cell key
+    against side B's unique home cell (each cross pair meets exactly
+    once, no dedup), a bounded ×len(rungs) explode, and a
+    len(rungs)-row groupBy. No ``id_a < id_b`` halving: the layers
+    are distinct, every (a, b) pair counts once."""
+    assert max(rungs) <= cell
+    fdx, fdy = _fd("mx", cell, "spark"), _fd("my", cell, "spark")
+    offs = F.expr("array(-1, 0, 1)")
+    a = (
+        points_a.select(
+            F.col("mx").alias("ax"),
+            F.col("my").alias("ay"),
+            F.expr(fdx).alias("acx"),
+            F.expr(fdy).alias("acy"),
+        )
+        .withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .select(
+            "ax",
+            "ay",
+            (F.col("acx") + F.col("ox")).alias("cx"),
+            (F.col("acy") + F.col("oy")).alias("cy"),
+        )
+    )
+    b = points_b.select(
+        F.col("mx").alias("bx"),
+        F.col("my").alias("by"),
+        F.expr(fdx).alias("cx"),
+        F.expr(fdy).alias("cy"),
+    )
+    rung_arr = "array(" + ", ".join(str(r) for r in rungs) + ")"
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .select(
+            F.greatest(
+                F.abs(F.col("ax") - F.col("bx")),
+                F.abs(F.col("ay") - F.col("by")),
+            ).alias("cheb")
+        )
+        .where(F.col("cheb") <= max(rungs))
+    )
+    return (
+        pairs.withColumn("r", F.explode(F.expr(rung_arr)))
+        .where(F.col("cheb") <= F.col("r"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def sql_cross_pair_ladder(
+    points_a_sql: str,
+    points_b_sql: str,
+    rungs: tuple[int, ...] = LADDER_RUNGS,
+) -> str:
+    """DuckDB twin — brute bbox range join (IEJoin; a genuinely
+    different candidate plan) with the same rung fan-out."""
+    mx = max(rungs)
+    vals = ", ".join(f"({r})" for r in rungs)
+    return (
+        f"WITH pa AS ({points_a_sql}), pb AS ({points_b_sql}), "
+        f"cpairs AS (SELECT GREATEST(ABS(pa.mx - pb.mx), "
+        f"ABS(pa.my - pb.my)) AS cheb FROM pa JOIN pb "
+        f"ON pa.mx BETWEEN pb.mx - {mx} AND pb.mx + {mx} "
+        f"AND pa.my BETWEEN pb.my - {mx} AND pb.my + {mx}) "
+        f"SELECT r, COUNT(*) AS n_pairs FROM cpairs, "
+        f"(VALUES {vals}) rungs(r) WHERE cheb <= r GROUP BY r"
+    )
+
+
+# cell-key packing for component labels: order-preserving on
+# (cx, cy) lexicographic — cy + 2^31 is non-negative and < 2^32, so
+# integer comparison of the packed key IS the pair comparison
+_PACK_SHIFT = 4294967296  # 2^32
+_PACK_BIAS = 2147483648   # 2^31
+
+
+def raster_clumps(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Connected-component labeling of the occupied-cell raster —
+    the CLUMP / RegionGroup operation of raster algebra (GRASS
+    ``r.clump``, ArcGIS RegionGroup, the remote-sensing step that
+    turns a classified mask into discrete patches): occupied cells
+    connected under 8-adjacency form one clump; output one row per
+    clump, ``(comp, n_cells, n_points, min_cx, max_cx, min_cy,
+    max_cy)`` — size, mass, and bounding box (the patch-metrics base
+    FRAGSTATS starts from). ``comp`` is the packed key of the
+    lexicographically smallest member cell (order-preserving packing
+    ``cx·2³² + cy + 2³¹``), so labels are deterministic in both
+    engines. Cells with no occupied neighbor are SINGLETON clumps —
+    the right-join + COALESCE keeps them (the label-propagation loop
+    only sees edge-incident nodes).
+
+    Scale shape: the raster, not the points, is the working set
+    (ONE map-side-combinable groupBy); min-label propagation runs on
+    the bounded occupied-cell graph (≤ 8 edges/cell) to fixpoint —
+    O(diameter) bounded joins, each a cell-key equi-join; the rollup
+    is one groupBy on the component key."""
+    from workstealing_spatial_join_spark.operators.graph import (
+        connected_components,
+        occupied_cell_edges,
+    )
+
+    raster = cell_counts(points, x_col, y_col, cell)
+    edges = occupied_cell_edges(points, x_col, y_col, cell)
+    key = (
+        lambda cx, cy: F.col(cx) * F.lit(_PACK_SHIFT)
+        + F.col(cy)
+        + F.lit(_PACK_BIAS)
+    )
+    labels = connected_components(
+        edges.select(
+            key("sx", "sy").alias("src"), key("dx", "dy").alias("dst")
+        )
+    )
+    cells = raster.select(
+        "cx", "cy", "x", key("cx", "cy").alias("node")
+    )
+    labeled = cells.join(labels, "node", "left").select(
+        "cx",
+        "cy",
+        "x",
+        F.coalesce(F.col("comp"), F.col("node")).alias("comp"),
+    )
+    return labeled.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("n_points"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+    )
+
+
+def sql_raster_clumps(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    """DuckDB twin: exact recursive-CTE closure over the SAME
+    occupied-cell edge list, min-reduced, singletons kept by the
+    same left-join + COALESCE."""
+    fx = _fd(x_col, cell, "duckdb")
+    fy = _fd(y_col, cell, "duckdb")
+    pack = f"(cx * {_PACK_SHIFT} + cy + {_PACK_BIAS})"
+    return (
+        f"WITH RECURSIVE pts AS ({points_sql}), "
+        f"raster AS (SELECT {fx} AS cx, {fy} AS cy, COUNT(*) AS x "
+        f"FROM pts GROUP BY 1, 2), "
+        "occ AS (SELECT cx, cy FROM raster), "
+        "e2 AS MATERIALIZED (SELECT "
+        f"(a.cx * {_PACK_SHIFT} + a.cy + {_PACK_BIAS}) AS a, "
+        f"(b.cx * {_PACK_SHIFT} + b.cy + {_PACK_BIAS}) AS b "
+        "FROM occ a JOIN occ b ON ABS(a.cx - b.cx) <= 1 "
+        "AND ABS(a.cy - b.cy) <= 1 "
+        "AND (a.cx <> b.cx OR a.cy <> b.cy)), "
+        "nodes AS (SELECT DISTINCT a AS n FROM e2), "
+        "reach(src, dst) AS (SELECT n, n FROM nodes "
+        "UNION SELECT r.src, e.b FROM reach r JOIN e2 e ON r.dst = e.a), "
+        "lab AS (SELECT src AS node, MIN(dst) AS comp FROM reach "
+        "GROUP BY 1), "
+        f"cells AS (SELECT cx, cy, x, {pack} AS node FROM raster), "
+        "labeled AS (SELECT cells.cx, cells.cy, cells.x, "
+        "COALESCE(lab.comp, cells.node) AS comp FROM cells "
+        "LEFT JOIN lab ON cells.node = lab.node) "
+        "SELECT comp, COUNT(*) AS n_cells, "
+        "CAST(SUM(x) AS BIGINT) AS n_points, "
+        "MIN(cx) AS min_cx, MAX(cx) AS max_cx, "
+        "MIN(cy) AS min_cy, MAX(cy) AS max_cy "
+        "FROM labeled GROUP BY comp"
+    )
+
+
+def coverage_gaps(
+    points: DataFrame,
+    facilities: DataFrame,
+    max_d2: int,
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Service-coverage gap screen — the complement of the Voronoi
+    allocation: occupied demand CELLS whose nearest facility is
+    farther than the service radius (``min d2 > max_d2``, exact
+    int64 squared distance from the cell CENTER·2 — see below), with
+    how much demand sits stranded there. The output is what a
+    planner asks after the catchment table: not "who serves whom"
+    but "who is served by NO ONE" — ``(cx, cy, n_points, min_d2_q)``
+    per uncovered cell, ordered-by nothing (the caller ranks by
+    stranded demand).
+
+    Exactness without halves: the cell center is ``(cx·cell +
+    cell/2)`` which is fractional for odd cells — so distances are
+    computed on DOUBLED coordinates (``2·center = 2·cx·cell + cell``,
+    an exact int64), making ``min_d2_q`` the squared distance in
+    QUARTER-milli² units (4× the milli² value; the threshold is
+    scaled by 4 internally). No float ever exists; the gate
+    ``min_d2_q > 4·max_d2`` is the exact milli² comparison.
+
+    Scale shape: the demand raster (ONE map-side-combinable groupBy)
+    crossed with the broadcast facility catalog; the per-cell min
+    collapses map-side. Raster-sized, never point-sized, after the
+    first groupBy."""
+    raster = cell_counts(points, cell=cell)
+    # doubled cell-center coordinates: 2·(c·cell + cell/2)
+    centers = raster.select(
+        "cx",
+        "cy",
+        "x",
+        (F.col("cx") * (2 * cell) + cell).alias("ux"),
+        (F.col("cy") * (2 * cell) + cell).alias("uy"),
+    )
+    d = centers.crossJoin(F.broadcast(facilities)).select(
+        "cx",
+        "cy",
+        "x",
+        (
+            (F.col("ux") - F.lit(2) * F.col("fx"))
+            * (F.col("ux") - F.lit(2) * F.col("fx"))
+            + (F.col("uy") - F.lit(2) * F.col("fy"))
+            * (F.col("uy") - F.lit(2) * F.col("fy"))
+        ).alias("d2q"),
+    )
+    per_cell = d.groupBy("cx", "cy", "x").agg(
+        F.min("d2q").alias("min_d2_q")
+    )
+    return per_cell.where(
+        # 4·max_d2 precomputed in Python: it exceeds int32 for any
+        # realistic radius, and both engines type bare literals int32
+        F.col("min_d2_q") > F.lit(4 * max_d2)
+    ).select(
+        "cx", "cy", F.col("x").alias("n_points"), "min_d2_q"
+    )
+
+
+def sql_coverage_gaps(
+    points_sql: str,
+    facilities_sql: str,
+    max_d2: int,
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    fx_ = _fd("mx", cell, "duckdb")
+    fy_ = _fd("my", cell, "duckdb")
+    return (
+        f"WITH pts AS ({points_sql}), fac AS ({facilities_sql}), "
+        f"raster AS (SELECT {fx_} AS cx, {fy_} AS cy, COUNT(*) AS x "
+        f"FROM pts GROUP BY 1, 2), "
+        f"ctr AS (SELECT cx, cy, x, cx * {2 * cell} + {cell} AS ux, "
+        f"cy * {2 * cell} + {cell} AS uy FROM raster), "
+        "d AS (SELECT cx, cy, x, "
+        "(ux - 2 * fx) * (ux - 2 * fx) + (uy - 2 * fy) * (uy - 2 * fy) "
+        "AS d2q FROM ctr CROSS JOIN fac), "
+        "pc AS (SELECT cx, cy, x, MIN(d2q) AS min_d2_q FROM d "
+        "GROUP BY 1, 2, 3) "
+        f"SELECT cx, cy, x AS n_points, min_d2_q FROM pc "
+        f"WHERE min_d2_q > {4 * max_d2}"
+    )
+
+
+def catchment_access_2sfca(
+    points: DataFrame,
+    facilities: DataFrame,
+    max_cheb: int,
+) -> DataFrame:
+    """Two-step floating catchment area accessibility (2SFCA — Luo &
+    Wang 2003, the standard spatial-accessibility score in health
+    geography): step 1 computes each facility's supply-to-demand
+    ratio ``R_f = supply_f / D_f`` over the demand points within its
+    catchment (Chebyshev radius ``max_cheb``, exact integers); step
+    2 scores each demand point ``A_i = Σ R_f`` over the facilities
+    whose catchment covers it. Output ``(point_id, n_fac,
+    access_ppm)``; uncovered points are ABSENT (their score is 0 and
+    at 10^12 points the uncovered set is the corpus — the
+    coverage-gap operator reports them).
+
+    Determinism contract: each ratio is floored to ppm
+    (``10⁶·supply_f // D_f``) BEFORE summing — Σ of exact rationals
+    with unrelated denominators has no bounded common denominator,
+    so the engine defines the score as the sum of ppm-quantized
+    ratios, identical in both engines (documented quantization, not
+    float drift; error < n_fac µ-units).
+
+    Scale shape: facilities broadcast twice (catalog-sized); both
+    the D_f rollup and the A_i rollup collapse map-side; the
+    point×facility fan-out is range-gated before any shuffle."""
+    fac = F.broadcast(facilities)
+    within = points.crossJoin(fac).where(
+        (F.abs(F.col("mx") - F.col("fx")) <= max_cheb)
+        & (F.abs(F.col("my") - F.col("fy")) <= max_cheb)
+    )
+    demand = within.groupBy("fid", "supply").agg(
+        F.count(F.lit(1)).alias("d_f")
+    )
+    ratios = demand.select(
+        "fid",
+        F.expr(
+            "CAST((CAST(supply AS DECIMAL(18,0)) * 1000000) div d_f "
+            "AS BIGINT)"
+        ).alias("r_ppm"),
+    )
+    return (
+        within.select("point_id", "fid")
+        .join(F.broadcast(ratios), "fid")
+        .groupBy("point_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fac"),
+            F.sum("r_ppm").alias("access_ppm"),
+        )
+    )
+
+
+def sql_catchment_access_2sfca(
+    points_sql: str, facilities_sql: str, max_cheb: int
+) -> str:
+    return (
+        f"WITH pts AS ({points_sql}), fac AS ({facilities_sql}), "
+        f"w AS (SELECT point_id, fid, supply FROM pts CROSS JOIN fac "
+        f"WHERE ABS(mx - fx) <= {max_cheb} "
+        f"AND ABS(my - fy) <= {max_cheb}), "
+        "dem AS (SELECT fid, supply, COUNT(*) AS d_f FROM w "
+        "GROUP BY 1, 2), "
+        "rat AS (SELECT fid, "
+        "CAST((supply::HUGEINT * 1000000) // d_f AS BIGINT) AS r_ppm "
+        "FROM dem) "
+        "SELECT point_id, COUNT(*) AS n_fac, "
+        "CAST(SUM(r_ppm) AS BIGINT) AS access_ppm "
+        "FROM w JOIN rat ON w.fid = rat.fid GROUP BY point_id"
     )

@@ -64,6 +64,11 @@ __all__ = [
     "sql_jump_spectrum",
     "type_colocation_lift",
     "sql_type_colocation_lift",
+    "tile_hour_residuals",
+    "sql_tile_hour_residuals",
+    "od_trigrams",
+    "trigram_motifs",
+    "sql_od_trigrams",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -986,4 +991,210 @@ def sql_type_colocation_lift(events_sql: str) -> str:
         "FROM co CROSS JOIN tot "
         "JOIN marg ma ON ma.etype = co.type_a "
         "JOIN marg mb ON mb.etype = co.type_b"
+    )
+
+
+def tile_hour_residuals(events: DataFrame) -> DataFrame:
+    """Temporal-signature anomaly screen — per (tile, hour-of-day)
+    the EXACT squared Pearson residual against the corpus-wide
+    diurnal profile, in ppm: with O = the tile's count in that hour,
+    T = the tile's total, g = the global count in that hour and
+    G = the grand total, the χ² cell contribution is
+    ``(O − T·g/G)² / (T·g/G)``, kept rational by cross-multiplying —
+    ``residual_ppm = 10⁶·(O·G − T·g)² / (G·T·g)`` — so no expected
+    value ever exists as a float. Large residuals are tiles whose
+    activity clock deviates from the world's (a nightlife tile in an
+    office corpus); Σ residual_ppm over a tile's 24 rows is its χ²
+    statistic in ppm. The full 24-hour frame per occupied tile is
+    emitted (a bounded ×24 explode, never a quadratic frame): the
+    ZERO-observed hours carry residual T·g/G — dropping them is the
+    classic χ² mistake (it deletes exactly the "dead hours" signal).
+
+    Scale shape (10^12 events): one groupBy builds the (tile, hour)
+    cube — from there every input is cube-sized, not event-sized.
+    The per-tile totals share the tile-key exchange; the 24-row
+    hour profile and the one-row grand total broadcast. 128-bit
+    headroom: |O·G − T·g| ≤ T·G ≈ 10¹² at a 10⁶-event corpus —
+    squared ×10⁶ is ~10³⁰ of DECIMAL(38)'s 10³⁸ (documented bound;
+    the statistic is computed on cube COUNTS, so G is the corpus
+    event count, not a data volume)."""
+    pos = sticky_positions(events)
+    hour = F.expr(
+        "CAST((unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24 "
+        "AS INT)"
+    )
+    obs = (
+        pos.select("tx", "ty", hour.alias("hour"))
+        .groupBy("tx", "ty", "hour")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    per_tile = obs.groupBy("tx", "ty").agg(F.sum("o").alias("t_total"))
+    prof = obs.groupBy("hour").agg(F.sum("o").alias("g"))
+    grand = prof.agg(F.sum("g").alias("gg"))
+    frame = per_tile.select(
+        "tx",
+        "ty",
+        "t_total",
+        F.explode(F.expr("sequence(0, 23)")).alias("hour"),
+    )
+    full = (
+        frame.join(obs, ["tx", "ty", "hour"], "left")
+        .select(
+            "tx",
+            "ty",
+            "hour",
+            "t_total",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+        .join(F.broadcast(prof), "hour")
+        .crossJoin(F.broadcast(grand))
+    )
+    return full.select(
+        "tx",
+        "ty",
+        "hour",
+        "o",
+        F.expr(
+            "CAST((CAST(o AS DECIMAL(18,0)) * gg "
+            "- CAST(t_total AS DECIMAL(18,0)) * g) AS DECIMAL(18,0))"
+        ).alias("dev"),
+        F.col("t_total"),
+        F.col("g"),
+        F.col("gg"),
+    ).select(
+        "tx",
+        "ty",
+        "hour",
+        "o",
+        F.expr(
+            "CAST((CAST(dev AS DECIMAL(18,0)) * dev * 1000000) div "
+            "(CAST(gg AS DECIMAL(38,0)) * t_total * g) AS BIGINT)"
+        ).alias("residual_ppm"),
+    )
+
+
+def sql_tile_hour_residuals(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "obs AS (SELECT tx, ty, "
+        "CAST(epoch_us(ts) // 3600000000 % 24 AS INT) AS hour, "
+        "COUNT(*) AS o FROM pos GROUP BY 1, 2, 3), "
+        "pt AS (SELECT tx, ty, SUM(o) AS t_total FROM obs "
+        "GROUP BY 1, 2), "
+        "prof AS (SELECT hour, SUM(o) AS g FROM obs GROUP BY 1), "
+        "grand AS (SELECT SUM(g) AS gg FROM prof), "
+        "frame AS (SELECT tx, ty, t_total, "
+        "CAST(UNNEST(RANGE(0, 24)) AS INT) AS hour FROM pt), "
+        "ff AS (SELECT frame.tx, frame.ty, frame.hour, "
+        "frame.t_total, COALESCE(obs.o, 0) AS o FROM frame "
+        "LEFT JOIN obs ON frame.tx = obs.tx AND frame.ty = obs.ty "
+        "AND frame.hour = obs.hour) "
+        "SELECT ff.tx, ff.ty, ff.hour, o, "
+        "CAST(((o::HUGEINT * gg - t_total::HUGEINT * g) "
+        "* (o::HUGEINT * gg - t_total::HUGEINT * g) * 1000000) // "
+        "(gg::HUGEINT * t_total * g) AS BIGINT) AS residual_ppm "
+        "FROM ff JOIN prof ON ff.hour = prof.hour "
+        "CROSS JOIN grand"
+    )
+
+
+def od_trigrams(events: DataFrame) -> DataFrame:
+    """Mobility motifs — tile TRIGRAMS over each user's transition
+    sequence (Schneider et al., J. R. Soc. Interface 2013, mined
+    daily motifs the same way): consecutive MOVED transitions
+    sharing their middle tile form one motif instance
+    ``t0 → t1 → t2``; output one row per distinct motif with its
+    count and the ``is_return`` flag separating pendulum motifs
+    (A→B→A, the commute) from chains (A→B→C, the tour) — the first
+    split every motif taxonomy makes. Within-tile steps are dwell
+    and never enter the sequence (od_matrix's convention).
+
+    Plan: the transition table rides the user window; the second
+    lag pair runs over the SAME user partitioning (Catalyst elides
+    the exchange — the sort on (ts, event_id) is already
+    established), so the whole motif mine costs the one exchange
+    every trajectory operator shares plus one map-side-combinable
+    groupBy on the motif key."""
+    return trigram_motifs(sticky_positions(events))
+
+
+def trigram_motifs(pos: DataFrame) -> DataFrame:
+    """The motif mine over ANY (user_id, ts, event_id, tx, ty)
+    position frame — od_trigrams binds it to the sticky fixture;
+    callers with real GPS-derived tiles feed their own frame (the
+    sticky congruence walk can never produce a pendulum within two
+    transitions — x steps 47 ≡ 15 mod 32 don't cancel — so the
+    is_return=1 path is reachable only through this surface, and the
+    unit suite pins it here)."""
+    w = _user_window()
+    moved = pos.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("tx").over(w).alias("ftx"),
+        F.lag("ty").over(w).alias("fty"),
+        F.col("tx").alias("ttx"),
+        F.col("ty").alias("tty"),
+    ).where(
+        F.col("ftx").isNotNull()
+        & ((F.col("ftx") != F.col("ttx")) | (F.col("fty") != F.col("tty")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = moved.select(
+        F.lag("ftx").over(w2).alias("t0x"),
+        F.lag("fty").over(w2).alias("t0y"),
+        F.lag("ttx").over(w2).alias("p1x"),
+        F.lag("tty").over(w2).alias("p1y"),
+        "ftx",
+        "fty",
+        "ttx",
+        "tty",
+    ).where(
+        # consecutive transitions chain only when the previous move's
+        # destination IS this move's origin (no dwell gap in between
+        # can break it — dwell steps were filtered before the lag,
+        # so chaining is exactly "middle tile shared")
+        F.col("t0x").isNotNull()
+        & (F.col("p1x") == F.col("ftx"))
+        & (F.col("p1y") == F.col("fty"))
+    )
+    return (
+        tri.select(
+            "t0x",
+            "t0y",
+            F.col("ftx").alias("t1x"),
+            F.col("fty").alias("t1y"),
+            F.col("ttx").alias("t2x"),
+            F.col("tty").alias("t2y"),
+        )
+        .groupBy("t0x", "t0y", "t1x", "t1y", "t2x", "t2y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "is_return",
+            (
+                (F.col("t0x") == F.col("t2x"))
+                & (F.col("t0y") == F.col("t2y"))
+            ).cast("int"),
+        )
+    )
+
+
+def sql_od_trigrams(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "mv AS (SELECT user_id, ts, event_id, "
+        "LAG(tx) OVER w AS ftx, LAG(ty) OVER w AS fty, "
+        "tx AS ttx, ty AS tty FROM pos "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "mvf AS (SELECT * FROM mv WHERE ftx IS NOT NULL "
+        "AND (ftx <> ttx OR fty <> tty)), "
+        "tri AS (SELECT LAG(ftx) OVER w2 AS t0x, "
+        "LAG(fty) OVER w2 AS t0y, LAG(ttx) OVER w2 AS p1x, "
+        "LAG(tty) OVER w2 AS p1y, ftx, fty, ttx, tty FROM mvf "
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT t0x, t0y, ftx AS t1x, fty AS t1y, ttx AS t2x, "
+        "tty AS t2y, COUNT(*) AS n, "
+        "CAST((t0x = ttx AND t0y = tty) AS INT) AS is_return "
+        "FROM tri WHERE t0x IS NOT NULL AND p1x = ftx AND p1y = fty "
+        "GROUP BY 1, 2, 3, 4, 5, 6, 8"
     )
