@@ -3207,7 +3207,11 @@ def q_coverage_gaps(spark, sf_dir):
     nearest facility sits beyond the service radius, with the
     stranded demand count: the planner's complement of the Voronoi
     catchment table. Exact quarter-milli² distances from doubled
-    cell centers; raster-sized after one groupBy."""
+    cell centers; raster-sized after one groupBy. At sf1 the mod-7
+    facility catalog is 10× denser and the fixed radius covers every
+    cell — the sf1 contract run agrees on the EMPTY set (vacuous
+    there by densification, non-trivial at the sf0.01 gate: 680 gap
+    cells; the strict-> boundary is unit-pinned either way)."""
     from workstealing_spatial_join_spark.operators.spatialstats import (
         coverage_gaps,
     )
