@@ -3251,6 +3251,40 @@ def q_od_trigrams(spark, sf_dir):
     return od_trigrams(TB.load(spark, sf_dir, "events"))
 
 
+def q_nn_spectrum(spark, sf_dir):
+    """G-function octave histogram: per-point exact 1-NN squared
+    distance binned into bit-length octaves, right-censored at the
+    grid cell with a threshold (cell², not (cell+1)²) proven
+    equivalent between the grid plan and the brute oracle."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        nn_spectrum,
+    )
+
+    return nn_spectrum(TB.customer_cluster_points(spark, sf_dir))
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov next-place table: exact ppm conditional
+    P(to|from) over the OD flows — the row marginal joins back on
+    its own grouping prefix, co-partitioned."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        markov_transitions,
+    )
+
+    return markov_transitions(TB.load(spark, sf_dir, "events"))
+
+
+def q_move_rose(spark, sf_dir):
+    """8-sector displacement rose by exact integer octant
+    comparisons (no atan2 anywhere); counts + total Chebyshev
+    displacement per direction."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        move_rose,
+    )
+
+    return move_rose(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -3862,6 +3896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_gaps": q_coverage_gaps,
         "catchment_access": q_catchment_access,
         "od_trigrams": q_od_trigrams,
+        "nn_spectrum": q_nn_spectrum,
+        "markov_transitions": q_markov_transitions,
+        "move_rose": q_move_rose,
     }
 
 
@@ -4339,6 +4376,32 @@ def _sql_od_trigrams() -> str:
     )
 
     return sql_od_trigrams("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_nn_spectrum() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_nn_spectrum,
+    )
+
+    return sql_nn_spectrum(TB.SQL_CLUSTER_POINTS)
+
+
+def _sql_markov_transitions() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_markov_transitions,
+    )
+
+    return sql_markov_transitions(
+        "SELECT user_id, event_id, ts FROM events"
+    )
+
+
+def _sql_move_rose() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_move_rose,
+    )
+
+    return sql_move_rose("SELECT user_id, event_id, ts FROM events")
 
 
 def _sql_user_home_tile() -> str:
@@ -5750,4 +5813,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_gaps": _sql_coverage_gaps(),
         "catchment_access": _sql_catchment_access(),
         "od_trigrams": _sql_od_trigrams(),
+        "nn_spectrum": _sql_nn_spectrum(),
+        "markov_transitions": _sql_markov_transitions(),
+        "move_rose": _sql_move_rose(),
     }

@@ -69,6 +69,10 @@ __all__ = [
     "od_trigrams",
     "trigram_motifs",
     "sql_od_trigrams",
+    "markov_transitions",
+    "sql_markov_transitions",
+    "move_rose",
+    "sql_move_rose",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -1197,4 +1201,110 @@ def sql_od_trigrams(events_sql: str) -> str:
         "CAST((t0x = ttx AND t0y = tty) AS INT) AS is_return "
         "FROM tri WHERE t0x IS NOT NULL AND p1x = ftx AND p1y = fty "
         "GROUP BY 1, 2, 3, 4, 5, 6, 8"
+    )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov next-place model over the OD flows — the
+    probability table mobility prediction actually consumes (the
+    od_matrix gives counts; prediction needs the row-conditional
+    P(to|from)): per transition ``(from, to)`` the exact ppm
+    conditional probability ``p_ppm = 10⁶·n_trips // row_total``
+    plus the row total. Σ p_ppm over a row is ≤ 10⁶ by construction
+    (floor quantization; the deficit is < n_destinations µ-units —
+    the documented exact-integer contract, no float probability ever
+    exists).
+
+    Plan: od_matrix's one window exchange + flow groupBy, then the
+    row marginal joins back ON ITS OWN GROUPING PREFIX (ftx, fty) —
+    co-partitioned, no new exchange class."""
+    od = od_matrix(events)
+    row = od.groupBy("ftx", "fty").agg(
+        F.sum("n_trips").alias("row_total")
+    )
+    return od.join(row, ["ftx", "fty"]).select(
+        "ftx",
+        "fty",
+        "ttx",
+        "tty",
+        "n_trips",
+        "row_total",
+        F.expr(
+            "CAST((CAST(n_trips AS DECIMAL(18,0)) * 1000000) "
+            "div row_total AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+
+
+def sql_markov_transitions(events_sql: str) -> str:
+    return (
+        f"WITH odm AS ({sql_od_matrix(events_sql)}), "
+        "row_tot AS (SELECT ftx, fty, SUM(n_trips) AS row_total "
+        "FROM odm GROUP BY 1, 2) "
+        "SELECT odm.ftx, odm.fty, ttx, tty, n_trips, row_total, "
+        "CAST((n_trips::HUGEINT * 1000000) // row_total AS BIGINT) "
+        "AS p_ppm FROM odm JOIN row_tot "
+        "ON odm.ftx = row_tot.ftx AND odm.fty = row_tot.fty"
+    )
+
+
+def move_rose(events: DataFrame) -> DataFrame:
+    """Displacement rose — the 8-sector direction histogram of moved
+    steps (the wind-rose of movement analytics; anisotropy screening
+    before any directional model): sectors are the EXACT half-open
+    45° octants anchored at East, classified by pure integer
+    sign/magnitude comparisons — sector 0 = [0°, 45°) is
+    ``dx > 0 ∧ dy ≥ 0 ∧ dx > dy``, and so on counter-clockwise — so
+    no atan2 (or any float) ever exists and boundary moves (a pure
+    diagonal is EXACTLY 45° → sector 1) classify identically in both
+    engines. Output ``(sector, n_moves, sum_cheb)``: the count and
+    the total Chebyshev displacement per direction (net anisotropy =
+    the imbalance across opposite sectors).
+
+    Plan: the shared user-window exchange + one map-side-combinable
+    groupBy onto 8 keys."""
+    pos = sticky_positions(events)
+    w = _user_window()
+    moved = pos.select(
+        (F.col("tx") - F.lag("tx").over(w)).alias("dx"),
+        (F.col("ty") - F.lag("ty").over(w)).alias("dy"),
+    ).where(
+        F.col("dx").isNotNull()
+        & ((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    # half-open 45-degree octants anchored at East; each boundary ray
+    # belongs to the counter-clockwise sector ([45,90) owns the pure
+    # diagonal, [90,135) owns due North, ...) — the first cut put due
+    # North/West/South on the wrong side, caught by the exhaustive
+    # unit sweep over all sign/magnitude classes
+    sector = F.expr(
+        "CASE WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0 WHEN dx > 0 AND dy > 0 AND dy >= dx THEN 1 WHEN dx <= 0 AND dy > 0 AND dy > -dx THEN 2 WHEN dx < 0 AND dy > 0 AND -dx >= dy THEN 3 WHEN dx < 0 AND dy <= 0 AND -dx > -dy THEN 4 WHEN dx < 0 AND dy < 0 AND -dy >= -dx THEN 5 WHEN dx >= 0 AND dy < 0 AND -dy > dx THEN 6 ELSE 7 END"
+    )
+    return (
+        moved.select(
+            sector.cast("int").alias("sector"),
+            F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy"))).alias(
+                "cheb"
+            ),
+        )
+        .groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.sum("cheb").alias("sum_cheb"),
+        )
+    )
+
+
+def sql_move_rose(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "mv AS (SELECT tx - LAG(tx) OVER w AS dx, "
+        "ty - LAG(ty) OVER w AS dy FROM pos "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "mvf AS (SELECT dx, dy FROM mv WHERE dx IS NOT NULL "
+        "AND (dx <> 0 OR dy <> 0)), "
+        "cls AS (SELECT CASE WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0 WHEN dx > 0 AND dy > 0 AND dy >= dx THEN 1 WHEN dx <= 0 AND dy > 0 AND dy > -dx THEN 2 WHEN dx < 0 AND dy > 0 AND -dx >= dy THEN 3 WHEN dx < 0 AND dy <= 0 AND -dx > -dy THEN 4 WHEN dx < 0 AND dy < 0 AND -dy >= -dx THEN 5 WHEN dx >= 0 AND dy < 0 AND -dy > dx THEN 6 ELSE 7 END AS sector, "
+        "GREATEST(ABS(dx), ABS(dy)) AS cheb FROM mvf) "
+        "SELECT CAST(sector AS INT) AS sector, COUNT(*) AS n_moves, "
+        "CAST(SUM(cheb) AS BIGINT) AS sum_cheb FROM cls GROUP BY 1"
     )
