@@ -3285,6 +3285,47 @@ def q_move_rose(spark, sf_dir):
     return move_rose(TB.load(spark, sf_dir, "events"))
 
 
+def q_user_centroid_drift(spark, sf_dir):
+    """Weekly activity-centroid drift per user (migration detection):
+    exact floor of squared centroid displacement between consecutive
+    observed weeks — centroids never exist as floats (N-scaled
+    deviations, DECIMAL/HUGEINT)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        user_centroid_drift,
+    )
+
+    return user_centroid_drift(TB.load(spark, sf_dir, "events"))
+
+
+def q_tile_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs-test inputs per tile over the daily visit
+    series: ties dropped per the classical test, runs = 1 + sign
+    changes — pure integer nonparametrics."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        tile_runs_test,
+    )
+
+    return tile_runs_test(TB.load(spark, sf_dir, "events"))
+
+
+def q_img_coverage(spark, sf_dir):
+    """Cross-layer footprint coverage: what ppm of the activity
+    layer's occupied cells carry at least one image — the set-
+    coverage data-quality twin of the colocation quotient (which
+    measures density association, not footprint completeness)."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        layer_coverage,
+    )
+
+    imgs = spark.read.parquet(_IMAGES_META_PATH).select(
+        F.expr("CAST(FLOOR(lon * 1000.0) AS BIGINT)").alias("mx"),
+        F.expr("CAST(FLOOR(lat * 1000.0) AS BIGINT)").alias("my"),
+    )
+    return layer_coverage(
+        TB.customer_cluster_points(spark, sf_dir), imgs
+    )
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -3899,6 +3940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_spectrum": q_nn_spectrum,
         "markov_transitions": q_markov_transitions,
         "move_rose": q_move_rose,
+        "user_centroid_drift": q_user_centroid_drift,
+        "tile_runs_test": q_tile_runs_test,
+        "img_coverage": q_img_coverage,
     }
 
 
@@ -4402,6 +4446,37 @@ def _sql_move_rose() -> str:
     )
 
     return sql_move_rose("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_user_centroid_drift() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_user_centroid_drift,
+    )
+
+    return sql_user_centroid_drift(
+        "SELECT user_id, event_id, ts FROM events"
+    )
+
+
+def _sql_tile_runs_test() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_tile_runs_test,
+    )
+
+    return sql_tile_runs_test("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_img_coverage() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_layer_coverage,
+    )
+
+    img_sql = (
+        "SELECT CAST(FLOOR(lon * 1000.0) AS BIGINT) AS mx, "
+        "CAST(FLOOR(lat * 1000.0) AS BIGINT) AS my "
+        f"FROM read_parquet('{_IMAGES_META_PATH}/*.parquet')"
+    )
+    return sql_layer_coverage(TB.SQL_CLUSTER_POINTS, img_sql)
 
 
 def _sql_user_home_tile() -> str:
@@ -5816,4 +5891,7 @@ def oracle_sql() -> dict[str, str]:
         "nn_spectrum": _sql_nn_spectrum(),
         "markov_transitions": _sql_markov_transitions(),
         "move_rose": _sql_move_rose(),
+        "user_centroid_drift": _sql_user_centroid_drift(),
+        "tile_runs_test": _sql_tile_runs_test(),
+        "img_coverage": _sql_img_coverage(),
     }

@@ -70,6 +70,8 @@ __all__ = [
     "sql_catchment_access_2sfca",
     "nn_spectrum",
     "sql_nn_spectrum",
+    "layer_coverage",
+    "sql_layer_coverage",
 ]
 
 
@@ -1677,4 +1679,75 @@ def sql_nn_spectrum(
         f"{bound} THEN CAST(LENGTH(BIN(m)) AS INT) ELSE -1 END "
         "AS bucket FROM pts LEFT JOIN nn USING (point_id)) "
         "SELECT bucket, COUNT(*) AS n_points FROM cls GROUP BY 1"
+    )
+
+
+def layer_coverage(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Cross-layer coverage completeness — the data-quality question
+    a multimodal training pipeline asks before relying on a side
+    layer ("what fraction of the ACTIVITY footprint has imagery?"):
+    over the shared grid, the occupied-cell sets of layer A
+    (activity) and layer B (coverage), their overlap, and the exact
+    ppm share of A-cells that B covers. ONE row:
+    ``(n_a_cells, n_b_cells, n_shared, coverage_ppm)`` with
+    ``coverage_ppm = 10⁶·n_shared // n_a_cells``.
+
+    Distinct from the colocation quotient (association strength of
+    the DENSITIES) — this is set coverage of the FOOTPRINT: CQ can
+    be high while coverage is poor (all imagery piled on one hot
+    cell) and vice versa.
+
+    Scale shape: two map-side-combinable distinct-cell groupBys,
+    one cell-key inner join for the overlap, three one-row
+    aggregates broadcast together. Raster-sized throughout."""
+    fdx, fdy = _fd("mx", cell, "spark"), _fd("my", cell, "spark")
+
+    def occ(df):
+        return df.select(
+            F.expr(fdx).alias("cx"), F.expr(fdy).alias("cy")
+        ).distinct()
+
+    a, b = occ(points_a), occ(points_b)
+    na = a.agg(F.count(F.lit(1)).alias("n_a_cells"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b_cells"))
+    sh = a.join(b, ["cx", "cy"]).agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        sh.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a_cells",
+            "n_b_cells",
+            "n_shared",
+            F.expr(
+                "CAST((CAST(n_shared AS DECIMAL(18,0)) * 1000000) "
+                "div n_a_cells AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+def sql_layer_coverage(
+    points_a_sql: str,
+    points_b_sql: str,
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    fx_ = _fd("mx", cell, "duckdb")
+    fy_ = _fd("my", cell, "duckdb")
+    return (
+        f"WITH pa AS ({points_a_sql}), pb AS ({points_b_sql}), "
+        f"oa AS (SELECT DISTINCT {fx_} AS cx, {fy_} AS cy FROM pa), "
+        f"ob AS (SELECT DISTINCT {fx_} AS cx, {fy_} AS cy FROM pb), "
+        "na AS (SELECT COUNT(*) AS n_a_cells FROM oa), "
+        "nb AS (SELECT COUNT(*) AS n_b_cells FROM ob), "
+        "sh AS (SELECT COUNT(*) AS n_shared FROM oa JOIN ob "
+        "ON oa.cx = ob.cx AND oa.cy = ob.cy) "
+        "SELECT n_a_cells, n_b_cells, n_shared, "
+        "CAST((n_shared::HUGEINT * 1000000) // n_a_cells AS BIGINT) "
+        "AS coverage_ppm FROM sh, na, nb"
     )

@@ -73,6 +73,10 @@ __all__ = [
     "sql_markov_transitions",
     "move_rose",
     "sql_move_rose",
+    "user_centroid_drift",
+    "sql_user_centroid_drift",
+    "tile_runs_test",
+    "sql_tile_runs_test",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -1307,4 +1311,189 @@ def sql_move_rose(events_sql: str) -> str:
         "GREATEST(ABS(dx), ABS(dy)) AS cheb FROM mvf) "
         "SELECT CAST(sector AS INT) AS sector, COUNT(*) AS n_moves, "
         "CAST(SUM(cheb) AS BIGINT) AS sum_cheb FROM cls GROUP BY 1"
+    )
+
+
+def user_centroid_drift(events: DataFrame) -> DataFrame:
+    """Weekly activity-centroid drift per user — migration/relocation
+    detection (the "has this user's home shifted?" screen a mobility
+    pipeline runs above the radius-of-gyration): per user and
+    calendar week, the visit centroid over sticky-tile CENTERS; then
+    the EXACT floor of the squared drift between consecutive
+    OBSERVED weeks (a user absent for a week compares to their last
+    active week — documented). The centroid never exists as a float:
+    with weekly sums (n, Sx, Sy), the drift between weeks 1 and 2 is
+    ``((n₂Sx₁ − n₁Sx₂)² + (n₂Sy₁ − n₁Sy₂)²) / (n₁n₂)²`` — numerator
+    and denominator exact integers (DECIMAL(38,0) accumulation; both
+    non-negative so the floor div is engine-portable). Output
+    ``(user_id, week, prev_week, n_cur, n_prev, drift2_milli2)``.
+
+    Scale shape: one groupBy on (user, week) — map-side combinable —
+    then a lag window on the user key the weekly table inherits;
+    everything after the first groupBy is week-granular, not
+    event-granular."""
+    pos = sticky_positions(events)
+    weekly = (
+        pos.select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "604800000000 AS BIGINT)"
+            ).alias("week"),
+            (F.col("tx") * 1000 + 500).alias("mx"),
+            (F.col("ty") * 1000 + 500).alias("my"),
+        )
+        .groupBy("user_id", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("mx").alias("sx"),
+            F.sum("my").alias("sy"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = weekly.select(
+        "user_id",
+        "week",
+        "n",
+        "sx",
+        "sy",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lag("n").over(w).alias("pn"),
+        F.lag("sx").over(w).alias("psx"),
+        F.lag("sy").over(w).alias("psy"),
+    ).where(F.col("prev_week").isNotNull())
+    return lagged.select(
+        "user_id",
+        "week",
+        "prev_week",
+        F.col("n").alias("n_cur"),
+        F.col("pn").alias("n_prev"),
+        F.expr(
+            "CAST(("
+            "(CAST(n AS DECIMAL(18,0)) * psx - CAST(pn AS DECIMAL(18,0))"
+            " * sx) * (CAST(n AS DECIMAL(18,0)) * psx - "
+            "CAST(pn AS DECIMAL(18,0)) * sx) + "
+            "(CAST(n AS DECIMAL(18,0)) * psy - CAST(pn AS DECIMAL(18,0))"
+            " * sy) * (CAST(n AS DECIMAL(18,0)) * psy - "
+            "CAST(pn AS DECIMAL(18,0)) * sy)"
+            ") div (CAST(n AS DECIMAL(38,0)) * n * pn * pn) AS BIGINT)"
+        ).alias("drift2_milli2"),
+    )
+
+
+def sql_user_centroid_drift(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "weekly AS (SELECT user_id, "
+        "epoch_us(ts) // 604800000000 AS week, COUNT(*) AS n, "
+        "SUM(tx * 1000 + 500) AS sx, SUM(ty * 1000 + 500) AS sy "
+        "FROM pos GROUP BY 1, 2), "
+        "lagged AS (SELECT user_id, week, n, sx, sy, "
+        "LAG(week) OVER w AS prev_week, LAG(n) OVER w AS pn, "
+        "LAG(sx) OVER w AS psx, LAG(sy) OVER w AS psy FROM weekly "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY week)) "
+        "SELECT user_id, week, prev_week, n AS n_cur, pn AS n_prev, "
+        "CAST(((n::HUGEINT * psx - pn::HUGEINT * sx) * "
+        "(n::HUGEINT * psx - pn::HUGEINT * sx) + "
+        "(n::HUGEINT * psy - pn::HUGEINT * sy) * "
+        "(n::HUGEINT * psy - pn::HUGEINT * sy)) // "
+        "(n::HUGEINT * n * pn * pn) AS BIGINT) AS drift2_milli2 "
+        "FROM lagged WHERE prev_week IS NOT NULL"
+    )
+
+
+def tile_runs_test(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test inputs per tile — the nonparametric
+    randomness screen on each tile's DAILY visit series (is the
+    up/down pattern of a tile's activity random, trending, or
+    oscillating?): day-over-day differences reduced to signs, TIES
+    (zero diffs) DROPPED per the classical test, runs = 1 + number
+    of sign changes over the surviving sequence. Output
+    ``(tx, ty, n_obs, n_up, n_down, n_runs)`` for tiles with
+    ``n_obs ≥ 2`` (one sign carries no run structure); the caller
+    compares n_runs against the known exact null moments — all
+    inputs integers, nothing here ever floats.
+
+    Scale shape: the (tile, day) cube groupBy, then two lag windows
+    over the SAME tile-key partitioning (one for the diff sign, one
+    for the sign-change flag over the tie-filtered series) — the
+    cube exchange is shared; the final rollup lands on the tile
+    key."""
+    pos = sticky_positions(events)
+    daily = (
+        pos.select(
+            "tx",
+            "ty",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("tx", "ty").orderBy("day")
+    signs = (
+        daily.select(
+            "tx",
+            "ty",
+            "day",
+            (F.col("x") - F.lag("x").over(w)).alias("diff"),
+        )
+        .where(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .select(
+            "tx",
+            "ty",
+            "day",
+            F.when(F.col("diff") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    flagged = signs.select(
+        "tx",
+        "ty",
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.lag("s").over(w) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    return (
+        flagged.groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("n_up"),
+            F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias(
+                "n_down"
+            ),
+            F.sum("chg").alias("n_runs"),
+        )
+        .where(F.col("n_obs") >= 2)
+        .select("tx", "ty", "n_obs", "n_up", "n_down", "n_runs")
+    )
+
+
+def sql_tile_runs_test(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "daily AS (SELECT tx, ty, epoch_us(ts) // 86400000000 AS day, "
+        "COUNT(*) AS x FROM pos GROUP BY 1, 2, 3), "
+        "sgn AS (SELECT tx, ty, day, CASE WHEN d > 0 THEN 1 ELSE -1 "
+        "END AS s FROM (SELECT tx, ty, day, x - LAG(x) OVER ("
+        "PARTITION BY tx, ty ORDER BY day) AS d FROM daily) t "
+        "WHERE d IS NOT NULL AND d <> 0), "
+        "flg AS (SELECT tx, ty, s, CASE WHEN LAG(s) OVER ("
+        "PARTITION BY tx, ty ORDER BY day) IS DISTINCT FROM s "
+        "THEN 1 ELSE 0 END AS chg FROM sgn) "
+        "SELECT tx, ty, COUNT(*) AS n_obs, "
+        "CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_up, "
+        "CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_down, "
+        "CAST(SUM(chg) AS BIGINT) AS n_runs FROM flg GROUP BY 1, 2 "
+        "HAVING COUNT(*) >= 2"
     )
