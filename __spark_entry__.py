@@ -3326,6 +3326,63 @@ def q_img_coverage(spark, sf_dir):
     )
 
 
+_ZPOINTS_PATH = "/root/repo/bench_data/zpoints"
+ZSCAN_RECT = (12.5, 44.0, -8.0, 30.5)  # lon_min, lon_max, lat_min, lat_max
+
+
+def q_zrange_scan(spark, sf_dir):
+    """Index-pruned window scan — how a curve-clustered table serves
+    a windowed query at 100 TB: the query rect decomposes into ≤64
+    contiguous Morton-key intervals (driver-side quadtree descent,
+    proven covering by an exhaustive small-bits sweep), the
+    intervals push into the parquet scan as zkey BETWEEN predicates
+    (file/row-group min/max pruning on the clustered fixture), and
+    the exact bbox residual refines. The oracle runs the PLAIN bbox
+    filter — row parity proves the decomposition sound and complete
+    on real data; the plan gate proves the ranges actually reach
+    PushedFilters."""
+    from workstealing_spatial_join_spark.operators.layout import (
+        zrange_predicate,
+    )
+
+    lon0, lon1, lat0, lat1 = ZSCAN_RECT
+    pred = zrange_predicate(lon0, lon1, lat0, lat1)
+    return (
+        spark.read.parquet(_ZPOINTS_PATH)
+        .where(F.expr(pred))
+        .where(
+            (F.col("lon") >= lon0)
+            & (F.col("lon") < lon1)
+            & (F.col("lat") >= lat0)
+            & (F.col("lat") < lat1)
+        )
+        .select("point_id", "zkey")
+    )
+
+
+def q_adaptive_k_anon(spark, sf_dir):
+    """Adaptive k-anonymity release levels (Gruteser & Grunwald):
+    per base tile the finest quadtree level reaching 5 distinct
+    users — the generalize-until-k location-privacy mechanism over
+    the visit cube."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        adaptive_k_anonymity,
+    )
+
+    return adaptive_k_anonymity(TB.load(spark, sf_dir, "events"))
+
+
+def q_user_predictability(spark, sf_dir):
+    """Per-user next-place predictability: the exact hit rate of the
+    best 1-Markov predictor in ppm (the Π_max proxy of Song et al.,
+    computed exactly, no entropy bound)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        user_predictability,
+    )
+
+    return user_predictability(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -3943,6 +4000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_centroid_drift": q_user_centroid_drift,
         "tile_runs_test": q_tile_runs_test,
         "img_coverage": q_img_coverage,
+        "zrange_scan": q_zrange_scan,
+        "adaptive_k_anon": q_adaptive_k_anon,
+        "user_predictability": q_user_predictability,
     }
 
 
@@ -4477,6 +4537,36 @@ def _sql_img_coverage() -> str:
         f"FROM read_parquet('{_IMAGES_META_PATH}/*.parquet')"
     )
     return sql_layer_coverage(TB.SQL_CLUSTER_POINTS, img_sql)
+
+
+def _sql_zrange_scan() -> str:
+    lon0, lon1, lat0, lat1 = ZSCAN_RECT
+    return (
+        f"SELECT point_id, zkey FROM "
+        f"read_parquet('{_ZPOINTS_PATH}/*.parquet') "
+        f"WHERE lon >= {lon0} AND lon < {lon1} "
+        f"AND lat >= {lat0} AND lat < {lat1}"
+    )
+
+
+def _sql_adaptive_k_anon() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_adaptive_k_anonymity,
+    )
+
+    return sql_adaptive_k_anonymity(
+        "SELECT user_id, event_id, ts FROM events"
+    )
+
+
+def _sql_user_predictability() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_user_predictability,
+    )
+
+    return sql_user_predictability(
+        "SELECT user_id, event_id, ts FROM events"
+    )
 
 
 def _sql_user_home_tile() -> str:
@@ -5894,4 +5984,7 @@ def oracle_sql() -> dict[str, str]:
         "user_centroid_drift": _sql_user_centroid_drift(),
         "tile_runs_test": _sql_tile_runs_test(),
         "img_coverage": _sql_img_coverage(),
+        "zrange_scan": _sql_zrange_scan(),
+        "adaptive_k_anon": _sql_adaptive_k_anon(),
+        "user_predictability": _sql_user_predictability(),
     }

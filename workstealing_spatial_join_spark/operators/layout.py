@@ -477,3 +477,121 @@ def sql_hilbert_key(
         "WITH " + ", ".join(ctes)
         + f" SELECT {keep}, _hd AS {out_col} FROM h{i}"
     )
+
+
+# ------------------------------------------- Z-range decomposition
+#
+# How a curve-keyed table actually SERVES windowed queries at scale:
+# decompose the query rectangle into a bounded set of CONTIGUOUS
+# Morton-key intervals (quadtree descent), push those intervals into
+# the scan as zkey BETWEEN predicates (parquet min/max stats prune
+# files/row-groups), and refine with the exact bbox residual. The
+# GeoMesa/BigQuery-GIS query path, reproduced on plain parquet.
+
+
+def _morton2(ix: int, iy: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((ix >> b) & 1) << (2 * b) | ((iy >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def zrange_decompose(
+    ix0: int,
+    ix1: int,
+    iy0: int,
+    iy1: int,
+    bits: int = MORTON_BITS,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Decompose the inclusive grid-cell rectangle
+    ``[ix0..ix1] × [iy0..iy1]`` into ≤ ``max_ranges`` contiguous
+    Morton-key intervals COVERING it (a superset — the scan refines
+    with the exact bbox, so coarseness costs I/O, never correctness).
+    Classic quadtree descent: a quad fully inside the rect emits its
+    whole contiguous key block; a partial quad splits until the
+    budget says stop, at which point it is emitted whole (coarsened).
+    Adjacent/overlapping intervals are merged. Driver-side planning
+    arithmetic — pure Python ints, runs once per query, never
+    touches data."""
+    out: list[tuple[int, int]] = []
+    budget = [max_ranges * 4]  # leaf budget before coarsening
+
+    def visit(qx: int, qy: int, level: int) -> None:
+        # quad at `level` covers cells [qx<<level, (qx+1)<<level) etc.
+        size = 1 << level
+        x_lo, x_hi = qx * size, qx * size + size - 1
+        y_lo, y_hi = qy * size, qy * size + size - 1
+        if x_hi < ix0 or x_lo > ix1 or y_hi < iy0 or y_lo > iy1:
+            return
+        z_lo = _morton2(x_lo, y_lo, bits)
+        full = (
+            x_lo >= ix0 and x_hi <= ix1 and y_lo >= iy0 and y_hi <= iy1
+        )
+        if full or level == 0 or budget[0] <= 0:
+            out.append((z_lo, z_lo + size * size - 1))
+            if not full:
+                budget[0] -= 1
+            return
+        budget[0] -= 1
+        for dy in (0, 1):
+            for dx in (0, 1):
+                visit(qx * 2 + dx, qy * 2 + dy, level - 1)
+
+    visit(0, 0, bits)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    # enforce the hard cap by greedily merging the smallest gaps
+    while len(merged) > max_ranges:
+        gaps = [
+            (merged[i + 1][0] - merged[i][1], i)
+            for i in range(len(merged) - 1)
+        ]
+        _, i = min(gaps)
+        merged[i] = (merged[i][0], merged[i + 1][1])
+        del merged[i + 1]
+    return merged
+
+
+def grid_index(v: float, lo: float, span: float, bits: int) -> int:
+    """Driver-side twin of :func:`_scale_axis` — same IEEE chain."""
+    import math
+
+    n = 1 << bits
+    ix = math.floor((v - lo) / span * float(n))
+    return max(0, min(n - 1, ix))
+
+
+def zrange_predicate(
+    lon_min: float,
+    lon_max: float,
+    lat_min: float,
+    lat_max: float,
+    bits: int = MORTON_BITS,
+    max_ranges: int = 64,
+    key_col: str = "zkey",
+    dialect: str = "spark",
+) -> str:
+    """The pushdown-able scan predicate for a lon/lat window: OR of
+    ``key BETWEEN lo AND hi`` over the decomposed ranges. Identical
+    string for Spark SQL and DuckDB (BETWEEN is ANSI)."""
+    ranges = zrange_decompose(
+        grid_index(lon_min, -180.0, 360.0, bits),
+        grid_index(lon_max, -180.0, 360.0, bits),
+        grid_index(lat_min, -90.0, 180.0, bits),
+        grid_index(lat_max, -90.0, 180.0, bits),
+        bits,
+        max_ranges,
+    )
+    return (
+        "("
+        + " OR ".join(
+            f"{key_col} BETWEEN {lo} AND {hi}" for lo, hi in ranges
+        )
+        + ")"
+    )

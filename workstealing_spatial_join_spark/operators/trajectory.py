@@ -77,6 +77,10 @@ __all__ = [
     "sql_user_centroid_drift",
     "tile_runs_test",
     "sql_tile_runs_test",
+    "adaptive_k_anonymity",
+    "sql_adaptive_k_anonymity",
+    "user_predictability",
+    "sql_user_predictability",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -1496,4 +1500,145 @@ def sql_tile_runs_test(events_sql: str) -> str:
         "AS n_down, "
         "CAST(SUM(chg) AS BIGINT) AS n_runs FROM flg GROUP BY 1, 2 "
         "HAVING COUNT(*) >= 2"
+    )
+
+
+K_ANON_LEVELS = ((0, 1), (1, 2), (2, 4), (3, 8), (4, 16), (5, 32))
+
+
+def adaptive_k_anonymity(events: DataFrame, k: int = 5) -> DataFrame:
+    """Adaptive spatial generalization — the k-anonymity release
+    mechanism of location privacy (Gruteser & Grunwald 2003: coarsen
+    each area until ≥ k distinct users share it, then release at
+    that granularity): per base tile, the FINEST quadtree level at
+    which the tile's enclosing cell reaches ``k`` distinct users —
+    ``(tx, ty, release_level, n_users_at_level)``. Level l cells are
+    ``(tx div 2^l, ty div 2^l)`` with the divisors as exploded
+    LITERALS (never a float pow); level 5 is the whole 32×32 world,
+    so any corpus with ≥ k users releases every tile (guarded:
+    tiles that never qualify are dropped and documented).
+
+    Scale shape: one bounded ×6 map-side explode of the visit
+    table, ONE (level, cell) groupBy for the distinct-user ladder
+    (the cube, not the events, is the working set above level 0),
+    and an argmin-by-struct per base tile."""
+    pos = sticky_positions(events)
+    lvl = F.explode(
+        F.expr(
+            "array("
+            + ", ".join(
+                f"struct({l} AS l, {s} AS s)" for l, s in K_ANON_LEVELS
+            )
+            + ")"
+        )
+    )
+    cells = pos.select("user_id", "tx", "ty").withColumn(
+        "lv", lvl
+    ).select(
+        "user_id",
+        "tx",
+        "ty",
+        F.col("lv.l").alias("l"),
+        # integer div, never float: tx, s ≥ 0 so div IS floor
+        F.expr("tx div lv.s").alias("cx"),
+        F.expr("ty div lv.s").alias("cy"),
+    )
+    counts = cells.groupBy("l", "cx", "cy").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    base = cells.select("tx", "ty", "l", "cx", "cy").distinct()
+    joined = base.join(counts, ["l", "cx", "cy"])
+    best = joined.groupBy("tx", "ty").agg(
+        F.min(
+            F.when(
+                F.col("n_users") >= k,
+                F.struct("l", "n_users"),
+            )
+        ).alias("best")
+    )
+    return best.where(F.col("best").isNotNull()).select(
+        "tx",
+        "ty",
+        F.col("best.l").alias("release_level"),
+        F.col("best.n_users").alias("n_users_at_level"),
+    )
+
+
+def sql_adaptive_k_anonymity(events_sql: str, k: int = 5) -> str:
+    lvls = ", ".join(f"({l}, {s})" for l, s in K_ANON_LEVELS)
+    return (
+        _sql_base(events_sql) + ", "
+        f"lv(l, s) AS (VALUES {lvls}), "
+        "cells AS (SELECT user_id, tx, ty, l, tx // s AS cx, "
+        "ty // s AS cy FROM pos CROSS JOIN lv), "
+        "cnts AS (SELECT l, cx, cy, COUNT(DISTINCT user_id) AS "
+        "n_users FROM cells GROUP BY 1, 2, 3), "
+        "base AS (SELECT DISTINCT tx, ty, l, cx, cy FROM cells), "
+        "j AS (SELECT base.tx, base.ty, base.l, n_users FROM base "
+        "JOIN cnts ON base.l = cnts.l AND base.cx = cnts.cx "
+        "AND base.cy = cnts.cy), "
+        f"q AS (SELECT tx, ty, MIN(l) AS release_level FROM j "
+        f"WHERE n_users >= {k} GROUP BY 1, 2) "
+        "SELECT q.tx, q.ty, CAST(release_level AS INT) AS "
+        "release_level, j.n_users AS n_users_at_level "
+        "FROM q JOIN j ON q.tx = j.tx AND q.ty = j.ty "
+        "AND j.l = q.release_level"
+    )
+
+
+def user_predictability(events: DataFrame) -> DataFrame:
+    """Next-place predictability per user — the hit rate of the best
+    first-order Markov predictor (the Π_max proxy of Song et al.,
+    Science 2010, computed exactly instead of via entropy bounds):
+    for each user, Σ over their origin tiles of the modal transition
+    count, over total moves — ``pred_ppm = 10⁶·n_top // n_moves``,
+    all integers. A user at 10⁶ ppm always goes to the same next
+    tile from every origin; low values mean movement a 1-Markov
+    model cannot learn. Output ``(user_id, n_moves, pred_ppm)``.
+
+    Scale shape: every stage groups by keys PREFIXED by user_id —
+    the one user-key exchange the trajectory family shares carries
+    all three rollups map-side."""
+    pos = sticky_positions(events)
+    w = _user_window()
+    moved = pos.select(
+        "user_id",
+        F.lag("tx").over(w).alias("ftx"),
+        F.lag("ty").over(w).alias("fty"),
+        F.col("tx").alias("ttx"),
+        F.col("ty").alias("tty"),
+    ).where(
+        F.col("ftx").isNotNull()
+        & ((F.col("ftx") != F.col("ttx")) | (F.col("fty") != F.col("tty")))
+    )
+    per = moved.groupBy("user_id", "ftx", "fty", "ttx", "tty").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    origin = per.groupBy("user_id", "ftx", "fty").agg(
+        F.sum("n").alias("from_total"),
+        F.max("n").alias("top_n"),
+    )
+    return origin.groupBy("user_id").agg(
+        F.sum("from_total").alias("n_moves"),
+        F.expr(
+            "CAST((CAST(SUM(top_n) AS DECIMAL(18,0)) * 1000000) div "
+            "SUM(from_total) AS BIGINT)"
+        ).alias("pred_ppm"),
+    )
+
+
+def sql_user_predictability(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "mv AS (SELECT user_id, LAG(tx) OVER w AS ftx, "
+        "LAG(ty) OVER w AS fty, tx AS ttx, ty AS tty FROM pos "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "per AS (SELECT user_id, ftx, fty, ttx, tty, COUNT(*) AS n "
+        "FROM mv WHERE ftx IS NOT NULL AND (ftx <> ttx OR fty <> tty) "
+        "GROUP BY 1, 2, 3, 4, 5), "
+        "orig AS (SELECT user_id, ftx, fty, SUM(n) AS from_total, "
+        "MAX(n) AS top_n FROM per GROUP BY 1, 2, 3) "
+        "SELECT user_id, CAST(SUM(from_total) AS BIGINT) AS n_moves, "
+        "CAST((SUM(top_n)::HUGEINT * 1000000) // SUM(from_total) "
+        "AS BIGINT) AS pred_ppm FROM orig GROUP BY 1"
     )
