@@ -3383,6 +3383,39 @@ def q_user_predictability(spark, sf_dir):
     return user_predictability(TB.load(spark, sf_dir, "events"))
 
 
+def q_tile_affinity(spark, sf_dir):
+    """Co-visitation tile-pair affinity (the related-places graph):
+    distinct-user co-visit counts per unordered tile pair, ≥2
+    common users — per-user footprint explode, never a tile×tile
+    join."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        tile_affinity,
+    )
+
+    return tile_affinity(TB.load(spark, sf_dir, "events"))
+
+
+def q_tile_lifecycle(spark, sf_dir):
+    """Place lifecycle: first/last active day, active-day count, and
+    the longest dark gap per tile — the new/dead/intermittent-place
+    screen, all integers on the daily cube."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        tile_lifecycle,
+    )
+
+    return tile_lifecycle(TB.load(spark, sf_dir, "events"))
+
+
+def q_user_explorer(spark, sf_dir):
+    """Returner/explorer profiling (Pappalardo et al.): per-user
+    exact exploration ratio — distinct tiles over visits in ppm."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        user_explorer,
+    )
+
+    return user_explorer(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -4003,6 +4036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zrange_scan": q_zrange_scan,
         "adaptive_k_anon": q_adaptive_k_anon,
         "user_predictability": q_user_predictability,
+        "tile_affinity": q_tile_affinity,
+        "tile_lifecycle": q_tile_lifecycle,
+        "user_explorer": q_user_explorer,
     }
 
 
@@ -4567,6 +4603,30 @@ def _sql_user_predictability() -> str:
     return sql_user_predictability(
         "SELECT user_id, event_id, ts FROM events"
     )
+
+
+def _sql_tile_affinity() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_tile_affinity,
+    )
+
+    return sql_tile_affinity("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_tile_lifecycle() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_tile_lifecycle,
+    )
+
+    return sql_tile_lifecycle("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_user_explorer() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_user_explorer,
+    )
+
+    return sql_user_explorer("SELECT user_id, event_id, ts FROM events")
 
 
 def _sql_user_home_tile() -> str:
@@ -5987,4 +6047,7 @@ def oracle_sql() -> dict[str, str]:
         "zrange_scan": _sql_zrange_scan(),
         "adaptive_k_anon": _sql_adaptive_k_anon(),
         "user_predictability": _sql_user_predictability(),
+        "tile_affinity": _sql_tile_affinity(),
+        "tile_lifecycle": _sql_tile_lifecycle(),
+        "user_explorer": _sql_user_explorer(),
     }

@@ -81,6 +81,12 @@ __all__ = [
     "sql_adaptive_k_anonymity",
     "user_predictability",
     "sql_user_predictability",
+    "tile_affinity",
+    "sql_tile_affinity",
+    "tile_lifecycle",
+    "sql_tile_lifecycle",
+    "user_explorer",
+    "sql_user_explorer",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -1641,4 +1647,153 @@ def sql_user_predictability(events_sql: str) -> str:
         "SELECT user_id, CAST(SUM(from_total) AS BIGINT) AS n_moves, "
         "CAST((SUM(top_n)::HUGEINT * 1000000) // SUM(from_total) "
         "AS BIGINT) AS pred_ppm FROM orig GROUP BY 1"
+    )
+
+
+def tile_affinity(events: DataFrame, min_common: int = 2) -> DataFrame:
+    """Co-visitation tile affinity — the "related places" graph
+    collaborative filtering builds over locations (people who visit
+    A also visit B; the precursor signal of place-recommendation
+    models): for every unordered tile pair, the number of DISTINCT
+    users visiting both, emitted above ``min_common`` (at planetary
+    scale the 1-common-user pairs are the corpus). The pair
+    enumeration explodes each USER's distinct tile set (bounded by
+    the per-user footprint, never by the corpus) — the same
+    per-basket fan-out as type_colocation_lift, with users as
+    baskets and tiles as items; a tile×tile join never exists.
+    Output ``(ax, ay, bx, by, n_common)`` with (ax,ay) < (bx,by)
+    lexicographic.
+
+    Scale shape: ONE exchange on user_id builds the sorted distinct
+    tile set per user; pairs explode map-side; the count lands on
+    the pair key, map-side combinable. Per-user footprints are
+    bounded (a human visits hundreds of places, not billions) — the
+    explode is |footprint|²/2 per user, the documented cost."""
+    pos = sticky_positions(events)
+    sets = (
+        pos.select("user_id", "tx", "ty")
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("tx", "ty"))
+            ).alias("tiles")
+        )
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(tiles, (a, i) -> "
+                "transform(slice(tiles, i + 2, size(tiles)), "
+                "b -> struct(a.tx AS ax, a.ty AS ay, "
+                "b.tx AS bx, b.ty AS by))))"
+            )
+        ).alias("p")
+    ).select("p.ax", "p.ay", "p.bx", "p.by")
+    return (
+        pairs.groupBy("ax", "ay", "bx", "by")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
+def sql_tile_affinity(events_sql: str, min_common: int = 2) -> str:
+    """DuckDB twin — the classical presence-table self-join (a
+    genuinely different plan from the per-basket explode)."""
+    return (
+        _sql_base(events_sql) + ", "
+        "pres AS (SELECT DISTINCT user_id, tx, ty FROM pos), "
+        "pr AS (SELECT a.tx AS ax, a.ty AS ay, b.tx AS bx, "
+        "b.ty AS by, COUNT(*) AS n_common "
+        "FROM pres a JOIN pres b ON a.user_id = b.user_id "
+        "AND (a.tx < b.tx OR (a.tx = b.tx AND a.ty < b.ty)) "
+        "GROUP BY 1, 2, 3, 4) "
+        f"SELECT * FROM pr WHERE n_common >= {min_common}"
+    )
+
+
+def tile_lifecycle(events: DataFrame) -> DataFrame:
+    """Place lifecycle screen — per tile the activity span and the
+    longest dark stretch: ``(tx, ty, first_day, last_day,
+    n_active_days, max_gap_days)``. The operational question behind
+    it: which places are NEW (late first_day), which DIED (early
+    last_day), which are INTERMITTENT (large max_gap relative to
+    span)? max_gap is the maximum day-over-day difference minus 1
+    over the tile's ordered active days (0 when fully contiguous or
+    single-day). All integers; one lag window over the daily cube's
+    tile-key partitioning + one rollup on the same key."""
+    pos = sticky_positions(events)
+    daily = (
+        pos.select(
+            "tx",
+            "ty",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("tx", "ty").orderBy("day")
+    gapped = daily.select(
+        "tx",
+        "ty",
+        "day",
+        (F.col("day") - F.lag("day").over(w) - 1).alias("gap"),
+    )
+    return gapped.groupBy("tx", "ty").agg(
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("n_active_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_days"),
+    )
+
+
+def sql_tile_lifecycle(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "daily AS (SELECT tx, ty, epoch_us(ts) // 86400000000 AS day "
+        "FROM pos GROUP BY 1, 2, epoch_us(ts) // 86400000000), "
+        "g AS (SELECT tx, ty, day, day - LAG(day) OVER ("
+        "PARTITION BY tx, ty ORDER BY day) - 1 AS gap FROM daily) "
+        "SELECT tx, ty, MIN(day) AS first_day, MAX(day) AS last_day, "
+        "COUNT(*) AS n_active_days, "
+        "CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days "
+        "FROM g GROUP BY 1, 2"
+    )
+
+
+def user_explorer(events: DataFrame) -> DataFrame:
+    """Returner/explorer profiling (Pappalardo et al., Nature Comms
+    2015 — the dichotomy human mobility splits into): per user the
+    visit count, distinct-tile footprint, and the exact exploration
+    ratio ``explore_ppm = 10⁶·n_distinct_tiles // n_visits`` — near
+    10⁶ means every visit breaks new ground (explorer), near 0 means
+    the user cycles a tiny set (returner). One groupBy on user_id
+    with a two-level distinct; integers throughout."""
+    pos = sticky_positions(events)
+    per = pos.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.count_distinct("tx", "ty").alias("n_tiles"),
+    )
+    return per.select(
+        "user_id",
+        "n_visits",
+        "n_tiles",
+        F.expr(
+            "CAST((CAST(n_tiles AS DECIMAL(18,0)) * 1000000) div "
+            "n_visits AS BIGINT)"
+        ).alias("explore_ppm"),
+    )
+
+
+def sql_user_explorer(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + " "
+        "SELECT user_id, COUNT(*) AS n_visits, "
+        "COUNT(DISTINCT (tx, ty)) AS n_tiles, "
+        "CAST((COUNT(DISTINCT (tx, ty))::HUGEINT * 1000000) // "
+        "COUNT(*) AS BIGINT) AS explore_ppm "
+        "FROM pos GROUP BY 1"
     )
