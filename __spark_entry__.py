@@ -3416,6 +3416,46 @@ def q_user_explorer(spark, sf_dir):
     return user_explorer(TB.load(spark, sf_dir, "events"))
 
 
+def q_general_g(spark, sf_dir):
+    """Getis–Ord General G over the clustered point raster: the
+    global high/low concentration statistic Moran's I can't
+    distinguish; pair-free denominator S²−Σx², exact ppm."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        general_g,
+    )
+
+    return general_g(TB.customer_cluster_points(spark, sf_dir))
+
+
+def q_bivariate_moran(spark, sf_dir):
+    """Bivariate spatial cross-correlation images×events over the
+    union raster (zero-filled): the exact dual-slope form whose
+    product is I_AB²·10¹² — sqrt-free and 128-bit-safe where the
+    signed-square form provably overflows at sf1."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        bivariate_moran,
+    )
+
+    imgs = spark.read.parquet(_IMAGES_META_PATH).select(
+        F.expr("CAST(FLOOR(lon * 1000.0) AS BIGINT)").alias("mx"),
+        F.expr("CAST(FLOOR(lat * 1000.0) AS BIGINT)").alias("my"),
+    )
+    return bivariate_moran(imgs, TB.customer_points_milli(spark, sf_dir))
+
+
+def q_type_dissimilarity(spark, sf_dir):
+    """Duncan's index of dissimilarity between click and purchase
+    activity across tiles — THE segregation statistic, exact ppm by
+    cross-multiplication (no per-tile share ever floats)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        dissimilarity_index,
+    )
+
+    return dissimilarity_index(
+        TB.load(spark, sf_dir, "events"), "click", "purchase"
+    )
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -4039,6 +4079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_affinity": q_tile_affinity,
         "tile_lifecycle": q_tile_lifecycle,
         "user_explorer": q_user_explorer,
+        "general_g": q_general_g,
+        "bivariate_moran": q_bivariate_moran,
+        "type_dissimilarity": q_type_dissimilarity,
     }
 
 
@@ -4627,6 +4670,39 @@ def _sql_user_explorer() -> str:
     )
 
     return sql_user_explorer("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_general_g() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_general_g,
+    )
+
+    return sql_general_g(TB.SQL_CLUSTER_POINTS)
+
+
+def _sql_bivariate_moran() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_bivariate_moran,
+    )
+
+    img_sql = (
+        "SELECT CAST(FLOOR(lon * 1000.0) AS BIGINT) AS mx, "
+        "CAST(FLOOR(lat * 1000.0) AS BIGINT) AS my "
+        f"FROM read_parquet('{_IMAGES_META_PATH}/*.parquet')"
+    )
+    return sql_bivariate_moran(img_sql, TB.SQL_POINTS_MILLI)
+
+
+def _sql_type_dissimilarity() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_dissimilarity_index,
+    )
+
+    return sql_dissimilarity_index(
+        "SELECT user_id, event_id, ts, event_type FROM events",
+        "click",
+        "purchase",
+    )
 
 
 def _sql_user_home_tile() -> str:
@@ -6050,4 +6126,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_affinity": _sql_tile_affinity(),
         "tile_lifecycle": _sql_tile_lifecycle(),
         "user_explorer": _sql_user_explorer(),
+        "general_g": _sql_general_g(),
+        "bivariate_moran": _sql_bivariate_moran(),
+        "type_dissimilarity": _sql_type_dissimilarity(),
     }

@@ -72,6 +72,10 @@ __all__ = [
     "sql_nn_spectrum",
     "layer_coverage",
     "sql_layer_coverage",
+    "general_g",
+    "sql_general_g",
+    "bivariate_moran",
+    "sql_bivariate_moran",
 ]
 
 
@@ -150,7 +154,7 @@ def morans_i(
         F.count(F.lit(1)).alias("w_edges"),
     )
     joined = num_w.join(F.broadcast(den_n))
-    a = "(CAST(n_cells AS DECIMAL(38,0)) * num * 1000000)"
+    a = "(CAST(n_cells AS DECIMAL(38,0)) * COALESCE(num, 0) * 1000000)"
     b = "(CAST(w_edges AS DECIMAL(38,0)) * den)"
     m = f"((({a} % {b}) + {b}) % {b})"
     return joined.select(
@@ -1750,4 +1754,224 @@ def sql_layer_coverage(
         "SELECT n_a_cells, n_b_cells, n_shared, "
         "CAST((n_shared::HUGEINT * 1000000) // n_a_cells AS BIGINT) "
         "AS coverage_ppm FROM sh, na, nb"
+    )
+
+
+def general_g(
+    points: DataFrame,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Getis–Ord General G (Getis & Ord, Geog. Analysis 1992) — the
+    global HIGH/LOW concentration statistic that complements Moran's
+    I (which cannot tell hot clustering from cold clustering): over
+    the occupied-cell raster with binary queen weights,
+    ``G = Σ_{i≠j} w_ij·x_i·x_j / Σ_{i≠j} x_i·x_j``, exact in ppm.
+    The denominator never enumerates pairs — it is the closed form
+    ``S² − Σx²`` (S = Σx), so the only pair set ever touched is the
+    bounded ×8 neighbor join the Moran machinery already uses. Both
+    sums are non-negative (raw counts, not deviations), so the floor
+    division is portable without the Euclidean fixup. One row
+    ``(n_cells, w_edges, g_ppm)``; G above the E[G] ≈ W/(N(N−1))
+    baseline means HIGH values cluster."""
+    cells = cell_counts(points, x_col, y_col, cell)
+    glob = cells.agg(
+        F.sum("x").alias("s_tot"),
+        F.sum(
+            F.col("x").cast("decimal(18,0)")
+            * F.col("x").cast("decimal(18,0)")
+        ).alias("s_sq"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    offs = F.expr("array(-1, 0, 1)")
+    nbr = (
+        cells.withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .where("ox != 0 OR oy != 0")
+        .select(
+            (F.col("cx") + F.col("ox")).alias("dx"),
+            (F.col("cy") + F.col("oy")).alias("dy"),
+            F.col("x").alias("x_src"),
+        )
+    )
+    dst = cells.select(
+        F.col("cx").alias("dx"),
+        F.col("cy").alias("dy"),
+        F.col("x").alias("x_dst"),
+    )
+    num_w = nbr.join(dst, ["dx", "dy"]).agg(
+        F.sum(
+            F.col("x_src").cast("decimal(18,0)")
+            * F.col("x_dst").cast("decimal(18,0)")
+        ).alias("num"),
+        F.count(F.lit(1)).alias("w_edges"),
+    )
+    # a layer with NO adjacent occupied cells has an empty pair set:
+    # the one-row aggregate then carries num = NULL, and G is 0, not
+    # unknown (same COALESCE stance as the colocation quotient)
+    return num_w.join(F.broadcast(glob)).select(
+        "n_cells",
+        "w_edges",
+        F.expr(
+            "CAST((COALESCE(CAST(num AS DECIMAL(38,0)), 0) * 1000000) "
+            "div (CAST(s_tot AS DECIMAL(38,0)) * s_tot - s_sq) "
+            "AS BIGINT)"
+        ).alias("g_ppm"),
+    )
+
+
+def sql_general_g(
+    points_sql: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    fx_ = _fd(x_col, cell, "duckdb")
+    fy_ = _fd(y_col, cell, "duckdb")
+    return (
+        f"WITH pts AS ({points_sql}), "
+        f"cells AS (SELECT {fx_} AS cx, {fy_} AS cy, COUNT(*) AS x "
+        f"FROM pts GROUP BY 1, 2), "
+        "gl AS (SELECT SUM(x) AS s_tot, "
+        "SUM(x::HUGEINT * x) AS s_sq, COUNT(*) AS n_cells FROM cells), "
+        "nw AS (SELECT SUM(a.x::HUGEINT * b.x) AS num, "
+        "COUNT(*) AS w_edges FROM cells a JOIN cells b "
+        "ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1 "
+        "AND (a.cx <> b.cx OR a.cy <> b.cy)) "
+        "SELECT n_cells, w_edges, "
+        "CAST((COALESCE(num, 0)::HUGEINT * 1000000) // "
+        "(s_tot::HUGEINT * s_tot - s_sq) AS BIGINT) AS g_ppm "
+        "FROM nw, gl"
+    )
+
+
+def bivariate_moran(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Bivariate spatial cross-correlation (Wartenberg 1985 / GeoDa's
+    bivariate Moran): does layer A's density relate to layer B's
+    density in the SURROUNDING cells? Over the UNION of occupied
+    cells (zero-filled per layer — dropping a cell absent from one
+    layer biases the cross-product), with N-scaled deviations
+    ``za_i = N·a_i − Sa`` and queen weights:
+    ``I_AB = N·Σij w_ij·za_i·zb_j / (W·√(Σza²)·√(Σzb²))``.
+    The two square roots cannot be exact — and the tempting signed
+    SQUARE ``N²·num²·10¹²/(W²·Σza²·Σzb²)`` overflows 128-bit at sf1
+    magnitudes (num ~ 10¹⁸ squared is 10³⁶ BEFORE the N²·10¹²
+    factors — caught in design) — so the engine emits the exact
+    DUAL-SLOPE form: ``slope_ab = 10⁶·N·num/(W·Σza²)`` (the
+    regression coefficient of B's spatial lag on A — GeoDa's
+    bivariate Moran is its standardized twin) and the mirrored
+    ``slope_ba = 10⁶·N·num/(W·Σzb²)``; their product is exactly
+    I_AB²·10¹² and each is overflow-safe and sign-portable (num can
+    be negative → Euclidean-remainder floor, the morans_i
+    convention). Output one row ``(n_cells, w_edges, slope_ab_ppm,
+    slope_ba_ppm)``."""
+    fdx, fdy = _fd("mx", cell, "spark"), _fd("my", cell, "spark")
+
+    def raster(df, out):
+        return (
+            df.select(F.expr(fdx).alias("cx"), F.expr(fdy).alias("cy"))
+            .groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    ra, rb = raster(points_a, "a"), raster(points_b, "b")
+    cells = (
+        ra.join(rb, ["cx", "cy"], "full")
+        .select(
+            "cx",
+            "cy",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+        )
+    )
+    glob = cells.agg(
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = cells.join(F.broadcast(glob)).select(
+        "cx",
+        "cy",
+        "n",
+        (F.col("n") * F.col("a") - F.col("sa")).alias("za"),
+        (F.col("n") * F.col("b") - F.col("sb")).alias("zb"),
+    )
+    dens = z.agg(
+        F.sum(
+            F.col("za").cast("decimal(18,0)")
+            * F.col("za").cast("decimal(18,0)")
+        ).alias("daa"),
+        F.sum(
+            F.col("zb").cast("decimal(18,0)")
+            * F.col("zb").cast("decimal(18,0)")
+        ).alias("dbb"),
+        F.max("n").alias("n_cells"),
+    )
+    offs = F.expr("array(-1, 0, 1)")
+    nbr = (
+        z.withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .where("ox != 0 OR oy != 0")
+        .select(
+            (F.col("cx") + F.col("ox")).alias("dx"),
+            (F.col("cy") + F.col("oy")).alias("dy"),
+            F.col("za").alias("za_src"),
+        )
+    )
+    dst = z.select(
+        F.col("cx").alias("dx"),
+        F.col("cy").alias("dy"),
+        F.col("zb").alias("zb_dst"),
+    )
+    num_w = nbr.join(dst, ["dx", "dy"]).agg(
+        F.sum(
+            F.col("za_src").cast("decimal(18,0)")
+            * F.col("zb_dst").cast("decimal(18,0)")
+        ).alias("num"),
+        F.count(F.lit(1)).alias("w_edges"),
+    )
+    j = num_w.join(F.broadcast(dens))
+    return j.select(
+        "n_cells",
+        "w_edges",
+        F.expr("CAST((((CAST(n_cells AS DECIMAL(38,0)) * COALESCE(num, 0) * 1000000)) - ((((CAST(n_cells AS DECIMAL(38,0)) * COALESCE(num, 0) * 1000000) % (CAST(w_edges AS DECIMAL(38,0)) * daa)) + (CAST(w_edges AS DECIMAL(38,0)) * daa)) % (CAST(w_edges AS DECIMAL(38,0)) * daa))) div ((CAST(w_edges AS DECIMAL(38,0)) * daa)) AS BIGINT)").alias("slope_ab_ppm"),
+        F.expr("CAST((((CAST(n_cells AS DECIMAL(38,0)) * COALESCE(num, 0) * 1000000)) - ((((CAST(n_cells AS DECIMAL(38,0)) * COALESCE(num, 0) * 1000000) % (CAST(w_edges AS DECIMAL(38,0)) * dbb)) + (CAST(w_edges AS DECIMAL(38,0)) * dbb)) % (CAST(w_edges AS DECIMAL(38,0)) * dbb))) div ((CAST(w_edges AS DECIMAL(38,0)) * dbb)) AS BIGINT)").alias("slope_ba_ppm"),
+    )
+
+
+def sql_bivariate_moran(
+    points_a_sql: str,
+    points_b_sql: str,
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    fx_ = _fd("mx", cell, "duckdb")
+    fy_ = _fd("my", cell, "duckdb")
+    return (
+        f"WITH pa AS ({points_a_sql}), pb AS ({points_b_sql}), "
+        f"ra AS (SELECT {fx_} AS cx, {fy_} AS cy, COUNT(*) AS a "
+        f"FROM pa GROUP BY 1, 2), "
+        f"rb AS (SELECT {fx_} AS cx, {fy_} AS cy, COUNT(*) AS b "
+        f"FROM pb GROUP BY 1, 2), "
+        "cells AS (SELECT COALESCE(ra.cx, rb.cx) AS cx, "
+        "COALESCE(ra.cy, rb.cy) AS cy, COALESCE(a, 0) AS a, "
+        "COALESCE(b, 0) AS b FROM ra FULL JOIN rb "
+        "ON ra.cx = rb.cx AND ra.cy = rb.cy), "
+        "gl AS (SELECT SUM(a) AS sa, SUM(b) AS sb, COUNT(*) AS n "
+        "FROM cells), "
+        "z AS (SELECT cx, cy, n, n * a - sa AS za, n * b - sb AS zb "
+        "FROM cells, gl), "
+        "dens AS (SELECT SUM(za::HUGEINT * za) AS daa, "
+        "SUM(zb::HUGEINT * zb) AS dbb, MAX(n) AS n_cells FROM z), "
+        "nw AS (SELECT SUM(x.za::HUGEINT * y.zb) AS num, "
+        "COUNT(*) AS w_edges FROM z x JOIN z y "
+        "ON ABS(x.cx - y.cx) <= 1 AND ABS(x.cy - y.cy) <= 1 "
+        "AND (x.cx <> y.cx OR x.cy <> y.cy)) "
+        "SELECT n_cells, w_edges, "
+        "CAST((((n_cells::HUGEINT * COALESCE(num, 0) * 1000000)) - ((((n_cells::HUGEINT * COALESCE(num, 0) * 1000000) % (w_edges::HUGEINT * daa)) + (w_edges::HUGEINT * daa)) % (w_edges::HUGEINT * daa))) // ((w_edges::HUGEINT * daa)) AS BIGINT) AS slope_ab_ppm" ", "
+        "CAST((((n_cells::HUGEINT * COALESCE(num, 0) * 1000000)) - ((((n_cells::HUGEINT * COALESCE(num, 0) * 1000000) % (w_edges::HUGEINT * dbb)) + (w_edges::HUGEINT * dbb)) % (w_edges::HUGEINT * dbb))) // ((w_edges::HUGEINT * dbb)) AS BIGINT) AS slope_ba_ppm" " "
+        "FROM nw, dens"
     )
