@@ -3456,6 +3456,72 @@ def q_type_dissimilarity(spark, sf_dir):
     )
 
 
+def q_location_quotient(spark, sf_dir):
+    """Location quotient of purchase activity per tile — the
+    regional-science concentration ratio, exact ppm by
+    cross-multiplication; zero-type tiles are LQ 0 and omitted."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        location_quotient,
+    )
+
+    return location_quotient(TB.load(spark, sf_dir, "events"), "purchase")
+
+
+def q_home_tours(spark, sf_dir):
+    """Home-based tour extraction: per user the count of maximal
+    away-from-home runs, the longest tour, and the exact away-share
+    — everything rides one user-key exchange; open tours at the
+    window edges count (documented censoring)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        home_tours,
+    )
+
+    return home_tours(TB.load(spark, sf_dir, "events"))
+
+
+def q_tile_dup_rate(spark, sf_dir):
+    """Per-tile image near-duplicate RATE — the training-data QA map
+    ('which regions of the corpus are redundant?'): the share of a
+    tile's images participating in ANY phash hamming ≤ 3 near-dup
+    pair, exact ppm. Composition evidence: the pigeonhole dedup
+    join's output feeds a per-tile rollup like any other frame."""
+    from workstealing_spatial_join_spark.operators.dedup import (
+        phash_neardup,
+    )
+    from workstealing_spatial_join_spark.operators.tiles import (
+        tile_xy_cols,
+    )
+
+    img = spark.read.parquet(_IMAGES_META_PATH)
+    pairs = phash_neardup(img, max_hamming=3)
+    dups = (
+        pairs.select(F.col("image_id_a").alias("image_id"))
+        .unionByName(
+            pairs.select(F.col("image_id_b").alias("image_id"))
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    tx, ty = tile_xy_cols(F.col("lon"), F.col("lat"), IMG_STATS_ZOOM)
+    tiled = img.select(
+        "image_id",
+        F.concat(
+            F.lit(f"z{IMG_STATS_ZOOM}/"),
+            tx.cast("string"),
+            F.lit("/"),
+            ty.cast("string"),
+        ).alias("tile_id"),
+    ).join(dups, "image_id", "left")
+    return tiled.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+        F.expr(
+            "CAST((CAST(SUM(COALESCE(is_dup, 0)) AS DECIMAL(18,0)) "
+            "* 1000000) div COUNT(*) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -4082,6 +4148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "general_g": q_general_g,
         "bivariate_moran": q_bivariate_moran,
         "type_dissimilarity": q_type_dissimilarity,
+        "location_quotient": q_location_quotient,
+        "home_tours": q_home_tours,
+        "tile_dup_rate": q_tile_dup_rate,
     }
 
 
@@ -4702,6 +4771,45 @@ def _sql_type_dissimilarity() -> str:
         "SELECT user_id, event_id, ts, event_type FROM events",
         "click",
         "purchase",
+    )
+
+
+def _sql_location_quotient() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_location_quotient,
+    )
+
+    return sql_location_quotient(
+        "SELECT user_id, event_id, ts, event_type FROM events",
+        "purchase",
+    )
+
+
+def _sql_home_tours() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_home_tours,
+    )
+
+    return sql_home_tours("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_tile_dup_rate() -> str:
+    return (
+        f"WITH pairs AS ({sql_phash_neardup(3)}), "
+        "dups AS (SELECT image_id_a AS image_id FROM pairs "
+        "UNION SELECT image_id_b FROM pairs), "
+        "img AS (SELECT image_id, lon, lat FROM "
+        f"read_parquet('{_IMAGES_META_PATH}/*.parquet')), "
+        f"tiled AS (SELECT img.image_id, CONCAT('z{IMG_STATS_ZOOM}/', "
+        f"CAST({_IMG_TX} AS VARCHAR), '/', "
+        f"CAST({_IMG_TY} AS VARCHAR)) AS tile_id, "
+        "CASE WHEN dups.image_id IS NOT NULL THEN 1 ELSE 0 END AS "
+        "is_dup FROM img LEFT JOIN dups "
+        "ON img.image_id = dups.image_id) "
+        "SELECT tile_id, COUNT(*) AS n_images, "
+        "CAST(SUM(is_dup) AS BIGINT) AS n_dup, "
+        "CAST((SUM(is_dup)::HUGEINT * 1000000) // COUNT(*) AS BIGINT) "
+        "AS dup_ppm FROM tiled GROUP BY tile_id"
     )
 
 
@@ -6129,4 +6237,7 @@ def oracle_sql() -> dict[str, str]:
         "general_g": _sql_general_g(),
         "bivariate_moran": _sql_bivariate_moran(),
         "type_dissimilarity": _sql_type_dissimilarity(),
+        "location_quotient": _sql_location_quotient(),
+        "home_tours": _sql_home_tours(),
+        "tile_dup_rate": _sql_tile_dup_rate(),
     }

@@ -89,6 +89,10 @@ __all__ = [
     "sql_user_explorer",
     "dissimilarity_index",
     "sql_dissimilarity_index",
+    "location_quotient",
+    "sql_location_quotient",
+    "home_tours",
+    "sql_home_tours",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -1883,4 +1887,170 @@ def sql_dissimilarity_index(
         "CAST((sdev::HUGEINT * 1000000) // "
         "(a_total::HUGEINT * b_total * 2) AS BIGINT) AS d_ppm "
         "FROM dev, tot"
+    )
+
+
+def location_quotient(events: DataFrame, etype: str) -> DataFrame:
+    """Location quotient per tile for one activity type — the
+    regional-science concentration measure (Isserman 1977; the LQ
+    maps every economic-geography dashboard draws): ``LQ_i =
+    (a_i/t_i)/(A/T)`` — how over-represented the type is in tile i
+    relative to its global share — exact in ppm via
+    cross-multiplication ``10⁶·a_i·T // (t_i·A)``. Output
+    ``(tx, ty, n_type, n_all, lq_ppm)`` for tiles where the type
+    OCCURS (a zero-type tile has LQ exactly 0 and is omitted — at
+    corpus scale the zero tiles are the corpus; the tile's total
+    still includes all types, which is what makes LQ a share ratio
+    rather than a density). One conditional-sum groupBy + a one-row
+    broadcast."""
+    typed = sticky_positions(events, carry=("event_type",))
+    per = typed.groupBy("tx", "ty").agg(
+        F.sum(
+            F.when(F.col("event_type") == etype, 1).otherwise(0)
+        ).alias("n_type"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    tot = per.agg(
+        F.sum("n_type").alias("a_tot"), F.sum("n_all").alias("t_tot")
+    )
+    return (
+        per.where(F.col("n_type") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tx",
+            "ty",
+            "n_type",
+            "n_all",
+            F.expr(
+                "CAST((CAST(n_type AS DECIMAL(18,0)) * t_tot * 1000000)"
+                " div (CAST(n_all AS DECIMAL(18,0)) * a_tot) AS BIGINT)"
+            ).alias("lq_ppm"),
+        )
+    )
+
+
+def sql_location_quotient(events_sql: str, etype: str) -> str:
+    """DuckDB twin — ``events_sql`` must project event_type."""
+    return (
+        _sql_base(events_sql) + ", "
+        "typed AS (SELECT pos.tx, pos.ty, ev.event_type AS et "
+        "FROM pos JOIN ev ON pos.event_id = ev.event_id), "
+        "per AS (SELECT tx, ty, "
+        f"SUM(CASE WHEN et = '{etype}' THEN 1 ELSE 0 END) AS n_type, "
+        "COUNT(*) AS n_all FROM typed GROUP BY 1, 2), "
+        "tot AS (SELECT SUM(n_type) AS a_tot, SUM(n_all) AS t_tot "
+        "FROM per) "
+        "SELECT tx, ty, CAST(n_type AS BIGINT) AS n_type, n_all, "
+        "CAST((n_type::HUGEINT * t_tot * 1000000) // "
+        "(n_all::HUGEINT * a_tot) AS BIGINT) AS lq_ppm "
+        "FROM per, tot WHERE n_type > 0"
+    )
+
+
+def home_tours(events: DataFrame) -> DataFrame:
+    """Home-based tour extraction — the activity-based-modeling
+    primitive (every travel-demand model's trip chaining starts
+    here): with each user's HOME inferred as their modal tile
+    (user_home_tile's deterministic tiebreak), a TOUR is a maximal
+    run of consecutive away-from-home positions; output
+    ``(user_id, n_tours, max_tour_events, away_ppm)`` where
+    away_ppm is the exact share of positions spent away. OPEN tours
+    (a run at the start or end of the observation window with no
+    home anchor on one side) still count — the censoring is
+    documented, matching how stay-point literature treats window
+    edges.
+
+    Scale shape: everything partitions by user_id — the home mode,
+    the join-back, the gaps-and-islands episode window, and the
+    final rollup ride ONE user-key exchange."""
+    pos = sticky_positions(events)
+    per_tile = pos.groupBy("user_id", "tx", "ty").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    home = per_tile.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg"),
+                F.col("tx").alias("htx"),
+                F.col("ty").alias("hty"),
+            )
+        ).alias("m")
+    ).select(
+        "user_id",
+        F.col("m.htx").alias("htx"),
+        F.col("m.hty").alias("hty"),
+    )
+    flagged = pos.join(home, "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            (F.col("tx") == F.col("htx")) & (F.col("ty") == F.col("hty"))
+        ).cast("int").alias("at_home"),
+    )
+    w = _user_window()
+    epi = flagged.withColumn(
+        "chg",
+        F.when(
+            F.lag("at_home").over(w).isNull()
+            | (F.lag("at_home").over(w) != F.col("at_home")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "episode",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    away = epi.where(F.col("at_home") == 0)
+    per_tour = away.groupBy("user_id", "episode").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tours = per_tour.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_tours"),
+        F.max("n_events").alias("max_tour_events"),
+        F.sum("n_events").alias("away_events"),
+    )
+    totals = pos.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return tours.join(totals, "user_id").select(
+        "user_id",
+        "n_tours",
+        "max_tour_events",
+        F.expr(
+            "CAST((CAST(away_events AS DECIMAL(18,0)) * 1000000) div "
+            "n_total AS BIGINT)"
+        ).alias("away_ppm"),
+    )
+
+
+def sql_home_tours(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "pt AS (SELECT user_id, tx, ty, COUNT(*) AS cnt FROM pos "
+        "GROUP BY 1, 2, 3), "
+        "home AS (SELECT user_id, tx AS htx, ty AS hty FROM ("
+        "SELECT user_id, tx, ty, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY cnt DESC, tx, ty) AS rk "
+        "FROM pt) t WHERE rk = 1), "
+        "fl AS (SELECT pos.user_id, ts, event_id, "
+        "CASE WHEN tx = htx AND ty = hty THEN 1 ELSE 0 END AS at_home "
+        "FROM pos JOIN home ON pos.user_id = home.user_id), "
+        "ep AS (SELECT user_id, ts, event_id, at_home, SUM(chg) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS episode FROM ("
+        "SELECT *, CASE WHEN LAG(at_home) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) "
+        "IS DISTINCT FROM at_home THEN 1 ELSE 0 END AS chg FROM fl) x), "
+        "tour AS (SELECT user_id, episode, COUNT(*) AS n_events "
+        "FROM ep WHERE at_home = 0 GROUP BY 1, 2), "
+        "agg AS (SELECT user_id, COUNT(*) AS n_tours, "
+        "MAX(n_events) AS max_tour_events, SUM(n_events) AS away "
+        "FROM tour GROUP BY 1), "
+        "tot AS (SELECT user_id, COUNT(*) AS n_total FROM pos "
+        "GROUP BY 1) "
+        "SELECT agg.user_id, n_tours, max_tour_events, "
+        "CAST((away::HUGEINT * 1000000) // n_total AS BIGINT) "
+        "AS away_ppm FROM agg JOIN tot ON agg.user_id = tot.user_id"
     )
