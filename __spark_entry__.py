@@ -3522,6 +3522,39 @@ def q_tile_dup_rate(spark, sf_dir):
     )
 
 
+def q_tile_weekend_ratio(spark, sf_dir):
+    """Work/leisure fingerprint: per-tile weekday/weekend split with
+    exact ppm weekend share; day-of-week is the pure integer
+    congruence (epoch_day + 4) % 7 — no calendar library."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        tile_weekend_ratio,
+    )
+
+    return tile_weekend_ratio(TB.load(spark, sf_dir, "events"))
+
+
+def q_iet_spectrum(spark, sf_dir):
+    """Inter-event-time burstiness spectrum (Barabási waiting
+    times): per-user gap octaves in microseconds with the
+    exact-collision class kept as its own bucket."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        iet_spectrum,
+    )
+
+    return iet_spectrum(TB.load(spark, sf_dir, "events"))
+
+
+def q_od_asymmetry(spark, sf_dir):
+    """Directional flow imbalance per unordered corridor — the
+    commuting screen; pure one-way corridors survive the full-outer
+    join + COALESCE and score exactly 10⁶."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        od_asymmetry,
+    )
+
+    return od_asymmetry(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -4151,6 +4184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_quotient": q_location_quotient,
         "home_tours": q_home_tours,
         "tile_dup_rate": q_tile_dup_rate,
+        "tile_weekend_ratio": q_tile_weekend_ratio,
+        "iet_spectrum": q_iet_spectrum,
+        "od_asymmetry": q_od_asymmetry,
     }
 
 
@@ -4811,6 +4847,32 @@ def _sql_tile_dup_rate() -> str:
         "CAST((SUM(is_dup)::HUGEINT * 1000000) // COUNT(*) AS BIGINT) "
         "AS dup_ppm FROM tiled GROUP BY tile_id"
     )
+
+
+def _sql_tile_weekend_ratio() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_tile_weekend_ratio,
+    )
+
+    return sql_tile_weekend_ratio(
+        "SELECT user_id, event_id, ts FROM events"
+    )
+
+
+def _sql_iet_spectrum() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_iet_spectrum,
+    )
+
+    return sql_iet_spectrum("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_od_asymmetry() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_od_asymmetry,
+    )
+
+    return sql_od_asymmetry("SELECT user_id, event_id, ts FROM events")
 
 
 def _sql_user_home_tile() -> str:
@@ -6240,4 +6302,7 @@ def oracle_sql() -> dict[str, str]:
         "location_quotient": _sql_location_quotient(),
         "home_tours": _sql_home_tours(),
         "tile_dup_rate": _sql_tile_dup_rate(),
+        "tile_weekend_ratio": _sql_tile_weekend_ratio(),
+        "iet_spectrum": _sql_iet_spectrum(),
+        "od_asymmetry": _sql_od_asymmetry(),
     }

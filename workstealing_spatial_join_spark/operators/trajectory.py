@@ -93,6 +93,12 @@ __all__ = [
     "sql_location_quotient",
     "home_tours",
     "sql_home_tours",
+    "tile_weekend_ratio",
+    "sql_tile_weekend_ratio",
+    "iet_spectrum",
+    "sql_iet_spectrum",
+    "od_asymmetry",
+    "sql_od_asymmetry",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -2053,4 +2059,188 @@ def sql_home_tours(events_sql: str) -> str:
         "SELECT agg.user_id, n_tours, max_tour_events, "
         "CAST((away::HUGEINT * 1000000) // n_total AS BIGINT) "
         "AS away_ppm FROM agg JOIN tot ON agg.user_id = tot.user_id"
+    )
+
+
+def tile_weekend_ratio(events: DataFrame) -> DataFrame:
+    """Work/leisure zone fingerprint — the weekday/weekend activity
+    split per tile (the first classifier urban analytics runs on a
+    place: office districts die on weekends, parks invert):
+    ``(tx, ty, n_weekday, n_weekend, weekend_ppm)`` with
+    ``weekend_ppm = 10⁶·n_weekend // (n_weekday + n_weekend)``
+    exact. Day-of-week from the epoch day number: day 0
+    (1970-01-01) was a THURSDAY, so ``dow = (epoch_day + 4) % 7``
+    with Sunday = 0 — weekend is dow ∈ {0, 6}; both engines compute
+    the same integer congruence, no calendar library involved. One
+    map-side-combinable conditional-sum groupBy."""
+    pos = sticky_positions(events)
+    dow = F.expr(
+        "((unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000) + 4) % 7"
+    )
+    per = (
+        pos.select(
+            "tx",
+            "ty",
+            F.when(dow.isin(0, 6), 1).otherwise(0).alias("we"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(F.lit(1) - F.col("we")).alias("n_weekday"),
+            F.sum("we").alias("n_weekend"),
+        )
+    )
+    return per.select(
+        "tx",
+        "ty",
+        "n_weekday",
+        "n_weekend",
+        F.expr(
+            "CAST((CAST(n_weekend AS DECIMAL(18,0)) * 1000000) div "
+            "(n_weekday + n_weekend) AS BIGINT)"
+        ).alias("weekend_ppm"),
+    )
+
+
+def sql_tile_weekend_ratio(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "f AS (SELECT tx, ty, CASE WHEN "
+        "((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6) "
+        "THEN 1 ELSE 0 END AS we FROM pos), "
+        "per AS (SELECT tx, ty, SUM(1 - we) AS n_weekday, "
+        "SUM(we) AS n_weekend FROM f GROUP BY 1, 2) "
+        "SELECT tx, ty, CAST(n_weekday AS BIGINT) AS n_weekday, "
+        "CAST(n_weekend AS BIGINT) AS n_weekend, "
+        "CAST((n_weekend::HUGEINT * 1000000) // "
+        "(n_weekday + n_weekend) AS BIGINT) AS weekend_ppm "
+        "FROM per"
+    )
+
+
+def iet_spectrum(events: DataFrame) -> DataFrame:
+    """Inter-event-time spectrum — the burstiness histogram of human
+    activity (Barabási, Nature 2005: heavy-tailed waiting times):
+    per-user consecutive-event gaps in MICROSECONDS binned into
+    exact octaves (LENGTH(BIN(gap_us)) — the jump_spectrum
+    convention on the TIME axis), with per-bucket distinct-user
+    counts. Zero gaps (same-timestamp events, real at sf ≥ 1) land
+    in their own ``bucket = 0`` row rather than being dropped — a
+    burst detector that silently drops the exact-collision class
+    undercounts the very thing it measures. Output
+    ``(bucket, n_gaps, n_users)``.
+
+    Scale shape: the lag rides the shared user-window exchange; the
+    histogram groupBy is map-side combinable onto ≤ ~64 octaves."""
+    pos = sticky_positions(events)
+    w = _user_window()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = pos.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.select(
+            "user_id",
+            F.when(F.col("gap_us") == 0, F.lit(0))
+            .otherwise(F.length(F.bin(F.col("gap_us"))))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sql_iet_spectrum(events_sql: str) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "g AS (SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+        "FROM pos), "
+        "b AS (SELECT user_id, CASE WHEN gap_us = 0 THEN 0 "
+        "ELSE CAST(LENGTH(BIN(gap_us)) AS INT) END AS bucket "
+        "FROM g WHERE gap_us IS NOT NULL) "
+        "SELECT bucket, COUNT(*) AS n_gaps, "
+        "COUNT(DISTINCT user_id) AS n_users FROM b GROUP BY 1"
+    )
+
+
+def od_asymmetry(events: DataFrame) -> DataFrame:
+    """Directional flow imbalance — the commuter-corridor screen on
+    the OD matrix (a symmetric corridor is exchange; an asymmetric
+    one is commuting or migration): for every unordered tile pair
+    with flow in EITHER direction, ``(ax, ay, bx, by, f_ab, f_ba,
+    asym_ppm)`` where ``asym_ppm = 10⁶·|f_ab − f_ba| //
+    (f_ab + f_ba)`` exactly — 0 is perfect balance, 10⁶ is one-way.
+    Missing reverse flows are 0 via the full-outer join + COALESCE
+    (dropping them — the inner-join bug — deletes exactly the
+    pure one-way corridors that score 10⁶).
+
+    Plan: od_matrix's exchange + ONE self-join on the reversed key,
+    canonicalized so each unordered pair emits once."""
+    od = od_matrix(events)
+    fwd = od.select(
+        F.col("ftx").alias("ax"),
+        F.col("fty").alias("ay"),
+        F.col("ttx").alias("bx"),
+        F.col("tty").alias("by"),
+        F.col("n_trips").alias("f_ab"),
+    )
+    rev = od.select(
+        F.col("ttx").alias("ax"),
+        F.col("tty").alias("ay"),
+        F.col("ftx").alias("bx"),
+        F.col("fty").alias("by"),
+        F.col("n_trips").alias("f_ba"),
+    )
+    both = (
+        fwd.join(rev, ["ax", "ay", "bx", "by"], "full")
+        .select(
+            "ax",
+            "ay",
+            "bx",
+            "by",
+            F.coalesce(F.col("f_ab"), F.lit(0)).alias("f_ab"),
+            F.coalesce(F.col("f_ba"), F.lit(0)).alias("f_ba"),
+        )
+        # canonical orientation: keep each unordered pair once
+        .where(
+            (F.col("ax") < F.col("bx"))
+            | ((F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by")))
+        )
+    )
+    return both.select(
+        "ax",
+        "ay",
+        "bx",
+        "by",
+        "f_ab",
+        "f_ba",
+        F.expr(
+            "CAST((CAST(ABS(f_ab - f_ba) AS DECIMAL(18,0)) * 1000000) "
+            "div (f_ab + f_ba) AS BIGINT)"
+        ).alias("asym_ppm"),
+    )
+
+
+def sql_od_asymmetry(events_sql: str) -> str:
+    return (
+        f"WITH odm AS ({sql_od_matrix(events_sql)}), "
+        "fwd AS (SELECT ftx AS ax, fty AS ay, ttx AS bx, tty AS by, "
+        "n_trips AS f_ab FROM odm), "
+        "rev AS (SELECT ttx AS ax, tty AS ay, ftx AS bx, fty AS by, "
+        "n_trips AS f_ba FROM odm), "
+        "both_d AS (SELECT COALESCE(fwd.ax, rev.ax) AS ax, "
+        "COALESCE(fwd.ay, rev.ay) AS ay, "
+        "COALESCE(fwd.bx, rev.bx) AS bx, "
+        "COALESCE(fwd.by, rev.by) AS by, "
+        "COALESCE(f_ab, 0) AS f_ab, COALESCE(f_ba, 0) AS f_ba "
+        "FROM fwd FULL JOIN rev ON fwd.ax = rev.ax AND fwd.ay = rev.ay "
+        "AND fwd.bx = rev.bx AND fwd.by = rev.by) "
+        "SELECT ax, ay, bx, by, f_ab, f_ba, "
+        "CAST((ABS(f_ab - f_ba)::HUGEINT * 1000000) // "
+        "(f_ab + f_ba) AS BIGINT) AS asym_ppm FROM both_d "
+        "WHERE ax < bx OR (ax = bx AND ay < by)"
     )
