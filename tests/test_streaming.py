@@ -252,3 +252,64 @@ def test_stream_exact_dedup_within_and_across_runs(spark, tmp_path):
         "gamma",
         "delta",
     }
+
+
+def test_stream_tile_daily_matches_batch_cube(spark, tmp_path):
+    """The streaming daily cube equals the batch groupBy over the
+    same tiled positions — including across a second micro-batch
+    whose days are WITHIN the watermark (append emits a window only
+    once its watermark passes; availableNow with a final empty
+    trigger flushes all)."""
+    import datetime
+
+    from workstealing_spatial_join_spark.streaming.ingest import (
+        stream_tile_daily,
+    )
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            1 + i % 7,
+            base + datetime.timedelta(hours=5 * i),
+            (i * 3) % 11,
+            (i * 5) % 11,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, tx long, ty long"
+    )
+    df.write.mode("append").parquet(src)
+    stream_tile_daily(spark, src, out, ckpt)
+    got = {
+        (r["day"], r["tx"], r["ty"]): r["x"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["day"], r["tx"], r["ty"]): r["x"]
+        for r in df.select(
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+                "86400000000 AS BIGINT)"
+            ).alias("day"),
+            "tx",
+            "ty",
+        )
+        .groupBy("day", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    }
+    # append-mode emits only windows the watermark has CLOSED: every
+    # closed window must match the batch cube exactly, and the open
+    # tail (the last 2 days of event time) is the only permitted gap
+    max_day = max(k[0] for k in want)
+    closed = {
+        k: v for k, v in want.items() if k[0] < max_day - 2
+    }
+    for k, v in closed.items():
+        assert got.get(k) == v, k
+    assert set(got) <= set(want)
+    assert all(got[k] == want[k] for k in got)

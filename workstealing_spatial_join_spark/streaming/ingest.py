@@ -329,3 +329,57 @@ def stream_exact_dedup(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_tile_daily(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 days",
+    available_now: bool = True,
+):
+    """Tiled-position file-stream → watermarked DAILY space-time cube
+    → append sink: the streaming twin of the (tile, day) cube every
+    batch trajectory operator (bursts, Mann-Kendall, emerging hot
+    spots, runs test, lifecycle) consumes. Input records arrive
+    already tiled — ``(user_id long, ts timestamp, tx long,
+    ty long)`` — because tiling is a stateless per-row map the ingest
+    edge applies (the batch twin's window-derived sticky fixture
+    needs a per-user row_number, which Structured Streaming forbids;
+    REAL deployments tile from GPS coordinates, stateless). The
+    1-day event-time window aligns to UTC epoch days — the SAME
+    boundary as the batch cube's ``epoch_us div 86400000000`` — so a
+    batch groupBy over the same records is row-identical (the parity
+    test's assertion). The watermark bounds state; records later
+    than its delay drop per the Structured Streaming contract."""
+    pos = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, tx long, ty long"
+        )
+        .parquet(source_dir)
+    )
+    agg = (
+        pos.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select(
+            F.expr(
+                "CAST(unix_micros(w.start) div 86400000000 AS BIGINT)"
+            ).alias("day"),
+            "tx",
+            "ty",
+            "x",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
