@@ -3555,6 +3555,40 @@ def q_od_asymmetry(spark, sf_dir):
     return od_asymmetry(TB.load(spark, sf_dir, "events"))
 
 
+def q_percolation_ladder(spark, sf_dir):
+    """City Clustering Algorithm percolation sweep over the
+    clustered point raster: per density threshold the cluster count
+    and largest-cluster size — the transition curve that locates
+    where the megaregion fragments."""
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        percolation_ladder,
+    )
+
+    return percolation_ladder(TB.customer_cluster_points(spark, sf_dir))
+
+
+def q_contact_degrees(spark, sf_dir):
+    """Degree-octave distribution of the co-presence contact
+    network — the superspreader-structure screen epidemiology reads
+    first."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        contact_degrees,
+    )
+
+    return contact_degrees(TB.load(spark, sf_dir, "events"))
+
+
+def q_user_similarity(spark, sf_dir):
+    """Co-location user similarity (Crandall et al.): exact tile-set
+    Jaccard for co-present user pairs — the LBSN friendship-inference
+    signal; candidate pairs stay slot-bounded."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        user_similarity,
+    )
+
+    return user_similarity(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -4187,6 +4221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_weekend_ratio": q_tile_weekend_ratio,
         "iet_spectrum": q_iet_spectrum,
         "od_asymmetry": q_od_asymmetry,
+        "percolation_ladder": q_percolation_ladder,
+        "contact_degrees": q_contact_degrees,
+        "user_similarity": q_user_similarity,
     }
 
 
@@ -4873,6 +4910,30 @@ def _sql_od_asymmetry() -> str:
     )
 
     return sql_od_asymmetry("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_percolation_ladder() -> str:
+    from workstealing_spatial_join_spark.operators.spatialstats import (
+        sql_percolation_ladder,
+    )
+
+    return sql_percolation_ladder(TB.SQL_CLUSTER_POINTS)
+
+
+def _sql_contact_degrees() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_contact_degrees,
+    )
+
+    return sql_contact_degrees("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_user_similarity() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_user_similarity,
+    )
+
+    return sql_user_similarity("SELECT user_id, event_id, ts FROM events")
 
 
 def _sql_user_home_tile() -> str:
@@ -6305,4 +6366,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_weekend_ratio": _sql_tile_weekend_ratio(),
         "iet_spectrum": _sql_iet_spectrum(),
         "od_asymmetry": _sql_od_asymmetry(),
+        "percolation_ladder": _sql_percolation_ladder(),
+        "contact_degrees": _sql_contact_degrees(),
+        "user_similarity": _sql_user_similarity(),
     }

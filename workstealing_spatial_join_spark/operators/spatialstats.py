@@ -76,6 +76,8 @@ __all__ = [
     "sql_general_g",
     "bivariate_moran",
     "sql_bivariate_moran",
+    "percolation_ladder",
+    "sql_percolation_ladder",
 ]
 
 
@@ -1974,4 +1976,133 @@ def sql_bivariate_moran(
         "CAST((((n_cells::HUGEINT * COALESCE(num, 0) * 1000000)) - ((((n_cells::HUGEINT * COALESCE(num, 0) * 1000000) % (w_edges::HUGEINT * daa)) + (w_edges::HUGEINT * daa)) % (w_edges::HUGEINT * daa))) // ((w_edges::HUGEINT * daa)) AS BIGINT) AS slope_ab_ppm" ", "
         "CAST((((n_cells::HUGEINT * COALESCE(num, 0) * 1000000)) - ((((n_cells::HUGEINT * COALESCE(num, 0) * 1000000) % (w_edges::HUGEINT * dbb)) + (w_edges::HUGEINT * dbb)) % (w_edges::HUGEINT * dbb))) // ((w_edges::HUGEINT * dbb)) AS BIGINT) AS slope_ba_ppm" " "
         "FROM nw, dens"
+    )
+
+
+def percolation_ladder(
+    points: DataFrame,
+    thetas: tuple[int, ...] = (1, 2, 4, 8),
+    cell: int = GRID_GRAPH_CELL,
+) -> DataFrame:
+    """Percolation transition curve over the density raster — the
+    City Clustering Algorithm's sweep (Rozenfeld et al., PNAS 2008:
+    cities are the connected clusters of cells above a density
+    threshold; the curve of cluster count and largest-cluster size
+    vs θ locates the percolation transition that separates 'one
+    megaregion' from 'scattered towns'): for each threshold θ, keep
+    cells with count ≥ θ, label 8-connected clusters, and emit one
+    row ``(theta, occupied_cells, n_clusters, largest_cells)``.
+    θ = 1 reproduces raster_clumps' component structure; rising θ
+    erodes bridges first — the curve, not any single level, is the
+    signal.
+
+    Scale shape: the raster is built ONCE; each rung filters it
+    (cheaper upward — cells shrink monotonically) and runs min-label
+    propagation on the surviving cell graph. len(thetas) bounded
+    label-propagation passes, each raster-sized."""
+    from workstealing_spatial_join_spark.operators.graph import (
+        connected_components,
+    )
+
+    raster = cell_counts(points, cell=cell)
+    key = (
+        F.col("cx") * F.lit(_PACK_SHIFT) + F.col("cy") + F.lit(_PACK_BIAS)
+    )
+    out = None
+    for th in thetas:
+        occ = raster.where(F.col("x") >= th).select(
+            "cx", "cy", key.alias("node")
+        )
+        offs = F.expr("array(-1, 0, 1)")
+        nbrs = (
+            occ.withColumn("ox", F.explode(offs))
+            .withColumn("oy", F.explode(offs))
+            .where("ox != 0 OR oy != 0")
+            .select(
+                F.col("node").alias("src"),
+                (
+                    (F.col("cx") + F.col("ox")) * F.lit(_PACK_SHIFT)
+                    + (F.col("cy") + F.col("oy"))
+                    + F.lit(_PACK_BIAS)
+                ).alias("dst"),
+            )
+        )
+        edges = nbrs.join(
+            occ.select(F.col("node").alias("dst")), "dst"
+        )
+        labels = connected_components(edges)
+        labeled = occ.join(labels, "node", "left").select(
+            F.coalesce(F.col("comp"), F.col("node")).alias("comp")
+        )
+        per_comp = labeled.groupBy("comp").agg(
+            F.count(F.lit(1)).alias("n_cells")
+        )
+        row = per_comp.agg(
+            F.lit(th).alias("theta"),
+            F.sum("n_cells").alias("occupied_cells"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.max("n_cells").alias("largest_cells"),
+        ).select("theta", "occupied_cells", "n_clusters", "largest_cells")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_percolation_ladder(
+    points_sql: str,
+    thetas: tuple[int, ...] = (1, 2, 4, 8),
+    cell: int = GRID_GRAPH_CELL,
+) -> str:
+    """DuckDB twin: one WITH RECURSIVE carrying a closure per rung
+    over the SAME thresholded rasters."""
+    fx = _fd("mx", cell, "duckdb")
+    fy = _fd("my", cell, "duckdb")
+    pack_a = f"(a.cx * {_PACK_SHIFT} + a.cy + {_PACK_BIAS})"
+    pack_b = f"(b.cx * {_PACK_SHIFT} + b.cy + {_PACK_BIAS})"
+    ctes = [
+        f"pts AS ({points_sql})",
+        f"raster AS (SELECT {fx} AS cx, {fy} AS cy, COUNT(*) AS x "
+        f"FROM pts GROUP BY 1, 2)",
+    ]
+    selects = []
+    for i, th in enumerate(thetas):
+        ctes.append(
+            f"occ{i} AS (SELECT cx, cy, "
+            f"cx * {_PACK_SHIFT} + cy + {_PACK_BIAS} AS node "
+            f"FROM raster WHERE x >= {th})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT {pack_a} AS a, {pack_b} AS b "
+            f"FROM occ{i} a JOIN occ{i} b "
+            f"ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1 "
+            f"AND (a.cx <> b.cx OR a.cy <> b.cy))"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT DISTINCT a AS n FROM e{i})"
+        )
+        ctes.append(
+            f"reach{i}(src, dst) AS (SELECT n, n FROM n{i} "
+            f"UNION SELECT r.src, e.b FROM reach{i} r "
+            f"JOIN e{i} e ON r.dst = e.a)"
+        )
+        ctes.append(
+            f"lab{i} AS (SELECT src AS node, MIN(dst) AS comp "
+            f"FROM reach{i} GROUP BY 1)"
+        )
+        ctes.append(
+            f"lb{i} AS (SELECT COALESCE(lab{i}.comp, occ{i}.node) AS comp "
+            f"FROM occ{i} LEFT JOIN lab{i} ON occ{i}.node = lab{i}.node)"
+        )
+        ctes.append(
+            f"pc{i} AS (SELECT comp, COUNT(*) AS n_cells FROM lb{i} "
+            f"GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {th} AS theta, "
+            f"CAST(SUM(n_cells) AS BIGINT) AS occupied_cells, "
+            f"COUNT(*) AS n_clusters, MAX(n_cells) AS largest_cells "
+            f"FROM pc{i}"
+        )
+    return (
+        "WITH RECURSIVE " + ", ".join(ctes) + " "
+        + " UNION ALL ".join(selects)
     )

@@ -99,6 +99,10 @@ __all__ = [
     "sql_iet_spectrum",
     "od_asymmetry",
     "sql_od_asymmetry",
+    "contact_degrees",
+    "sql_contact_degrees",
+    "user_similarity",
+    "sql_user_similarity",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -2243,4 +2247,121 @@ def sql_od_asymmetry(events_sql: str) -> str:
         "CAST((ABS(f_ab - f_ba)::HUGEINT * 1000000) // "
         "(f_ab + f_ba) AS BIGINT) AS asym_ppm FROM both_d "
         "WHERE ax < bx OR (ax = bx AND ay < by)"
+    )
+
+
+def contact_degrees(events: DataFrame) -> DataFrame:
+    """Degree distribution of the co-presence contact network — the
+    first statistic epidemiology reads off a contact graph (a
+    heavy-tailed degree histogram means superspreader structure; a
+    narrow one means homogeneous mixing): per contact-graph degree
+    OCTAVE (bit length, the engine's spectrum convention), how many
+    users hold that many distinct contacts. Output
+    ``(bucket, n_users)``.
+
+    Plan: the co_presence pair table (slot-bounded equi-join, never
+    all-pairs), exploded to per-user degree counts (each unordered
+    pair feeds both endpoints), one groupBy per user then a bounded
+    octave histogram."""
+    pairs = co_presence(events)
+    ends = pairs.select(
+        F.col("user_a").alias("user_id")
+    ).unionByName(pairs.select(F.col("user_b").alias("user_id")))
+    deg = ends.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.select(
+            F.length(F.bin(F.col("deg"))).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def sql_contact_degrees(events_sql: str) -> str:
+    return (
+        f"WITH cp AS ({sql_co_presence(events_sql)}), "
+        "ends_u AS (SELECT user_a AS user_id FROM cp "
+        "UNION ALL SELECT user_b FROM cp), "
+        "deg AS (SELECT user_id, COUNT(*) AS deg FROM ends_u "
+        "GROUP BY 1) "
+        "SELECT CAST(LENGTH(BIN(deg)) AS INT) AS bucket, "
+        "COUNT(*) AS n_users FROM deg GROUP BY 1"
+    )
+
+
+def user_similarity(events: DataFrame) -> DataFrame:
+    """Co-location user similarity — the friendship-inference signal
+    of location-based social networks (Crandall et al., PNAS 2010:
+    spatial co-occurrence predicts social ties): for every user pair
+    that shares at least one (tile, day) slot (the co_presence
+    gate — candidate generation, so the pair set stays slot-bounded,
+    never all-pairs), the EXACT Jaccard of their distinct TILE
+    footprints in ppm: ``jac_ppm = 10⁶·|A∩B| // (|A|+|B|−|A∩B|)``.
+    Output ``(user_a, user_b, n_inter, jac_ppm)``.
+
+    Plan: the per-tile user pair join (bounded by per-tile
+    occupancy) counts intersections; footprint sizes join back by
+    the pair's endpoints (two broadcast-able maps); the co-presence
+    gate only FILTERS — the intersection join is on the tile key."""
+    pos = sticky_positions(events)
+    tiles = pos.select("user_id", "tx", "ty").distinct()
+    sizes = tiles.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_tiles")
+    )
+    a = tiles.select(F.col("user_id").alias("user_a"), "tx", "ty")
+    b = tiles.select(F.col("user_id").alias("user_b"), "tx", "ty")
+    inter = (
+        a.join(b, ["tx", "ty"])
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    gate = co_presence(events).select("user_a", "user_b")
+    sa = sizes.select(
+        F.col("user_id").alias("user_a"), F.col("n_tiles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("user_id").alias("user_b"), F.col("n_tiles").alias("nb")
+    )
+    return (
+        inter.join(gate, ["user_a", "user_b"])
+        .join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            "n_inter",
+            F.expr(
+                "CAST((CAST(n_inter AS DECIMAL(18,0)) * 1000000) div "
+                "(na + nb - n_inter) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )
+
+
+def sql_user_similarity(events_sql: str) -> str:
+    # one _sql_base chain: the co-presence gate CTEs are inlined so
+    # `pos` stays in scope for the tile-footprint CTEs
+    return (
+        _sql_base(events_sql) + ", "
+        "v AS (SELECT DISTINCT user_id, tx, ty, "
+        "epoch_us(ts) // 86400000000 AS day FROM pos), "
+        "cp AS (SELECT a.user_id AS user_a, b.user_id AS user_b "
+        "FROM v a JOIN v b ON a.tx = b.tx AND a.ty = b.ty "
+        "AND a.day = b.day AND a.user_id < b.user_id "
+        "GROUP BY 1, 2), "
+        "tiles AS (SELECT DISTINCT user_id, tx, ty FROM pos), "
+        "sizes AS (SELECT user_id, COUNT(*) AS n_tiles FROM tiles "
+        "GROUP BY 1), "
+        "inter AS (SELECT a.user_id AS user_a, b.user_id AS user_b, "
+        "COUNT(*) AS n_inter FROM tiles a JOIN tiles b "
+        "ON a.tx = b.tx AND a.ty = b.ty AND a.user_id < b.user_id "
+        "GROUP BY 1, 2) "
+        "SELECT inter.user_a, inter.user_b, n_inter, "
+        "CAST((n_inter::HUGEINT * 1000000) // "
+        "(sa.n_tiles + sb.n_tiles - n_inter) AS BIGINT) AS jac_ppm "
+        "FROM inter JOIN cp ON inter.user_a = cp.user_a "
+        "AND inter.user_b = cp.user_b "
+        "JOIN sizes sa ON sa.user_id = inter.user_a "
+        "JOIN sizes sb ON sb.user_id = inter.user_b"
     )
