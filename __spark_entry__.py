@@ -3589,6 +3589,29 @@ def q_user_similarity(spark, sf_dir):
     return user_similarity(TB.load(spark, sf_dir, "events"))
 
 
+def q_distance_decay(spark, sf_dir):
+    """Distance decay of co-location similarity (Liben-Nowell's
+    geographic-tie gradient): co-present pairs bucketed by the
+    octave of home-tile Chebyshev distance, with the exact floored
+    mean footprint-Jaccard per bucket."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        distance_decay,
+    )
+
+    return distance_decay(TB.load(spark, sf_dir, "events"))
+
+
+def q_co_travelers(spark, sf_dir):
+    """Travel-companion detection: co-present pairs whose shared
+    slots span ≥2 DISTINCT tiles — co-movement, not shared
+    residence; slot-bounded like co_presence."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        co_travelers,
+    )
+
+    return co_travelers(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -4224,6 +4247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_ladder": q_percolation_ladder,
         "contact_degrees": q_contact_degrees,
         "user_similarity": q_user_similarity,
+        "distance_decay": q_distance_decay,
+        "co_travelers": q_co_travelers,
     }
 
 
@@ -4934,6 +4959,22 @@ def _sql_user_similarity() -> str:
     )
 
     return sql_user_similarity("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_distance_decay() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_distance_decay,
+    )
+
+    return sql_distance_decay("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_co_travelers() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_co_travelers,
+    )
+
+    return sql_co_travelers("SELECT user_id, event_id, ts FROM events")
 
 
 def _sql_user_home_tile() -> str:
@@ -6369,4 +6410,6 @@ def oracle_sql() -> dict[str, str]:
         "percolation_ladder": _sql_percolation_ladder(),
         "contact_degrees": _sql_contact_degrees(),
         "user_similarity": _sql_user_similarity(),
+        "distance_decay": _sql_distance_decay(),
+        "co_travelers": _sql_co_travelers(),
     }

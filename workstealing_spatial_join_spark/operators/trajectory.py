@@ -103,6 +103,10 @@ __all__ = [
     "sql_contact_degrees",
     "user_similarity",
     "sql_user_similarity",
+    "distance_decay",
+    "sql_distance_decay",
+    "co_travelers",
+    "sql_co_travelers",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -2364,4 +2368,172 @@ def sql_user_similarity(events_sql: str) -> str:
         "AND inter.user_b = cp.user_b "
         "JOIN sizes sa ON sa.user_id = inter.user_a "
         "JOIN sizes sb ON sb.user_id = inter.user_b"
+    )
+
+
+def distance_decay(events: DataFrame) -> DataFrame:
+    """Distance decay of co-location similarity — the geographic-tie
+    gradient (Liben-Nowell et al., PNAS 2005: friendship probability
+    falls off with distance; here the co-location analog): bucket
+    every co-present user pair by the OCTAVE of the Chebyshev
+    distance between the two users' HOME tiles, and per bucket emit
+    the pair count and the exact floor of the mean footprint-Jaccard
+    — ``(bucket, n_pairs, mean_jac_ppm)`` with ``mean_jac_ppm =
+    Σ jac_ppm // n_pairs`` (sum of exact per-pair ppms, floored once
+    — deterministic in both engines). Bucket 0 is same-home pairs
+    (distance 0 has no octave). The curve falling with bucket IS the
+    decay.
+
+    Plan: user_similarity's slot-bounded pair table + the home-mode
+    table joined on each endpoint (two broadcast-able maps), then a
+    bounded octave groupBy."""
+    sims = user_similarity(events)
+    pos = sticky_positions(events)
+    per_tile = pos.groupBy("user_id", "tx", "ty").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    home = per_tile.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg"),
+                F.col("tx").alias("htx"),
+                F.col("ty").alias("hty"),
+            )
+        ).alias("m")
+    ).select(
+        "user_id",
+        F.col("m.htx").alias("htx"),
+        F.col("m.hty").alias("hty"),
+    )
+    ha = home.select(
+        F.col("user_id").alias("user_a"),
+        F.col("htx").alias("ax"),
+        F.col("hty").alias("ay"),
+    )
+    hb = home.select(
+        F.col("user_id").alias("user_b"),
+        F.col("htx").alias("bx"),
+        F.col("hty").alias("by"),
+    )
+    d = (
+        sims.join(F.broadcast(ha), "user_a")
+        .join(F.broadcast(hb), "user_b")
+        .select(
+            F.greatest(
+                F.abs(F.col("ax") - F.col("bx")),
+                F.abs(F.col("ay") - F.col("by")),
+            ).alias("cheb"),
+            "jac_ppm",
+        )
+        .select(
+            F.when(F.col("cheb") == 0, F.lit(0))
+            .otherwise(F.length(F.bin(F.col("cheb"))))
+            .cast("int")
+            .alias("bucket"),
+            "jac_ppm",
+        )
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr(
+            "CAST(CAST(SUM(jac_ppm) AS DECIMAL(38,0)) div COUNT(*) "
+            "AS BIGINT)"
+        ).alias("mean_jac_ppm"),
+    )
+
+
+def sql_distance_decay(events_sql: str) -> str:
+    # ONE _sql_base chain: the similarity CTEs are inlined (not a
+    # nested statement) so `pos` stays in scope for the home mode
+    return (
+        _sql_base(events_sql) + ", "
+        "v AS (SELECT DISTINCT user_id, tx, ty, "
+        "epoch_us(ts) // 86400000000 AS day FROM pos), "
+        "cp AS (SELECT a.user_id AS user_a, b.user_id AS user_b "
+        "FROM v a JOIN v b ON a.tx = b.tx AND a.ty = b.ty "
+        "AND a.day = b.day AND a.user_id < b.user_id GROUP BY 1, 2), "
+        "tiles AS (SELECT DISTINCT user_id, tx, ty FROM pos), "
+        "sizes AS (SELECT user_id, COUNT(*) AS n_tiles FROM tiles "
+        "GROUP BY 1), "
+        "inter AS (SELECT a.user_id AS user_a, b.user_id AS user_b, "
+        "COUNT(*) AS n_inter FROM tiles a JOIN tiles b "
+        "ON a.tx = b.tx AND a.ty = b.ty AND a.user_id < b.user_id "
+        "GROUP BY 1, 2), "
+        "sims AS (SELECT inter.user_a, inter.user_b, "
+        "CAST((n_inter::HUGEINT * 1000000) // "
+        "(sa.n_tiles + sb.n_tiles - n_inter) AS BIGINT) AS jac_ppm "
+        "FROM inter JOIN cp ON inter.user_a = cp.user_a "
+        "AND inter.user_b = cp.user_b "
+        "JOIN sizes sa ON sa.user_id = inter.user_a "
+        "JOIN sizes sb ON sb.user_id = inter.user_b), "
+        "pt2 AS (SELECT user_id, tx, ty, COUNT(*) AS cnt FROM pos "
+        "GROUP BY 1, 2, 3), "
+        "home AS (SELECT user_id, tx AS htx, ty AS hty FROM ("
+        "SELECT user_id, tx, ty, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY cnt DESC, tx, ty) AS rk "
+        "FROM pt2) t WHERE rk = 1), "
+        "d AS (SELECT GREATEST(ABS(ha.htx - hb.htx), "
+        "ABS(ha.hty - hb.hty)) AS cheb, jac_ppm FROM sims "
+        "JOIN home ha ON sims.user_a = ha.user_id "
+        "JOIN home hb ON sims.user_b = hb.user_id) "
+        "SELECT CASE WHEN cheb = 0 THEN 0 "
+        "ELSE CAST(LENGTH(BIN(cheb)) AS INT) END AS bucket, "
+        "COUNT(*) AS n_pairs, "
+        "CAST(SUM(jac_ppm)::HUGEINT // COUNT(*) AS BIGINT) "
+        "AS mean_jac_ppm FROM d GROUP BY 1"
+    )
+
+
+def co_travelers(events: DataFrame, min_tiles: int = 2) -> DataFrame:
+    """Travel-companion detection — the screen that separates
+    "shares an office" from "travels together" (security/fraud
+    analytics' co-movement primitive): co-present user pairs whose
+    shared (tile, day) slots span at least ``min_tiles`` DISTINCT
+    tiles — static co-location at one place never qualifies, only
+    co-MOVEMENT does. Output ``(user_a, user_b, n_shared_slots,
+    n_shared_tiles)``.
+
+    Plan: the co_presence slot join carrying the tile key, then one
+    pair groupBy with a distinct-tile count — same slot-bounded
+    profile, never all-pairs."""
+    pos = sticky_positions(events)
+    visits = pos.select(
+        "user_id",
+        "tx",
+        "ty",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div "
+            "86400000000 AS BIGINT)"
+        ).alias("day"),
+    ).distinct()
+    a = visits.select(
+        F.col("user_id").alias("user_a"), "tx", "ty", "day"
+    )
+    b = visits.select(
+        F.col("user_id").alias("user_b"), "tx", "ty", "day"
+    )
+    shared = (
+        a.join(b, ["tx", "ty", "day"])
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_slots"),
+            F.count_distinct("tx", "ty").alias("n_shared_tiles"),
+        )
+    )
+    return shared.where(F.col("n_shared_tiles") >= min_tiles)
+
+
+def sql_co_travelers(events_sql: str, min_tiles: int = 2) -> str:
+    return (
+        _sql_base(events_sql) + ", "
+        "v AS (SELECT DISTINCT user_id, tx, ty, "
+        "epoch_us(ts) // 86400000000 AS day FROM pos), "
+        "sh AS (SELECT a.user_id AS user_a, b.user_id AS user_b, "
+        "COUNT(*) AS n_shared_slots, "
+        "COUNT(DISTINCT (a.tx, a.ty)) AS n_shared_tiles "
+        "FROM v a JOIN v b ON a.tx = b.tx AND a.ty = b.ty "
+        "AND a.day = b.day AND a.user_id < b.user_id "
+        "GROUP BY 1, 2) "
+        f"SELECT * FROM sh WHERE n_shared_tiles >= {min_tiles}"
     )
