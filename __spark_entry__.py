@@ -3612,6 +3612,18 @@ def q_co_travelers(spark, sf_dir):
     return co_travelers(TB.load(spark, sf_dir, "events"))
 
 
+def q_user_activity_gini(spark, sf_dir):
+    """Activity-inequality Gini over per-user event counts — the
+    sampling-bias screen a training pipeline runs before weighting
+    by user; exact rank-identity ppm on the distributed
+    exact_global_rank (never a single-partition window)."""
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        user_activity_gini,
+    )
+
+    return user_activity_gini(TB.load(spark, sf_dir, "events"))
+
+
 def q_user_home_tile(spark, sf_dir):
     """Home-location inference (the most-visited tile per user — the
     standard mobility 'home detection' heuristic): per-user mode
@@ -4249,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_similarity": q_user_similarity,
         "distance_decay": q_distance_decay,
         "co_travelers": q_co_travelers,
+        "user_activity_gini": q_user_activity_gini,
     }
 
 
@@ -4975,6 +4988,14 @@ def _sql_co_travelers() -> str:
     )
 
     return sql_co_travelers("SELECT user_id, event_id, ts FROM events")
+
+
+def _sql_user_activity_gini() -> str:
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_user_activity_gini,
+    )
+
+    return sql_user_activity_gini("SELECT user_id FROM events")
 
 
 def _sql_user_home_tile() -> str:
@@ -6412,4 +6433,5 @@ def oracle_sql() -> dict[str, str]:
         "user_similarity": _sql_user_similarity(),
         "distance_decay": _sql_distance_decay(),
         "co_travelers": _sql_co_travelers(),
+        "user_activity_gini": _sql_user_activity_gini(),
     }

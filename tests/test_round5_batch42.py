@@ -195,3 +195,58 @@ def test_batch42_plans_zero_python(spark):
     ev = _events_df(spark, _random_events(14))
     for df in (distance_decay(ev), co_travelers(ev)):
         assert sum(audit_plan(df)["python_nodes"].values()) == 0
+
+
+# ------------------------------------------- user activity gini
+
+
+def test_user_activity_gini_matches_reference(spark):
+    from fractions import Fraction
+
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        user_activity_gini,
+    )
+
+    rows = _random_events(4206, n_users=30, n_events=800)
+    counts = Counter(r[2] for r in rows)
+    xs = sorted(counts.values())
+    n, s = len(xs), sum(xs)
+    num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s
+    want = int(Fraction(num * 1_000_000, n * s))
+    row = user_activity_gini(_events_df(spark, rows)).collect()[0]
+    assert (row["n_users"], row["s_tot"], row["gini_ppm"]) == (
+        n,
+        s,
+        want,
+    )
+
+
+def test_user_activity_gini_bounds(spark):
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        user_activity_gini,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # perfectly equal: 4 users × 5 events → G = 0
+    eq = [
+        (i, base + datetime.timedelta(minutes=i), 1 + i % 4, "c", 0.0, "")
+        for i in range(20)
+    ]
+    assert (
+        user_activity_gini(_events_df(spark, eq)).collect()[0]["gini_ppm"]
+        == 0
+    )
+
+
+def test_user_activity_gini_matches_duckdb(spark):
+    from workstealing_spatial_join_spark.operators.trajectory import (
+        sql_user_activity_gini,
+        user_activity_gini,
+    )
+
+    rows = _random_events(4207, n_users=40, n_events=900)
+    want = _duck_events(
+        rows, sql_user_activity_gini("SELECT user_id FROM events")
+    )[0]
+    row = user_activity_gini(_events_df(spark, rows)).collect()[0]
+    assert (row["n_users"], row["s_tot"], row["gini_ppm"]) == tuple(want)

@@ -107,6 +107,8 @@ __all__ = [
     "sql_distance_decay",
     "co_travelers",
     "sql_co_travelers",
+    "user_activity_gini",
+    "sql_user_activity_gini",
 ]
 
 EPOCH_LEN = 4     # events per sticky epoch
@@ -2536,4 +2538,57 @@ def sql_co_travelers(events_sql: str, min_tiles: int = 2) -> str:
         "AND a.day = b.day AND a.user_id < b.user_id "
         "GROUP BY 1, 2) "
         f"SELECT * FROM sh WHERE n_shared_tiles >= {min_tiles}"
+    )
+
+
+def user_activity_gini(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user activity — the "what share of
+    the corpus do the heaviest users generate?" inequality summary
+    every platform health report carries (and the bias screen a
+    training pipeline runs before sampling by user): exact ppm via
+    the same rank identity as the spatial Gini,
+    ``G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·S)/(n·S)`` over ASCENDING per-user
+    event counts, ranked by :func:`layout.exact_global_rank`
+    (repartitionByRange + per-partition row_number + broadcast
+    prefix offsets — NEVER a single-partition window; at 10⁹ users a
+    keyless ``Window.orderBy`` collapses onto one task). Ties
+    between equal counts permute freely across engines but Σ i·x
+    over a tied block is rank-set invariant, so the statistic is
+    deterministic anyway. One row ``(n_users, s_tot, gini_ppm)``."""
+    from workstealing_spatial_join_spark.operators.layout import (
+        exact_global_rank,
+    )
+
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ranked = exact_global_rank(
+        counts, "x", "user_id", out_col="g_rank"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("s_tot"),
+        F.expr(
+            "CAST(((2 * SUM(CAST(g_rank + 1 AS DECIMAL(18,0)) * x) "
+            "- (COUNT(*) + 1) * CAST(SUM(x) AS DECIMAL(38,0))) "
+            "* 1000000) div (COUNT(*) * CAST(SUM(x) AS DECIMAL(38,0))) "
+            "AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def sql_user_activity_gini(events_sql: str) -> str:
+    """DuckDB twin — plain global ROW_NUMBER (the contract: the
+    distributed rank machinery lands the identical number)."""
+    return (
+        f"WITH ev AS ({events_sql}), "
+        "counts AS (SELECT user_id, COUNT(*) AS x FROM ev "
+        "GROUP BY 1), "
+        "rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) "
+        "AS r FROM counts) "
+        "SELECT COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS s_tot, "
+        "CAST(((2 * SUM(CAST(r AS HUGEINT) * x) "
+        "- (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)) * 1000000) // "
+        "(COUNT(*) * CAST(SUM(x) AS HUGEINT)) AS BIGINT) AS gini_ppm "
+        "FROM rk"
     )
