@@ -950,7 +950,16 @@ def q_events_time_rollup(spark, sf_dir):
     )
 
     ev = TB.load(spark, sf_dir, "events")
-    return time_rollup(ev)
+    # The DuckDB twin's un-cast sum(cents) widens BIGINT→HUGEINT, which
+    # fetchdf() materializes as float64 ("118131.0"); the engine's
+    # int64 stringifies as "118131" and the driver's stringifying hash
+    # failed on exactly this (r05 verdict item 1, root-caused there).
+    # The oracle text is frozen this round, so the contract query
+    # mirrors the oracle's materialized type instead: cast the exact
+    # integer sum to double (values < 2^53 — bit-identical doubles).
+    return time_rollup(ev).withColumn(
+        "sum_cents", F.col("sum_cents").cast("double")
+    )
 
 
 def sql_events_time_rollup() -> str:
