@@ -266,7 +266,13 @@ def knn_haversine_join(
         stats["initial_radius_km"] = float(initial_radius_km)
         stats["rounds"] = 0
     settled_parts: list[DataFrame] = []
+    # same count-based round bookkeeping as the planar loop: the input
+    # is checkpointed once, each round checkpoints only the flagged
+    # top-k; remaining stays a lazy anti-join chain over checkpoints
+    # and the loop exits on settled-count arithmetic (2 jobs per
+    # round instead of 3)
     remaining = q.localCheckpoint(eager=True)
+    n_remaining = remaining.count()  # cheap: reads the checkpoint cache
     radius = float(initial_radius_km)
     while True:
         if stats is not None:
@@ -302,10 +308,10 @@ def knn_haversine_join(
             flagged.where("settled").drop("settled")
         )
         settled_ids = flagged.where("settled").select("query_id").distinct()
-        remaining = remaining.join(settled_ids, on="query_id", how="left_anti")
-        if remaining.isEmpty():
+        n_remaining -= settled_ids.count()
+        if n_remaining <= 0:
             break
-        remaining = remaining.localCheckpoint(eager=True)
+        remaining = remaining.join(settled_ids, on="query_id", how="left_anti")
         radius *= 2
     out = settled_parts[0]
     for part in settled_parts[1:]:
@@ -448,10 +454,15 @@ def knn_join(
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     settled_parts: list[DataFrame] = []
-    # localCheckpoint per round: without it each round's plan embeds
-    # every previous round's join (exponential lineage regrowth — the
-    # Spark analog of the reference re-scanning finished queues).
+    # Round bookkeeping by COUNT, not by materialization: the input is
+    # checkpointed ONCE (an expensive upstream plan must not re-run per
+    # round), then the remaining-queries frame stays a lazy anti-join
+    # chain over per-round checkpoints (depth = rounds, each parent
+    # materialized — no exponential regrowth) and the loop exits on
+    # settled-count arithmetic instead of a per-round isEmpty job + a
+    # per-round remaining checkpoint job (3 jobs per round → 2).
     remaining = q.localCheckpoint(eager=True)
+    n_remaining = remaining.count()  # cheap: reads the checkpoint cache
     r = initial_ring
     while True:
         if stats is not None:
@@ -491,10 +502,14 @@ def knn_join(
         ).localCheckpoint(eager=True)
         settled_parts.append(flagged.where("settled").drop("settled"))
         settled_ids = flagged.where("settled").select("query_id").distinct()
-        remaining = remaining.join(settled_ids, on="query_id", how="left_anti")
-        if remaining.isEmpty():
+        # one cheap job against the checkpoint cache; queries with
+        # ZERO candidates this round are absent from flagged, so the
+        # remaining count must be tracked by subtraction, not derived
+        # from flagged alone
+        n_remaining -= settled_ids.count()
+        if n_remaining <= 0:
             break
-        remaining = remaining.localCheckpoint(eager=True)
+        remaining = remaining.join(settled_ids, on="query_id", how="left_anti")
         r *= 2
     out = settled_parts[0]
     for part in settled_parts[1:]:

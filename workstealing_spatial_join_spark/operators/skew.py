@@ -29,14 +29,31 @@ def cell_cost_table(
     right_cells: DataFrame,
     target_pairs: int = DEFAULT_TARGET_PAIRS_PER_TASK,
     max_salt: int = 64,
+    right_cell_counts=None,
 ) -> DataFrame:
     """Estimate per-cell refine cost and derive a salt factor:
     ``(cell_id, n_left, n_right, est_pairs, n_salt)``; only cells with
     est_pairs > target_pairs get n_salt > 1. Both inputs must carry
     ``cell_id``. This is a tiny aggregate (one row per occupied cell)
-    — broadcastable."""
+    — broadcastable.
+
+    ``right_cell_counts``: optional pre-computed ``[(cell_id, n)]``
+    for the build side (spatial_join derives it driver-side from the
+    collected geometry dictionary) — the build-side aggregate then
+    becomes a broadcast local frame instead of a distributed groupBy,
+    halving the stages in the cost job."""
     lc = left_cells.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_left"))
-    rc = right_cells.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_right"))
+    if right_cell_counts is not None:
+        rc = F.broadcast(
+            left_cells.sparkSession.createDataFrame(
+                [(int(c), int(n)) for c, n in right_cell_counts],
+                "cell_id long, n_right long",
+            )
+        )
+    else:
+        rc = right_cells.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n_right")
+        )
     return (
         lc.join(rc, "cell_id")
         .withColumn("est_pairs", F.col("n_left") * F.col("n_right"))

@@ -36,6 +36,15 @@ from workstealing_spatial_join_spark.functions.predicates import PREDICATES
 
 BROADCAST_ROW_THRESHOLD = 2_000_000  # exploded cell-rows; ~tens of MB
 
+# collected layers up to this many rows are REPLAYED as a local frame
+# instead of re-scanning (and re-deriving) the source per action: the
+# dictionary collect already paid for these bytes once, and the replay
+# removes a scan + any ingest Python stage from every downstream job.
+# Larger collected layers (up to the 500k dict cap) keep the
+# distributed scan — parallelizing hundreds of MB from the driver is
+# slower than re-reading parquet.
+LOCAL_BUILD_MAX_ROWS = 100_000
+
 
 def tessellate_points(
     df: DataFrame, lon: str = "lon", lat: str = "lat",
@@ -74,13 +83,128 @@ def _collect_geom_dict(layer: DataFrame, id_col: str, max_rows: int | None):
     return None if len(rows) > max_rows else rows
 
 
+def _local_geom_frame(layer: DataFrame, id_col: str, rows) -> DataFrame:
+    """Replay already-collected (id, wkb, bounds) rows as a LOCAL
+    DataFrame with the source's exact schema: downstream tessellation
+    then costs zero scans and zero ingest Python — the collect that
+    built the broadcast dictionary already moved these bytes to the
+    driver once (guide §2.4: don't recompute what a previous action
+    materialized). Only used for layers ≤ LOCAL_BUILD_MAX_ROWS."""
+    import pandas as pd
+
+    schema = layer.select(
+        id_col, "geom_wkb", "minx", "miny", "maxx", "maxy"
+    ).schema
+    pdf = pd.DataFrame(
+        {
+            schema.names[0]: [r[0] for r in rows],
+            "geom_wkb": [
+                bytes(r[1]) if r[1] is not None else None for r in rows
+            ],
+            "minx": [r[2] for r in rows],
+            "miny": [r[3] for r in rows],
+            "maxx": [r[4] for r in rows],
+            "maxy": [r[5] for r in rows],
+        }
+    )
+    return layer.sparkSession.createDataFrame(pdf, schema=schema)
+
+
+def _covering_cell_counts(rows, cell_deg: float):
+    """Per-row covering-cell counts from the declared bounds — the
+    driver-side closed form of ``tessellate_bbox``'s explode fanout
+    (identical clamped floor arithmetic as grid.cells_covering_bbox,
+    so Σ equals exploded.count() exactly, without running a job)."""
+    import numpy as np
+
+    nx, ny = GRID.grid_dims(cell_deg)
+    b = np.array(
+        [[r[2], r[3], r[4], r[5]] for r in rows], dtype=np.float64
+    )
+    if not len(rows):
+        return np.zeros(0, dtype=np.int64)
+    x0 = np.clip(np.floor((b[:, 0] + 180.0) / cell_deg), 0, nx - 1).astype(np.int64)
+    x1 = np.clip(np.floor((b[:, 2] + 180.0) / cell_deg), 0, nx - 1).astype(np.int64)
+    y0 = np.clip(np.floor((b[:, 1] + 90.0) / cell_deg), 0, ny - 1).astype(np.int64)
+    y1 = np.clip(np.floor((b[:, 3] + 90.0) / cell_deg), 0, ny - 1).astype(np.int64)
+    return (x1 - x0 + 1) * (y1 - y0 + 1)
+
+
+def _cell_count_pairs(rows, cell_deg: float):
+    """Per-cell build-side row counts ``[(cell_id, n), ...]`` computed
+    driver-side from the collected bounds — the closed form of
+    ``exploded.groupBy(cell_id).count()``, so the salting cost table
+    skips one distributed aggregate entirely (guide §2.4). Fully
+    vectorized (a per-row Python loop over cells_covering_bbox
+    measured 0.6 s on the 10k-polygon bench layer; this is ~10 ms)."""
+    import numpy as np
+
+    if not rows:
+        return []
+    nx, ny = GRID.grid_dims(cell_deg)
+    b = np.array([[r[2], r[3], r[4], r[5]] for r in rows], dtype=np.float64)
+    x0 = np.clip(np.floor((b[:, 0] + 180.0) / cell_deg), 0, nx - 1).astype(np.int64)
+    x1 = np.clip(np.floor((b[:, 2] + 180.0) / cell_deg), 0, nx - 1).astype(np.int64)
+    y0 = np.clip(np.floor((b[:, 1] + 90.0) / cell_deg), 0, ny - 1).astype(np.int64)
+    y1 = np.clip(np.floor((b[:, 3] + 90.0) / cell_deg), 0, ny - 1).astype(np.int64)
+    h = y1 - y0 + 1
+    ncell = (x1 - x0 + 1) * h
+    total = int(ncell.sum())
+    starts = np.cumsum(ncell) - ncell
+    off = np.arange(total, dtype=np.int64) - np.repeat(starts, ncell)
+    h_r = np.repeat(h, ncell)
+    cx = np.repeat(x0, ncell) + off // h_r
+    cy = np.repeat(y0, ncell) + off % h_r
+    cid = cx * np.int64(4294967296) + cy
+    uniq, cnt = np.unique(cid, return_counts=True)
+    return [(int(c), int(n)) for c, n in zip(uniq, cnt)]
+
+
+_RECT_WKB_HDR_BYTES = (
+    b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
+)
+
+
 def _all_rects_matching_bounds(rows) -> bool:
     """True iff EVERY collected geometry is a single axis-aligned
     rectangle whose ring equals the row's declared bounds exactly.
     When a layer passes this check, the Catalyst MBR predicate IS the
     exact geometry predicate — refine needs no Python at all. This is
-    verified per row (driver-side decode through the executor cache's
-    code path), never assumed from metadata."""
+    verified per row (driver-side decode), never assumed from
+    metadata.
+
+    Fast path: a 5-point single-ring polygon WKB is exactly 93 bytes
+    with a fixed header, so a homogeneous layer is verified as ONE
+    NumPy pass over the stacked buffers (the per-row decode loop was
+    ~1 s of driver time per 20k-rect collect, paid per query rep);
+    anything else falls back to the per-row decode."""
+    import numpy as np
+
+    bufs = [bytes(r[1]) for r in rows]
+    if bufs and all(
+        len(b) == 93 and b.startswith(_RECT_WKB_HDR_BYTES) for b in bufs
+    ):
+        arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(
+            len(bufs), 93
+        )
+        ring = (
+            arr[:, 13:].copy().view("<f8").reshape(len(bufs), 5, 2)
+        )
+        dx = ring[:, 1:, 0] - ring[:, :-1, 0]
+        dy = ring[:, 1:, 1] - ring[:, :-1, 1]
+        axis_aligned = ((dx == 0) | (dy == 0)).all(axis=1)
+        bounds = np.array(
+            [[r[2], r[3], r[4], r[5]] for r in rows], dtype=np.float64
+        )
+        match = (
+            axis_aligned
+            & (ring[:, :, 0].min(axis=1) == bounds[:, 0])
+            & (ring[:, :, 1].min(axis=1) == bounds[:, 1])
+            & (ring[:, :, 0].max(axis=1) == bounds[:, 2])
+            & (ring[:, :, 1].max(axis=1) == bounds[:, 3])
+        )
+        return bool(match.all())
+
     from workstealing_spatial_join_spark.functions.predicates import _geom_info
 
     for r in rows:
@@ -122,15 +246,35 @@ class PreparedPolygonLayer:
 
         self.poly_id = poly_id
         self.cell_deg = cell_deg
-        self.exploded = tessellate_bbox(
-            polygons.select(
-                F.col(poly_id).alias("poly_id"), "minx", "miny", "maxx", "maxy"
-            ),
-            cell_deg,
-        ).cache()
-        self.n_rows = self.exploded.count()  # materialize the cache
         self.contains_udf = None
+        # ONE driver job: the dictionary collect. A collected layer is
+        # replayed locally — the tessellation caches lazily off the
+        # in-memory rows (first join materializes it without touching
+        # the source again) and the exploded row count is the
+        # closed-form Σ covering-cells over the bounds, not a count()
+        # job (was: count job + collect job per preparation).
         rows = _collect_geom_dict(polygons, poly_id, broadcast_dict_rows)
+        if rows is not None and len(rows) <= LOCAL_BUILD_MAX_ROWS:
+            local = _local_geom_frame(polygons, poly_id, rows)
+            self.exploded = tessellate_bbox(
+                local.select(
+                    F.col(poly_id).alias("poly_id"),
+                    "minx", "miny", "maxx", "maxy",
+                ),
+                cell_deg,
+            ).cache()
+            self.n_rows = int(_covering_cell_counts(rows, cell_deg).sum())
+            self.cell_counts = _cell_count_pairs(rows, cell_deg)
+        else:
+            self.exploded = tessellate_bbox(
+                polygons.select(
+                    F.col(poly_id).alias("poly_id"),
+                    "minx", "miny", "maxx", "maxy",
+                ),
+                cell_deg,
+            ).cache()
+            self.n_rows = self.exploded.count()  # materialize the cache
+            self.cell_counts = None
         # same unique-id guard as the other id-keyed transports:
         # repeated ids (multipart parts) would make the dict answer
         # point-in-ANY-part per PART ROW and emit duplicate pairs
@@ -270,11 +414,12 @@ def point_in_polygon_join(
         lat="py",
         cell_deg=cell_deg,
     )
-    # Under a broadcast join there is no shuffle, so refine parallelism
-    # equals the probe side's SCAN splits. A small/compact input (or a
-    # cache with few partitions) would serialize the pandas-UDF refine
-    # — round-robin repartition up to the cluster's parallelism.
-    pts = _ensure_probe_partitions(pts, probe_partitions)
+    # Probe repartitioning is decided AFTER the refine transport is
+    # known (below): only a Python refine stage needs it — under a
+    # broadcast join its parallelism equals the probe's scan splits,
+    # so a compact input would serialize the pandas-UDF refine. A
+    # pure-Catalyst plan (refine=False / rect fast path) runs fine on
+    # the scan splits, and the repartition would be a wasted exchange.
 
     if isinstance(polygons, PreparedPolygonLayer):
         if refine and polygons.contains_udf is None:
@@ -284,6 +429,9 @@ def point_in_polygon_join(
                 "dict transport needs one geometry per id); use "
                 "refine=False or a DataFrame layer"
             )
+        pts_raw = pts
+        if refine:
+            pts = _ensure_probe_partitions(pts, probe_partitions)
         polys = _maybe_broadcast(polygons.exploded, None, broadcast)
         return _pip_finish(
             pts, polys, polygons.contains_udf if refine else None,
@@ -291,6 +439,8 @@ def point_in_polygon_join(
             build_small=polygons.n_rows <= BROADCAST_ROW_THRESHOLD,
             build_rows=polygons.n_rows,
             payload=point_payload,
+            pts_cost=pts_raw,
+            build_cell_counts=polygons.cell_counts,
         )
 
     # Refine transport: per-candidate WKB column vs broadcast polygon
@@ -328,14 +478,31 @@ def point_in_polygon_join(
     poly_cols = [F.col(poly_id).alias("poly_id"), "minx", "miny", "maxx", "maxy"]
     if refine and contains_udf is None:
         poly_cols.append("geom_wkb")
-    polys = tessellate_bbox(polygons.select(*poly_cols), cell_deg)
+    src = polygons
+    if rows is not None and len(rows) <= LOCAL_BUILD_MAX_ROWS:
+        # replay the already-collected layer locally: the build side
+        # of every downstream job then skips the source scan (and any
+        # ingest Python stage) entirely
+        src = _local_geom_frame(polygons, poly_id, rows)
+    polys = tessellate_bbox(src.select(*poly_cols), cell_deg)
 
+    pts_raw = pts
+    if refine:
+        pts = _ensure_probe_partitions(pts, probe_partitions)
     polys = _maybe_broadcast(polys, polygons, broadcast)
     return _pip_finish(
         pts, polys, contains_udf, refine, mode, salt, target_pairs_per_task,
         build_small=rows is not None,
-        build_rows=len(rows) if rows is not None else None,
+        build_rows=(
+            int(_covering_cell_counts(rows, cell_deg).sum())
+            if rows is not None
+            else None
+        ),
         payload=point_payload,
+        pts_cost=pts_raw,
+        build_cell_counts=(
+            _cell_count_pairs(rows, cell_deg) if rows is not None else None
+        ),
     )
 
 
@@ -350,6 +517,8 @@ def _pip_finish(
     build_small: bool = False,
     build_rows: int | None = None,
     payload: tuple[str, ...] = (),
+    pts_cost: DataFrame | None = None,
+    build_cell_counts=None,
 ) -> DataFrame:
     if salt:
         # LB1 rebirth: cost-estimated salting of hot cells (see
@@ -365,9 +534,18 @@ def _pip_finish(
         # one row per cell whose est_pairs exceed the task target) and
         # replay it as a local frame — the salting joins and the
         # broadcast gate below would otherwise each re-run the two
-        # groupBy aggregates behind it
+        # groupBy aggregates behind it. The probe side of the cost
+        # aggregate is the UN-repartitioned tessellation (pts_cost):
+        # the cost job needs only per-cell counts, and running it
+        # through the refine repartition would pay that exchange a
+        # second time (the main query re-executes it anyway).
+        # build_cell_counts (driver-side closed form from the
+        # collected layer) removes the build-side aggregate too.
         cost_hot = cell_cost_table(
-            pts, polys, target_pairs=target_pairs_per_task
+            pts_cost if pts_cost is not None else pts,
+            polys,
+            target_pairs=target_pairs_per_task,
+            right_cell_counts=build_cell_counts,
         ).where(F.col("n_salt") > 1)
         cost_rows = cost_hot.collect()
         cost = pts.sparkSession.createDataFrame(cost_rows, cost_hot.schema)
@@ -396,6 +574,16 @@ def _pip_finish(
         join_keys = ["cell_id", "salt"]
     else:
         join_keys = ["cell_id"]
+        if build_small and (
+            build_rows is None or build_rows <= BROADCAST_ROW_THRESHOLD
+        ):
+            # deterministic J4 fragment-and-replicate: the build side
+            # is KNOWN to fit (collected dict / closed-form exploded
+            # count) — assert the broadcast instead of hoping AQE's
+            # size estimate agrees (a local-replay or lazily-cached
+            # build side has no stats, and a missed broadcast here is
+            # a full shuffle of the probe table)
+            polys = F.broadcast(polys)
 
     cand = pts.join(polys, on=join_keys).where(
         (F.col("px") >= F.col("minx"))
@@ -509,11 +697,18 @@ def polygon_join(
         all_rects = rows is not None and _all_rects_matching_bounds(rows)
         unique = rows is not None and len({r[0] for r in rows}) == len(rows)
 
+        # replay a collected layer locally: its tessellation then
+        # costs no source scan (and no ingest Python stage) in any
+        # downstream job — the dict collect already paid these bytes
+        src = layer
+        if rows is not None and len(rows) <= LOCAL_BUILD_MAX_ROWS:
+            src = _local_geom_frame(layer, id_col, rows)
+
         def tess(with_wkb: bool) -> DataFrame:
             cols = [F.col(id_col).alias("gid"), "minx", "miny", "maxx", "maxy"]
             if with_wkb:
                 cols.insert(1, F.col("geom_wkb").alias("g_wkb"))
-            return tessellate_bbox(layer.select(*cols), cell_deg)
+            return tessellate_bbox(src.select(*cols), cell_deg)
 
         return rows, all_rects, unique, tess, layer
 
@@ -588,7 +783,19 @@ def polygon_join(
         .withColumnsRenamed({"gid": "rid", "g_wkb": "r_wkb"})
         .alias("r")
     )
-    rt = _maybe_broadcast(rt, r_df, broadcast)
+    if (
+        broadcast == "auto"
+        and rrows is not None
+        and int(_covering_cell_counts(rrows, cell_deg).sum())
+        <= BROADCAST_ROW_THRESHOLD
+    ):
+        # deterministic J4: the right layer is KNOWN to fit (collected
+        # rows + closed-form exploded count) — assert the broadcast
+        # rather than relying on AQE size estimates, which a
+        # local-replay frame does not carry
+        rt = F.broadcast(rt)
+    else:
+        rt = _maybe_broadcast(rt, r_df, broadcast)
 
     join_cond = F.col("l.cell_id") == F.col("r.cell_id")
     if salt:
@@ -746,6 +953,19 @@ def polygon_join(
     return scored.select(*sel)
 
 
+def _repartition_probe(df: DataFrame, n: int) -> DataFrame:
+    """Spread the probe side over ``n`` partitions. HASH partitioning
+    on the unique point id, not round-robin: a keyless repartition
+    first pays a full local sort of its input
+    (spark.sql.execution.sortBeforeRepartition, needed so retried
+    tasks reproduce their row assignment — guide §2.5), while hashing
+    a deterministic unique key is retry-safe for free and spreads
+    evenly."""
+    if "point_id" in df.columns:
+        return df.repartition(n, F.col("point_id"))
+    return df.repartition(n)
+
+
 def _ensure_probe_partitions(df: DataFrame, probe_partitions) -> DataFrame:
     if probe_partitions is None:
         return df
@@ -759,8 +979,8 @@ def _ensure_probe_partitions(df: DataFrame, probe_partitions) -> DataFrame:
             current = df.rdd.getNumPartitions()
         except Exception:
             return df
-        return df.repartition(target) if current < target else df
-    return df.repartition(int(probe_partitions))
+        return _repartition_probe(df, target) if current < target else df
+    return _repartition_probe(df, int(probe_partitions))
 
 
 def _maybe_broadcast(
