@@ -123,6 +123,68 @@ def cell_id_col(
     )
 
 
+# ------------------------------------------- memoized name-based API
+#
+# The fluent builders above cost one py4j round trip per operator
+# node, re-paid at every query construction (profiled: ~0.34 s per
+# covering_cells_cols call alone). When the inputs are COLUMN NAMES —
+# every hot caller's case — the identical expression is parsed once
+# per process from its SQL form and the immutable unresolved Column
+# is reused (functions/exprs.py). Literal discipline (D/L suffixes)
+# keeps the arithmetic bit-identical to the fluent form; pinned by
+# tests/test_expr_equivalence.py.
+
+
+def _spark_sql_cell_x(lon: str, cell_deg: float) -> str:
+    from workstealing_spatial_join_spark.functions.exprs import dlit
+
+    nx, _ = grid_dims(cell_deg)
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0D) / {dlit(cell_deg)}), "
+        f"0L), {nx - 1}L) AS BIGINT)"
+    )
+
+
+def _spark_sql_cell_y(lat: str, cell_deg: float) -> str:
+    from workstealing_spatial_join_spark.functions.exprs import dlit
+
+    _, ny = grid_dims(cell_deg)
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({lat} + 90.0D) / {dlit(cell_deg)}), "
+        f"0L), {ny - 1}L) AS BIGINT)"
+    )
+
+
+def cell_id_named(
+    lon: str, lat: str, cell_deg: float = DEFAULT_CELL_DEG
+) -> Column:
+    """``cell_id_col`` over column NAMES — parsed once per process."""
+    from workstealing_spatial_join_spark.functions.exprs import cexpr
+
+    return cexpr(
+        f"({_spark_sql_cell_x(lon, cell_deg)} * 4294967296L "
+        f"+ {_spark_sql_cell_y(lat, cell_deg)})"
+    )
+
+
+def covering_cells_named(
+    minx: str, miny: str, maxx: str, maxy: str,
+    cell_deg: float = DEFAULT_CELL_DEG,
+) -> Column:
+    """``covering_cells_cols`` over column NAMES — parsed once."""
+    from workstealing_spatial_join_spark.functions.exprs import cexpr
+
+    x0 = _spark_sql_cell_x(minx, cell_deg)
+    x1 = _spark_sql_cell_x(maxx, cell_deg)
+    y0 = _spark_sql_cell_y(miny, cell_deg)
+    y1 = _spark_sql_cell_y(maxy, cell_deg)
+    return cexpr(
+        f"flatten(transform(sequence({x0}, {x1}), "
+        f"x -> transform(sequence({y0}, {y1}), "
+        f"y -> x * 4294967296L + y)))"
+    )
+
+
 def covering_cells_cols(
     minx: Column, miny: Column, maxx: Column, maxy: Column,
     cell_deg: float = DEFAULT_CELL_DEG,

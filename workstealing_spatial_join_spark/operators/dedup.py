@@ -314,16 +314,17 @@ def minhash_sig_shingles_udf(num_perm: int = 64, shingle_k: int = SHINGLE_K,
 
 
 def band_bucket_col(sig, band: int, rows_per_band: int):
-    """Deterministic band bucket: the band's signature slice joined as
-    a string — exactly reproducible in SQL (array_to_string of
-    list_slice), unlike a Spark-internal hash."""
-    return F.concat_ws(
-        ",",
-        F.transform(
-            F.slice(sig, band * rows_per_band + 1, rows_per_band),
-            lambda x: x.cast("string"),
-        ),
-    )
+    """Deterministic band bucket: the band's signature slice itself
+    (array<long> — Spark joins/groups on array equality natively).
+    Two documents share a bucket iff their band slices are EQUAL,
+    which is exactly the banded-LSH candidate rule the SQL oracle
+    replays (it stringifies slices; slice equality and string
+    equality coincide for fixed-width bands). The earlier
+    concat_ws-of-strings key built 16 strings per row through the
+    join — pure codegen weight for the identical candidate set.
+    minhash_dedup inlines the same slices via selectExpr; this
+    Column form is kept for callers composing their own banding."""
+    return F.slice(sig, band * rows_per_band + 1, rows_per_band)
 
 
 def minhash_signatures(
@@ -447,16 +448,15 @@ def minhash_dedup(
     # per row): the slot-agreement gate then runs inside the band join
     # itself — on the raw colliding pairs, BEFORE the distinct — so no
     # extra join against a signature table and a much smaller distinct
-    banded = signed.select(
+    slices = ", ".join(
+        f"slice(sig, {i * rows_per_band + 1}, {rows_per_band})"
+        for i in range(bands)
+    )
+    banded = signed.selectExpr(
         "doc_id",
         "sig",
-        F.size("sh").alias("n_sh"),
-        F.posexplode(
-            F.array(
-                *[band_bucket_col(F.col("sig"), i, rows_per_band)
-                  for i in range(bands)]
-            )
-        ).alias("band", "bucket"),
+        "size(sh) AS n_sh",
+        f"posexplode(array({slices})) AS (band, bucket)",
     )
     if max_bucket is not None:
         # hot-bucket guard (production corpora): a band bucket shared
@@ -476,34 +476,35 @@ def minhash_dedup(
             ["band", "bucket"],
             "left_semi",
         )
+    from workstealing_spatial_join_spark.functions.exprs import cexpr, dlit
+
+    # Jaccard ≤ min(n)/max(n): exact size-ratio prune. Same
+    # double-division + compare as the final filter; IEEE rounding is
+    # monotone, so a pruned pair's jaccard double is also < threshold
+    # — no borderline pair can be lost to float rounding. Memoized
+    # expression (fixed a./b. names — see functions/exprs.py).
     join_on = [
-        F.col("a.band") == F.col("b.band"),
-        F.col("a.bucket") == F.col("b.bucket"),
-        F.col("a.doc_id") < F.col("b.doc_id"),
-        # Jaccard ≤ min(n)/max(n): exact size-ratio prune.
-        # Same double-division + compare as the final filter;
-        # IEEE rounding is monotone, so a pruned pair's
-        # jaccard double is also < threshold — no borderline
-        # pair can be lost to float rounding.
-        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
-        / F.greatest(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
-        >= F.lit(float(threshold)),
+        cexpr(
+            "a.band = b.band AND a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id "
+            "AND CAST(LEAST(a.n_sh, b.n_sh) AS DOUBLE) "
+            "/ CAST(GREATEST(a.n_sh, b.n_sh) AS DOUBLE) "
+            f">= {dlit(threshold)}"
+        ),
     ]
     if slot_margin_sd is not None:
         cutoff = minhash_slot_cutoff(num_perm, threshold, slot_margin_sd)
-        slots_eq = F.aggregate(
-            F.zip_with(
-                F.col("a.sig"), F.col("b.sig"),
-                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
         # slot-agreement prefilter (the recall-contract gate):
         # cheap integer compare over the already-present
         # signatures, killing the noise floor before the
         # distinct shuffle and the shingle-array fetch
-        join_on.append(slots_eq >= F.lit(int(cutoff)))
+        join_on.append(
+            cexpr(
+                "aggregate(zip_with(a.sig, b.sig, "
+                "(x, y) -> IF(x = y, 1, 0)), 0, (acc, x) -> acc + x) "
+                f">= {int(cutoff)}"
+            )
+        )
     left = banded.alias("a")
     right = banded.alias("b")
     survivors = (
@@ -512,15 +513,20 @@ def minhash_dedup(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .distinct()
-        # AQE coalesces the (small-bytes) distinct output to ONE
-        # partition, which would serialize the per-pair set arithmetic
-        # below; a NUMBERED repartition is exempt from AQE coalescing
-        # and spreads the verify across the cluster. Scale with the
-        # session's shuffle-partition setting, not just core count —
-        # a huge candidate set on a large cluster needs more splits
-        # than one per core (ADVICE r3).
-        .repartition(_verify_partitions(signed))
+        # ONE exchange does double duty: hash-repartition on the pair
+        # key (numbered → exempt from AQE coalescing, so the verify
+        # set arithmetic below runs at cluster width, not one task —
+        # ADVICE r3) and THEN dropDuplicates, which reuses that
+        # partitioning with zero further shuffle. The previous
+        # distinct().repartition(n) shape paid two exchanges over the
+        # same rows; a map-side partial dedup would buy nothing here
+        # because a pair's band-duplicates live in different (band,
+        # bucket) join partitions by construction.
+        .repartition(
+            _verify_partitions(signed),
+            F.col("doc_id_a"), F.col("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
     sh_tbl = signed.select("doc_id", "sh")
     pairs = (
@@ -891,8 +897,21 @@ def wordgram_hashes_col(text, w: int = 8):
     """Distinct 60-bit hashes of the word ``w``-grams of ``text`` —
     pure Catalyst (split / slice / array_join / md5 / conv), zero
     Python. 60 bits = first 15 hex chars of md5, the same convention
-    as the SimHash and HLL twins (bit-identical in DuckDB)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    as the SimHash and HLL twins (bit-identical in DuckDB).
+
+    NOTE for hot paths: this inlines the tokenization into the gram
+    expression, so a consumer that explodes it re-evaluates
+    ``split(lower(trim(text)))`` at every reference (no attribute
+    boundary for CSE). Project the token array as a real column and
+    call :func:`wordgram_hashes_from_tokens` instead — decontaminate
+    does (measured ~2× on the corpus gram stage)."""
+    return wordgram_hashes_from_tokens(
+        F.split(F.lower(F.trim(text)), r"\s+"), w
+    )
+
+
+def wordgram_hashes_from_tokens(words, w: int = 8):
+    """Same gram hashes over an ALREADY-TOKENIZED array column."""
     n = F.size(words)
     grams = F.when(
         n >= w,
@@ -908,6 +927,28 @@ def wordgram_hashes_col(text, w: int = 8):
         ),
     ).otherwise(F.array().cast("array<long>"))
     return F.array_distinct(grams)
+
+
+def _gram_side(df: DataFrame, id_col: str, text_col: str, alias: str,
+               w: int):
+    """(id, exploded gram hash) for one side of the decontamination
+    join. The token array is projected as a REAL column below the
+    explode (an attribute boundary the optimizer keeps), so the
+    tokenizer runs once per document instead of once per reference
+    inside the generator expression; the side is spread to cluster
+    parallelism first — a single-file corpus otherwise hashes every
+    document on one core (guide §2.5 input skew; a 100-TB scan has
+    enough splits and the repartition no-ops)."""
+    side = _ensure_parallel(
+        df.select(F.col(id_col).alias(alias), F.col(text_col).alias("_t"))
+    )
+    toks = side.select(
+        alias, F.split(F.lower(F.trim(F.col("_t"))), r"\s+").alias("_w")
+    )
+    return toks.select(
+        alias,
+        F.explode(wordgram_hashes_from_tokens(F.col("_w"), w)).alias("h"),
+    )
 
 
 def decontaminate(
@@ -945,13 +986,8 @@ def decontaminate(
     probes the broadcast table; the only shuffle is the per-doc
     aggregation of the contaminated sliver.
     """
-    grams = wordgram_hashes_col(F.col(text_col), w)
-    corp = corpus.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("h")
-    )
-    bench = benchmark.select(
-        F.col(id_col).alias("bench_id"), F.explode(grams).alias("h")
-    ).distinct()
+    corp = _gram_side(corpus, id_col, text_col, "doc_id", w)
+    bench = _gram_side(benchmark, id_col, text_col, "bench_id", w).distinct()
     return (
         corp.join(F.broadcast(bench), on="h")
         .groupBy("doc_id")

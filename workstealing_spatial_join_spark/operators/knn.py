@@ -30,30 +30,32 @@ from workstealing_spatial_join_spark.functions import grid as GRID
 
 
 def _ring_cells(df: DataFrame, r: int, cell_deg: float) -> DataFrame:
+    # memoized name-based expressions (functions/exprs.py): the ring
+    # explode is rebuilt once per (r, cell_deg) per process instead
+    # of paying ~100 py4j round trips per kNN round
+    from workstealing_spatial_join_spark.functions.exprs import cexpr
+    from workstealing_spatial_join_spark.functions.grid import (
+        _spark_sql_cell_x, _spark_sql_cell_y,
+    )
+
     nx, ny = GRID.grid_dims(cell_deg)
-    cx = GRID.cell_x_col(F.col("qx"), cell_deg)
-    cy = GRID.cell_y_col(F.col("qy"), cell_deg)
+    cx = _spark_sql_cell_x("qx", cell_deg)
+    cy = _spark_sql_cell_y("qy", cell_deg)
     out = df.withColumn(
         "ring_x",
-        F.explode(
-            F.sequence(
-                F.greatest(cx - F.lit(r), F.lit(0)),
-                F.least(cx + F.lit(r), F.lit(nx - 1)),
-            )
+        cexpr(
+            f"explode(sequence(GREATEST({cx} - {int(r)}L, 0L), "
+            f"LEAST({cx} + {int(r)}L, {nx - 1}L)))"
         ),
     ).withColumn(
         "ring_y",
-        F.explode(
-            F.sequence(
-                F.greatest(cy - F.lit(r), F.lit(0)),
-                F.least(cy + F.lit(r), F.lit(ny - 1)),
-            )
+        cexpr(
+            f"explode(sequence(GREATEST({cy} - {int(r)}L, 0L), "
+            f"LEAST({cy} + {int(r)}L, {ny - 1}L)))"
         ),
     )
     return out.withColumn(
-        "cell_id",
-        F.col("ring_x").cast("long") * F.lit(4294967296).cast("long")
-        + F.col("ring_y").cast("long"),
+        "cell_id", cexpr("ring_x * 4294967296L + ring_y")
     ).drop("ring_x", "ring_y")
 
 

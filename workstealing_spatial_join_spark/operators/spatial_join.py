@@ -53,7 +53,7 @@ def tessellate_points(
     """Point layer → + cell_id (exactly one cell per point; pure
     Catalyst arithmetic, so PIP pairs are duplicate-free by
     construction)."""
-    return df.withColumn("cell_id", GRID.cell_id_col(F.col(lon), F.col(lat), cell_deg))
+    return df.withColumn("cell_id", GRID.cell_id_named(lon, lat, cell_deg))
 
 
 def tessellate_bbox(
@@ -64,9 +64,7 @@ def tessellate_bbox(
     return df.withColumn(
         "cell_id",
         F.explode(
-            GRID.covering_cells_cols(
-                F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), cell_deg
-            )
+            GRID.covering_cells_named("minx", "miny", "maxx", "maxy", cell_deg)
         ),
     )
 
@@ -217,10 +215,16 @@ def _all_rects_matching_bounds(rows) -> bool:
 def _refpoint_filter(cell_deg: float):
     """Keep a candidate pair only in the cell that contains the
     top-left (minx, miny) corner of the MBR intersection — standard
-    duplicate-avoidance for multi-cell replication; pure Catalyst."""
-    rx = F.greatest(F.col("l.minx"), F.col("r.minx"))
-    ry = F.greatest(F.col("l.miny"), F.col("r.miny"))
-    return F.col("l.cell_id") == GRID.cell_id_col(rx, ry, cell_deg)
+    duplicate-avoidance for multi-cell replication; pure Catalyst
+    (memoized expression — fixed l./r. column names)."""
+    from workstealing_spatial_join_spark.functions.exprs import cexpr
+    from workstealing_spatial_join_spark.functions.grid import (
+        _spark_sql_cell_x, _spark_sql_cell_y,
+    )
+
+    cx = _spark_sql_cell_x("GREATEST(l.minx, r.minx)", cell_deg)
+    cy = _spark_sql_cell_y("GREATEST(l.miny, r.miny)", cell_deg)
+    return cexpr(f"l.cell_id = ({cx} * 4294967296L + {cy})")
 
 
 class PreparedPolygonLayer:
@@ -585,11 +589,12 @@ def _pip_finish(
             # a full shuffle of the probe table)
             polys = F.broadcast(polys)
 
+    from workstealing_spatial_join_spark.functions.exprs import cexpr
+
     cand = pts.join(polys, on=join_keys).where(
-        (F.col("px") >= F.col("minx"))
-        & (F.col("px") <= F.col("maxx"))
-        & (F.col("py") >= F.col("miny"))
-        & (F.col("py") <= F.col("maxy"))
+        cexpr(
+            "px >= minx AND px <= maxx AND py >= miny AND py <= maxy"
+        )
     )
     if refine:
         if contains_udf is not None:
@@ -712,16 +717,19 @@ def polygon_join(
 
         return rows, all_rects, unique, tess, layer
 
-    lrows, l_rects, l_unique, l_tess, l_df = _side(left, left_id)
-    if lrows is not None or isinstance(right, PreparedGeometryLayer):
-        rrows, r_rects, r_unique, r_tess, r_df = _side(right, right_id)
-    else:
-        # left side exceeded the dict cap — skip the right collect
-        # entirely (WKB transport is already decided)
-        saved = refine_transport
-        refine_transport = "wkb"
-        rrows, r_rects, r_unique, r_tess, r_df = _side(right, right_id)
-        refine_transport = saved
+    # the two dictionary collects are independent driver actions —
+    # run them CONCURRENTLY (guide §2.6: the scheduler happily
+    # overlaps jobs; actions are only sequential because driver code
+    # calls them sequentially). Both collects are bounded by the dict
+    # cap, so the huge-left case at worst collects a bounded right
+    # dictionary it will still use (broadcast side choice below).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_l = pool.submit(_side, left, left_id)
+        fut_r = pool.submit(_side, right, right_id)
+        lrows, l_rects, l_unique, l_tess, l_df = fut_l.result()
+        rrows, r_rects, r_unique, r_tess, r_df = fut_r.result()
 
     refine_bc = None
     catalyst_rect = False
@@ -783,11 +791,32 @@ def polygon_join(
         .withColumnsRenamed({"gid": "rid", "g_wkb": "r_wkb"})
         .alias("r")
     )
+    l_expl = (
+        int(_covering_cell_counts(lrows, cell_deg).sum())
+        if lrows is not None else None
+    )
+    r_expl = (
+        int(_covering_cell_counts(rrows, cell_deg).sum())
+        if rrows is not None else None
+    )
     if (
         broadcast == "auto"
-        and rrows is not None
-        and int(_covering_cell_counts(rrows, cell_deg).sum())
-        <= BROADCAST_ROW_THRESHOLD
+        and not salt
+        and l_expl is not None
+        and l_expl <= BROADCAST_ROW_THRESHOLD
+        and (r_expl is None or l_expl < r_expl)
+    ):
+        # broadcast the SMALLER side (J4 chooses the replicated side
+        # by size, tests/main.cpp:189-274) — the exploded counts are
+        # exact closed forms over the collected bounds. Left-side
+        # build is expressed by hinting lt; skipped under salting,
+        # whose probe/replicate roles are fixed (lt salted per row,
+        # rt replicated across salts).
+        lt = F.broadcast(lt)
+    elif (
+        broadcast == "auto"
+        and r_expl is not None
+        and r_expl <= BROADCAST_ROW_THRESHOLD
     ):
         # deterministic J4: the right layer is KNOWN to fit (collected
         # rows + closed-form exploded count) — assert the broadcast
@@ -814,11 +843,13 @@ def polygon_join(
         rt = salt_build_side(rt, cost).alias("r")
         join_cond = join_cond & (F.col("l.salt") == F.col("r.salt"))
 
+    from workstealing_spatial_join_spark.functions.exprs import cexpr
+
     cand = lt.join(rt, on=join_cond).where(
-        (F.col("l.minx") <= F.col("r.maxx"))
-        & (F.col("r.minx") <= F.col("l.maxx"))
-        & (F.col("l.miny") <= F.col("r.maxy"))
-        & (F.col("r.miny") <= F.col("l.maxy"))
+        cexpr(
+            "l.minx <= r.maxx AND r.minx <= l.maxx "
+            "AND l.miny <= r.maxy AND r.miny <= l.maxy"
+        )
     )
     if dedup == "refpoint":
         cand = cand.where(_refpoint_filter(cell_deg))
