@@ -49,3 +49,29 @@ def cexpr(sql: str) -> Column:
 def dlit(x: float) -> str:
     """Spark-SQL double literal (``D`` suffix — see module doc)."""
     return f"{float(x)!r}D"
+
+
+def named_colfn(fn):
+    """Memoize a Column-builder when it is called with a column NAME
+    instead of a Column: the (identical, immutable) fluent-built
+    Column is constructed once per process and reused — same
+    construction path, zero semantic risk, none of the per-call py4j
+    chatter (lang_id_col alone measured 0.7 s of construction per
+    query). Column arguments bypass the cache unchanged."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(col, *args, **kwargs):
+        if isinstance(col, str):
+            key = (
+                _gateway_key(), fn.__module__, fn.__qualname__, col,
+                args, tuple(sorted(kwargs.items())),
+            )
+            c = _CACHE.get(key)
+            if c is None:
+                c = fn(F.col(col), *args, **kwargs)
+                _CACHE[key] = c
+            return c
+        return fn(col, *args, **kwargs)
+
+    return wrapper

@@ -128,8 +128,31 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     physical planning, no job — VERDICT r4 residual)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
+        files = df.inputFiles()
+        if len(files) >= target:
             return df
+        # estimate scan splits from file sizes (split size =
+        # maxPartitionBytes): enough splits → no repartition, without
+        # paying the df.rdd physical-planning probe
+        import os
+        from urllib.parse import urlparse
+
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        raw = raw.removesuffix("b")
+        mult = units.get(raw[-1:], 1)
+        max_bytes = int(raw.rstrip("kmg") or "0") * mult
+        if max_bytes <= 0:
+            raise ValueError(raw)
+        est = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("file", ""):
+                raise ValueError("non-local file, fall back")
+            est += -(-os.path.getsize(p.path) // max_bytes)
+        return df.repartition(target) if est < target else df
     except Exception:
         pass
     try:

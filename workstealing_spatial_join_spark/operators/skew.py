@@ -44,10 +44,16 @@ def cell_cost_table(
     halving the stages in the cost job."""
     lc = left_cells.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_left"))
     if right_cell_counts is not None:
+        import pandas as pd
+
+        # Arrow-path local frame (a list-of-tuples createDataFrame
+        # pickles row by row — ~10× slower for the 16k-cell table)
         rc = F.broadcast(
             left_cells.sparkSession.createDataFrame(
-                [(int(c), int(n)) for c, n in right_cell_counts],
-                "cell_id long, n_right long",
+                pd.DataFrame(
+                    right_cell_counts, columns=["cell_id", "n_right"]
+                ).astype("int64"),
+                schema="cell_id long, n_right long",
             )
         )
     else:

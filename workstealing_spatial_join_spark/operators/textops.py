@@ -26,7 +26,10 @@ LANG_MARKERS = {
 
 TOKEN_SPLIT_RE = r"\s+"
 
+from workstealing_spatial_join_spark.functions.exprs import named_colfn  # noqa: E402
 
+
+@named_colfn
 def token_count_col(text: Column) -> Column:
     """Whitespace token count (0 for empty/blank strings)."""
     t = F.trim(text)
@@ -45,6 +48,7 @@ def token_count_col(text: Column) -> Column:
 BPE_TOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
 
 
+@named_colfn
 def bpe_token_count_col(text: Column) -> Column:
     """BPE-ish token count: non-overlapping matches of the GPT-2-style
     pretokenizer regex (the unit a byte-pair encoder would split
@@ -65,6 +69,7 @@ def lang_score_col(text: Column, lang: str) -> Column:
     return score
 
 
+@named_colfn
 def lang_id_col(text: Column) -> Column:
     """argmax language by marker score; 'und' when all zero. Ties
     break by language code order (deterministic, oracle-matching)."""
@@ -78,6 +83,7 @@ def lang_id_col(text: Column) -> Column:
     return result
 
 
+@named_colfn
 def quality_score_col(text: Column) -> Column:
     """Heuristic quality in [0,1]: length factor × alpha ratio ×
     mean-word-length sanity. Pure arithmetic (oracle-expressible)."""

@@ -29,6 +29,23 @@ def tile_xy_cols(lon, lat, zoom: int):
     return tx, ty
 
 
+_TXY_CACHE: dict = {}
+
+
+def tile_xy_named(lon: str, lat: str, zoom: int):
+    """``tile_xy_cols`` over column NAMES, built once per process —
+    the fluent construction costs ~30 py4j round trips per call and
+    every caller uses fixed names (see functions/exprs.py)."""
+    from workstealing_spatial_join_spark.functions.exprs import _gateway_key
+
+    key = (_gateway_key(), lon, lat, zoom)
+    v = _TXY_CACHE.get(key)
+    if v is None:
+        v = tile_xy_cols(F.col(lon), F.col(lat), zoom)
+        _TXY_CACHE[key] = v
+    return v
+
+
 def sql_tile_xy(lon_expr: str, lat_expr: str, zoom: int) -> tuple[str, str]:
     """Identical tile arithmetic as ANSI SQL (DuckDB oracle)."""
     n = 2 ** zoom
@@ -61,7 +78,7 @@ def assign_tiles(
     string construction is an allocation/GC bottleneck and packed ids
     are the storage-correct choice (stringify at the edge, not in the
     pipeline)."""
-    tx, ty = tile_xy_cols(F.col(lon), F.col(lat), zoom)
+    tx, ty = tile_xy_named(lon, lat, zoom)
     if tile_id_format == "packed":
         tile = (
             F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long")
@@ -155,7 +172,7 @@ def tile_density_rollup(
     """
     if min_zoom > zoom:
         raise ValueError("min_zoom must be <= zoom")
-    tx, ty = tile_xy_cols(F.col(lon), F.col(lat), zoom)
+    tx, ty = tile_xy_named(lon, lat, zoom)
     return (
         points.select(tx.alias("tx"), ty.alias("ty"))
         .select(
