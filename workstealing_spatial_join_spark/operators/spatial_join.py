@@ -992,7 +992,13 @@ def _repartition_probe(df: DataFrame, n: int) -> DataFrame:
     tasks reproduce their row assignment — guide §2.5), while hashing
     a deterministic unique key is retry-safe for free and spreads
     evenly."""
-    if "point_id" in df.columns:
+    cols = df.columns
+    if "px" in cols and "py" in cols:
+        # the coordinates are read by every downstream mode anyway;
+        # hashing the unique id would force the id column into the
+        # scan even in count mode (observed in the plan's ReadSchema)
+        return df.repartition(n, F.col("px"), F.col("py"))
+    if "point_id" in cols:
         return df.repartition(n, F.col("point_id"))
     return df.repartition(n)
 
