@@ -26,8 +26,33 @@ TABLES = [
 ]
 
 
+import weakref
+
+_LOAD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Parquet table as a DataFrame, memoized per (session, path).
+
+    ``spark.read.parquet`` re-lists the path and re-reads footers to
+    build a fresh relation on every call — ~50–150 ms of driver work
+    per table per query, and every contract query calls this 1–3
+    times. DataFrames are immutable, so reusing the relation is safe;
+    like any ``read.parquet`` result it snapshots the file set at
+    creation (the driver testdata is immutable for a session's
+    lifetime). Not a result cache: no rows are materialized. Keyed
+    WEAKLY by the session object so a stopped session's entries die
+    with it (an id()-keyed cache could alias a recycled address)."""
+    per_session = _LOAD_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _LOAD_CACHE[spark] = per_session
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        per_session[key] = df
+    return df
 
 
 def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
