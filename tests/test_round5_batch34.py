@@ -260,3 +260,22 @@ def test_batch34_plans_zero_python(spark):
         move_rose(ev),
     ):
         assert sum(audit_plan(df)["python_nodes"].values()) == 0
+
+
+def test_nn_spectrum_all_isolated(spark):
+    """ADVICE r5: a layer where EVERY point is ring-isolated used to
+    return an EMPTY frame (hist empty → F.sum gives NULL n_cov →
+    n_total - NULL is NULL → the iso > 0 filter dropped the censored
+    row) while the DuckDB twin returns (-1, n_total). The coalesce
+    makes the engine emit the censored row too."""
+    pts = [
+        (1, 0, 0),
+        (2, 5_000_000, 5_000_000),
+        (3, -5_000_000, 5_000_000),
+    ]
+    got = {
+        r["bucket"]: r["n_points"]
+        for r in nn_spectrum(_pts_df(spark, pts)).collect()
+    }
+    assert got == {-1: 3}
+    assert got == _nn_ref(pts)

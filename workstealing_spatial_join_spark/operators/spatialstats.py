@@ -1644,8 +1644,15 @@ def nn_spectrum(
     hist = spectra.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_points")
     )
-    # fold ring-isolated points into the censored row
-    covered = hist.agg(F.sum("n_points").alias("n_cov"))
+    # fold ring-isolated points into the censored row. COALESCE the
+    # covered sum (ADVICE r5): on a layer where EVERY point is
+    # ring-isolated, hist is empty and F.sum yields NULL —
+    # n_total - NULL is NULL, the iso > 0 filter would drop it, and
+    # the engine would return an empty frame while the DuckDB twin
+    # returns (-1, n_total).
+    covered = hist.agg(
+        F.coalesce(F.sum("n_points"), F.lit(0)).alias("n_cov")
+    )
     extra = (
         n_total.crossJoin(F.broadcast(covered))
         .select((F.col("n_total") - F.col("n_cov")).alias("iso"))
