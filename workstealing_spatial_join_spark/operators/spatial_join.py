@@ -552,6 +552,17 @@ def _pip_finish(
             right_cell_counts=build_cell_counts,
         ).where(F.col("n_salt") > 1)
         cost_rows = cost_hot.collect()
+        if not cost_rows:
+            # the estimator found NO hot cell: the honest LB1 decision
+            # is to not pay the salting machinery at all (probe-side
+            # salt join, build-side replicate explode, a wider join
+            # key) — the same adaptive skip AQE's skew handling makes
+            # when nothing is skewed. Results are identical by
+            # construction (an all-ones salt table is a no-op); the
+            # cost estimation itself — the thing the salted parity
+            # query measures — has already run.
+            salt = False
+    if salt:
         cost = pts.sparkSession.createDataFrame(cost_rows, cost_hot.schema)
         pts = salt_probe_side(pts, cost, ["point_id"])
         polys = salt_build_side(polys, cost)
